@@ -1,0 +1,74 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rhythm anomaly detection — the Tier-1 analysis core.
+  *
+  * Reference semantics (app/services/rhythm_analysis_service.py:32-108):
+  *  - recent window: points with `ts_sec >= windowStart`, counted per hash;
+  *  - historical baseline: the `histSample` most recent points *older* than
+  *    the window (ties broken by `event_id` — the reference is scroll-order
+  *    dependent, we declare a total order);
+  *  - per-hash baseline mean normalized by sample time-span:
+  *    `mean = hist_n * (windowSec / (max(ts)-min(ts)))`;
+  *  - `std = max(stdFloor, sqrt(mean))`;
+  *  - novelty: hash unseen in baseline, recent count >= noveltyMinCount;
+  *  - frequency: recent count > mean + freqSigma*std and >= freqMinCount.
+  *
+  * Plan shape at scale: both windows are partial-aggregated groupBys (one
+  * shuffle of per-hash counts each); the baseline sample is a distributed
+  * top-k (TakeOrderedAndProject — each task keeps 10k rows, merge at the
+  * driver scale is k, not data); the classify step joins per-hash count
+  * tables, which are tiny relative to the input and auto-broadcast by AQE.
+  */
+object RhythmAnalyzer {
+
+  /** @param ev columns: rhythm_hash STRING, ts_sec LONG, event_id LONG
+    * @return rhythm_hash, anomaly_type ('novelty'|'frequency'), n,
+    *         baseline_mean (null for novelty)
+    */
+  def detect(
+      ev: DataFrame,
+      windowStart: Long,
+      windowSec: Double,
+      histSample: Int = 10000,
+      noveltyMinCount: Int = 2,
+      freqMinCount: Int = 3,
+      freqSigma: Double = 2.5,
+      stdFloor: Double = 1.5): DataFrame = {
+    import ev.sparkSession.implicits._
+
+    val recent = ev.filter($"ts_sec" >= windowStart)
+      .groupBy($"rhythm_hash").agg(count(lit(1)).as("n"))
+
+    val baseSample = ev.filter($"ts_sec" < windowStart)
+      .orderBy($"ts_sec".desc, $"event_id".desc)
+      .limit(histSample)
+      .cache() // two consumers (span + per-hash counts); sample is <=10k rows
+
+    val span = baseSample.agg(
+      (max($"ts_sec") - min($"ts_sec")).cast("double").as("dur"))
+
+    val stats = baseSample.groupBy($"rhythm_hash")
+      .agg(count(lit(1)).as("hist_n"))
+      .crossJoin(broadcast(span))
+      .select($"rhythm_hash",
+        ($"hist_n" * (lit(windowSec) / $"dur")).as("mean"))
+      .withColumn("std", greatest(lit(stdFloor), sqrt($"mean")))
+
+    val novelty = recent
+      .join(stats, Seq("rhythm_hash"), "left_anti")
+      .filter($"n" >= noveltyMinCount)
+      .select($"rhythm_hash", lit("novelty").as("anomaly_type"), $"n",
+        lit(null).cast("double").as("baseline_mean"))
+
+    val frequency = recent
+      .join(stats, Seq("rhythm_hash"))
+      .filter($"n" > $"mean" + lit(freqSigma) * $"std" && $"n" >= freqMinCount)
+      .select($"rhythm_hash", lit("frequency").as("anomaly_type"), $"n",
+        round($"mean", 4).as("baseline_mean"))
+
+    novelty.unionByName(frequency)
+  }
+}

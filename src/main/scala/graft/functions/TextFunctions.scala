@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text operators of the VIA surface plus training-data-pipeline text
+  * analysis, all expressed as codegen'd built-in `Column` expressions (no
+  * UDFs in the hot path — these stay inside WholeStageCodegen and push down
+  * to the scan where possible).
+  *
+  * Reference semantics:
+  *  - template extraction: `/root/reference/app/services/ingestion_service.py:16-21`
+  *    (mask UUIDs, IPv4s, then all integers with `*`)
+  *  - rhythm hash: `/root/reference/app/services/ingestion_service.py:23-28`
+  *    (`sha256(template)[:16] + ":" + sha256(service + ":" + severity)[:16]`)
+  */
+object TextFunctions {
+
+  /** UUID literal (case-insensitive via explicit char classes — Spark and
+    * most SQL engines differ in inline-flag support, so keep it portable). */
+  val UuidRe = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val IntRe = "\\b\\d+\\b"
+
+  /** P1 — log de-parameterization: UUIDs, IPs, integers → `*`. */
+  def template(body: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(body, UuidRe, "*"),
+        Ipv4Re, "*"),
+      IntRe, "*")
+
+  /** P2 — rhythm hash: template identity x (service, severity) identity. */
+  def rhythmHash(template: Column, service: Column, severity: Column): Column =
+    concat(
+      substring(sha2(template, 256), 1, 16),
+      lit(":"),
+      substring(sha2(concat_ws(":", service, severity), 256), 1, 16))
+
+  /** Word tokens: lowercase, split on non-alphanumerics, drop empties.
+    * Mirrors Qdrant's word tokenizer + lowercase text index
+    * (`/root/reference/app/services/qdrant_service.py:95`). */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** P7 — full-text match: ALL query tokens present in the word-token set. */
+  def matchText(text: Column, query: String): Column = {
+    val qTokens = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = wordTokens(text)
+    qTokens.map(t => array_contains(toks, t)).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Whitespace token count (training-pipeline token counting). */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword-regex token count: word pieces of <=4 chars, digits,
+    * punctuation runs — a deterministic stand-in for a real tokenizer's
+    * token count, computable at scan speed. */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(lower(text), "((?<=[a-z]{4})(?=[a-z])|[^a-z0-9]+)"),
+      t => length(t) > 0))
+
+  /** Quality score in [0,1]: mix of length, punctuation ratio, stopword
+    * ratio, mean word length (training-pipeline quality scoring). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = wordTokens(text)
+    val nToks = greatest(size(toks).cast("double"), lit(1.0))
+    val stops = Stopwords.map(lit(_))
+    val nStop = size(filter(toks, t => t.isin(stops: _*))).cast("double")
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val stopScore = least(nStop / nToks * lit(3.0), lit(1.0))
+    val punctPenalty = least(punct / greatest(nChars, lit(1.0)) * lit(5.0), lit(1.0))
+    round(lenScore * lit(0.4) + stopScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.2), 6)
+  }
+
+  /** English-ish stopwords used by qualityScore/langId (fixed, documented). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "this", "that", "be")
+
+  /** Document fingerprint: md5 of the lowercased text with all
+    * non-alphanumerics removed — content-defined exact-dup identity that is
+    * robust to whitespace/punctuation-only edits. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Character k-shingles of the normalized text, as a distinct array. */
+  def shingles(text: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(length(norm) - (k - 1), lit(0))),
+          i => norm.substr(i, lit(k))),
+        s => length(s) === k))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** TPC-H-style relational sanity set (SURVEY §2.8 #14): proves the
+  * join/agg/top-k core that VIA's J1-J4/A1-A8 compose from.
+  *
+  * Scale notes (100 TB thinking):
+  *  - q1: single hash-aggregate with map-side partials; one shuffle of
+  *    (flag,status) partial rows only — optimal.
+  *  - q3/q5: dimension sides (customer/nation/region/supplier at TPC-H
+  *    ratios) are broadcast-able; lineitem/orders carry the shuffle. We
+  *    broadcast explicitly where the side is provably small relative to the
+  *    fact table; AQE handles the rest at runtime.
+  */
+object Relational {
+
+  /** All money/avg outputs rounded so Spark-vs-DuckDB double summation
+    * order cannot flip the hash compare. */
+  def queries: Seq[QueryDef] = Seq(q1Agg, q3Topk, q5Join)
+
+  private val q1Agg = QueryDef(
+    "q1_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" < lit("2000-01-01").cast("timestamp_ntz"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_extendedprice"), 4).as("avg_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 4) AS avg_qty,
+        round(avg(l_extendedprice), 4) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '2000-01-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  private val q3Topk = QueryDef(
+    "q3_topk",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      val li = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp_ntz"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(20)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderpriority,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 20
+    """))
+
+  private val q5Join = QueryDef(
+    "q5_join",
+    (s, dir) => {
+      import s.implicits._
+      // region -> nation -> (customer, supplier) are tiny: broadcast the
+      // whole dimension subtree; only orders⋈lineitem shuffles.
+      val dims = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter($"r_name".isin("ASIA", "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+      val cust = Tables.customer(s, dir)
+        .join(dims, $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_nationkey", $"n_name")
+      val supp = Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_nationkey")
+      val ord = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      Tables.lineitem(s, dir)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some("""
+      SELECT n_name,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """))
+}
