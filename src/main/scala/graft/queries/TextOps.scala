@@ -1,6 +1,353 @@
 package graft.queries
 
-/** Training-data-pipeline text operators — filled in next. */
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators over `documents` (text ≡ corpus
+  * docs): dedup family, token counting, quality scoring, language ID,
+  * BM25 scoring. All pure `Column` expressions (codegen'd, no UDFs).
+  *
+  * Scale shape: per-doc ops are scan-parallel; pair-forming ops (Jaccard,
+  * LSH) go through explode → shuffle on the feature/bucket key → pair agg,
+  * which is the standard sub-quadratic dedup layout at 100 TB (pair count
+  * bounded by feature selectivity, never all-pairs).
+  */
 object TextOps {
-  def queries: Seq[QueryDef] = Seq()
+
+  def queries: Seq[QueryDef] = Seq(
+    dedupExact, tokenCount, qualityScoreQ, langId, jaccardPairs,
+    minhashSig, lshPairs, bm25Score)
+
+  /** Exact dedup by content fingerprint (md5 of lowercased alnum-only
+    * text): keeper = min doc_id per fingerprint. */
+  private val dedupExact = QueryDef(
+    "dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keeper_id")
+    },
+    Some("""
+      SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+        min(doc_id) AS keeper_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY keeper_id
+    """))
+
+  /** Token counting: whitespace tokens + a BPE-ish subword regex count
+    * (word pieces <=4 chars / digit runs / punctuation runs). */
+  private val tokenCount = QueryDef(
+    "token_count",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          tokenCountWs($"text").cast("long").as("n_ws"),
+          size(regexp_extract_all(lower($"text"),
+            lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
+            .cast("long").as("n_sub"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS n_ws,
+        CAST(len(regexp_extract_all(lower(text),
+          '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_sub
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** Quality scoring: blend of length, stopword ratio and punctuation
+    * penalty (deterministic arithmetic mirrored in the oracle). */
+  private val qualityScoreQ = QueryDef(
+    "quality_score",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+          len(text)::DOUBLE AS n_chars,
+          greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> len(t) > 0))::DOUBLE, 1.0) AS n_toks,
+          len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> list_contains([${Stopwords.map("'" + _ + "'").mkString(", ")}], t)))::DOUBLE AS n_stop,
+          len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
+        FROM documents)
+      SELECT doc_id,
+        round(least(n_chars / 500.0, 1.0) * 0.4
+          + least(n_stop / n_toks * 3.0, 1.0) * 0.4
+          + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.2,
+          6) AS quality
+      FROM f
+      ORDER BY doc_id
+    """))
+
+  /** Language ID: stopword-marker voting with a fixed tie-break order —
+    * the n-gram-heuristic family, deterministic on both engines. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"),
+    "zh" -> Seq("shi", "de", "le", "wo", "ni", "ta"))
+
+  private val langId = QueryDef(
+    "lang_id",
+    (s, dir) => {
+      import s.implicits._
+      val toks = wordTokens($"text")
+      val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, ms) =>
+        lang -> size(filter(toks, t => t.isin(ms.map(lit(_)): _*))).cast("long")
+      }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+        when(sc === best && best > 0, lang).otherwise(acc)
+      }
+      // foldRight gives first-match-wins in LangMarkers order
+      Tables.documents(s, dir)
+        .select($"doc_id" +: scores.map { case (l, c) => c.as(s"score_$l") }
+          :+ pred.as("pred_lang"): _*)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+      val scoreExprs = LangMarkers.map { case (lang, ms) =>
+        s"CAST(len(list_filter($toks, t -> list_contains([${ms.map("'" + _ + "'").mkString(", ")}], t))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n          ")
+      val bestExpr = "greatest(" + LangMarkers.map("score_" + _._1).mkString(", ") + ")"
+      val caseExpr = LangMarkers.map { case (lang, _) =>
+        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""
+      WITH sc AS (
+        SELECT doc_id,
+          $scoreExprs
+        FROM documents),
+      b AS (SELECT *, $bestExpr AS best FROM sc)
+      SELECT doc_id, ${LangMarkers.map("score_" + _._1).mkString(", ")},
+        CASE $caseExpr ELSE 'und' END AS pred_lang
+      FROM b
+      ORDER BY doc_id
+    """
+    })
+
+  /** N-gram Jaccard near-dup: word 4-grams as features, candidate pairs via
+    * shared grams (explode + self-join on the gram key — selective at any
+    * scale), exact Jaccard on distinct-gram sets, top-50. */
+  private val jaccardPairs = QueryDef(
+    "jaccard_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", explode(array_distinct(wordNgrams($"text", 4))).as("gram"))
+      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .select($"a_id", $"b_id",
+          round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jaccard"))
+        .orderBy($"jaccard".desc, $"a_id", $"b_id")
+        .limit(50)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(ts) - 2, 1)),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS gram
+        FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id,
+        round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON a_id = sa.doc_id
+      JOIN sizes sb ON b_id = sb.doc_id
+      ORDER BY jaccard DESC, a_id, b_id
+      LIMIT 50
+    """))
+
+  /** MinHash signatures: k=16 md5-salted min-hashes over 5-char shingles,
+    * banded 4x4 for LSH (signature per doc — the write-side of dedup). */
+  val MinhashK = 16
+  val BandSize = 4
+
+  private def minhashCols(text: Column): Seq[Column] = {
+    val sh = shingles(text, 5)
+    (0 until MinhashK).map { j =>
+      array_min(transform(sh, x => md5(concat(lit(s"$j:"), x))))
+    }
+  }
+
+  private def minhashSqlExprs: Seq[String] = {
+    val sh = "list_distinct(list_transform(range(1, greatest(len(norm) - 3, 1)), i -> substr(norm, i, 5)))"
+    (0 until MinhashK).map { j =>
+      s"list_min(list_transform($sh, x -> md5('$j:' || x)))"
+    }
+  }
+
+  private val minhashSig = QueryDef(
+    "minhash_sig",
+    (s, dir) => {
+      import s.implicits._
+      val mh = minhashCols($"text")
+      val bands = (0 until MinhashK / BandSize).map { b =>
+        md5(concat_ws("|", mh.slice(b * BandSize, (b + 1) * BandSize): _*))
+          .as(s"band_$b")
+      }
+      Tables.documents(s, dir)
+        .select($"doc_id" +: bands: _*)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val mh = minhashSqlExprs
+      val bands = (0 until MinhashK / BandSize).map { b =>
+        val parts = mh.slice(b * BandSize, (b + 1) * BandSize)
+        s"md5(${parts.mkString(" || '|' || ")}) AS band_$b"
+      }.mkString(",\n        ")
+      s"""
+      SELECT doc_id,
+        $bands
+      FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+            FROM documents)
+      ORDER BY doc_id
+    """
+    })
+
+  /** MinHash-LSH candidate pairs: docs sharing any band bucket. Empty on a
+    * corpus with no near-dups — the plan (explode bands → bucket self-join)
+    * is the scale path regardless. */
+  private val lshPairs = QueryDef(
+    "lsh_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val mh = minhashCols($"text")
+      val bandArr = array((0 until MinhashK / BandSize).map { b =>
+        md5(concat_ws("|", mh.slice(b * BandSize, (b + 1) * BandSize): _*))
+      }: _*)
+      val buckets = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+      buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      val mh = minhashSqlExprs
+      val bands = (0 until MinhashK / BandSize).map { b =>
+        val parts = mh.slice(b * BandSize, (b + 1) * BandSize)
+        s"(${b}, md5(${parts.mkString(" || '|' || ")}))"
+      }.mkString(", ")
+      s"""
+      WITH buckets AS (
+        SELECT doc_id, unnest([$bands]) AS band
+        FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+              FROM documents))
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.doc_id < b.doc_id
+      ORDER BY a_id, b_id
+    """
+    })
+
+  /** V4 — BM25 scoring of a fixed query against the corpus, with IDF from
+    * corpus stats (two tiny aggregates broadcast back over the scan).
+    * Reference: qdrant_service.py:23,80 (Qdrant/bm25 + IDF modifier). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val QueryTerms = Seq("filter", "window", "join")
+
+  private val bm25Score = QueryDef(
+    "bm25_score",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", wordTokens($"text").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").cast("double").as("dl"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg($"dl").as("avgdl"))
+      val withTf = QueryTerms.foldLeft(docs) { (df, t) =>
+        df.withColumn(s"tf_$t",
+          size(filter(col("toks"), x => x === t)).cast("double"))
+      }
+      val withIdf = QueryTerms.foldLeft(withTf.crossJoin(broadcast(n))) { (df, t) =>
+        df.withColumn(s"df_$t",
+          sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      }
+      val score = QueryTerms.map { t =>
+        val idf = log((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+        idf * (col(s"tf_$t") * (Bm25K1 + 1.0)) /
+          (col(s"tf_$t") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      withIdf
+        .select($"doc_id", round(score, 6).as("bm25"))
+        .filter($"bm25" > 0)
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(30)
+    },
+    Some {
+      val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+      val tfCols = QueryTerms.map(t =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_$t").mkString(",\n          ")
+      val dfCols = QueryTerms.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df_$t").mkString(",\n          ")
+      val scoreExpr = QueryTerms.map { t =>
+        s"""(ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+           * (tf_$t * (${Bm25K1} + 1.0))
+           / (tf_$t + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B} * dl / avgdl)))"""
+      }.mkString(" + ")
+      s"""
+      WITH d AS (
+        SELECT doc_id, $toks AS toks FROM documents),
+      d2 AS (
+        SELECT doc_id, len(toks)::DOUBLE AS dl,
+          $tfCols
+        FROM d),
+      st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d2),
+      d3 AS (
+        SELECT *,
+          $dfCols
+        FROM d2, st)
+      SELECT doc_id, round($scoreExpr, 6) AS bm25
+      FROM d3
+      WHERE round($scoreExpr, 6) > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 30
+    """
+    })
+
+  /** Word n-grams helper (space-joined) — used by jaccardPairs. */
+  private def wordNgrams(text: Column, n: Int): Column = {
+    val ts = wordTokens(text)
+    filter(
+      transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)),
+      g => size(split(g, " ")) === n)
+  }
 }

@@ -1,6 +1,169 @@
 package graft.queries
 
-/** Vector / similarity operators (SURVEY §2.5) — filled in next. */
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Vector / similarity operators (SURVEY §2.5) over the `embeddings` table
+  * (64-d float vectors ≡ Tier-2 dense vectors).
+  *
+  * Scale shape: every scoring op is scan → per-row codegen'd expression →
+  * TakeOrderedAndProject; no shuffle of vector data except the blocked
+  * near-dup self-join, which shuffles on the (label, block) key only.
+  * At 100 TB the exact top-k stays a single pass; the LSH/banding path in
+  * TextOps is the sub-linear variant.
+  */
 object VectorOps {
-  def queries: Seq[QueryDef] = Seq()
+
+  def queries: Seq[QueryDef] = Seq(cosineTopk, hammingTopk, recommend, neardupCosine)
+
+  /** Deterministic 64-d query vector (same literals on both engines). */
+  val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
+  private val QNorm: Double = math.sqrt(Q.map(x => x * x).sum)
+  private val QSql = "(" + Q.mkString("[", ", ", "]") + "::DOUBLE[])"
+
+  private def cosSql(vec: String, qv: String, qn: String): String =
+    s"""round(CASE WHEN nv * $qn = 0 THEN 0.0
+        ELSE list_sum(list_transform(range(1, 65), i -> $vec[i]::DOUBLE * $qv[i])) / (nv * $qn)
+        END, 6)"""
+
+  /** V1 — dense KNN: exact cosine scan + top-k.
+    * Reference: forensic_analysis_service.py:30-53. */
+  private val cosineTopk = QueryDef(
+    "cosine_topk",
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"label",
+          round(cosineToConst($"embedding", Q), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(20)
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT vec_id, label, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+        FROM embeddings)
+      SELECT vec_id, label, ${cosSql("embedding", QSql, QNorm.toString)} AS score
+      FROM sc
+      ORDER BY score DESC, vec_id
+      LIMIT 20
+    """))
+
+  /** V2 — binary quantization + Hamming KNN: sign-bit packing to one long
+    * ("64-bit fingerprints", here 63 bits for signed-positive parity),
+    * distance vs the vec_id=0 reference via bit_count(xor).
+    * Reference: qdrant_service.py:49-58. */
+  private val hammingTopk = QueryDef(
+    "hamming_topk",
+    (s, dir) => {
+      import s.implicits._
+      val packed = Tables.embeddings(s, dir)
+        .select($"vec_id", packSignBits63($"embedding").as("bits"))
+      val ref = packed.filter($"vec_id" === 0)
+        .select($"bits".as("ref_bits"))
+      packed.crossJoin(broadcast(ref))
+        .select($"vec_id", $"bits",
+          hamming($"bits", $"ref_bits").cast("long").as("hamming_dist"))
+        .orderBy($"hamming_dist", $"vec_id")
+        .limit(30)
+    },
+    Some("""
+      WITH packed AS (
+        SELECT vec_id,
+          CAST(list_sum(list_transform(range(63),
+            i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+                 ELSE 0 END)) AS BIGINT) AS bits
+        FROM embeddings),
+      ref AS (SELECT bits AS ref_bits FROM packed WHERE vec_id = 0)
+      SELECT vec_id, bits,
+        CAST(bit_count(xor(bits, ref_bits)) AS BIGINT) AS hamming_dist
+      FROM packed, ref
+      ORDER BY hamming_dist, vec_id
+      LIMIT 30
+    """))
+
+  /** V3 — recommend with positive/negative examples, Qdrant's documented
+    * average_vector strategy: q = avg(pos) + (avg(pos) - avg(neg)), then
+    * cosine top-k excluding the examples.
+    * Reference: forensic_analysis_service.py:75-96. */
+  val PosIds = Seq(1L, 5L, 9L)
+  val NegIds = Seq(2L, 4L)
+
+  private val recommend = QueryDef(
+    "recommend",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val pos = e.filter($"vec_id".isin(PosIds: _*))
+        .agg(avgVector($"embedding", 64).as("pv"))
+      val neg = e.filter($"vec_id".isin(NegIds: _*))
+        .agg(avgVector($"embedding", 64).as("nv"))
+      val q = pos.crossJoin(neg)
+        .select(zip_with($"pv", $"nv", (p, n) => p * 2.0 - n).as("qv"))
+      e.filter(!$"vec_id".isin((PosIds ++ NegIds): _*))
+        .crossJoin(broadcast(q))
+        .select($"vec_id", $"label",
+          round(cosine($"embedding", $"qv"), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(20)
+    },
+    Some(s"""
+      WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      pos AS (
+        SELECT i, avg(embedding[i]::DOUBLE) AS p FROM embeddings, dims
+        WHERE vec_id IN (${PosIds.mkString(", ")}) GROUP BY i),
+      neg AS (
+        SELECT i, avg(embedding[i]::DOUBLE) AS n FROM embeddings, dims
+        WHERE vec_id IN (${NegIds.mkString(", ")}) GROUP BY i),
+      q AS (SELECT list(p * 2.0 - n ORDER BY i) AS qv FROM pos JOIN neg USING (i)),
+      sc AS (
+        SELECT vec_id, label, embedding, qv,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv,
+          sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+        FROM embeddings, q
+        WHERE vec_id NOT IN (${(PosIds ++ NegIds).mkString(", ")}))
+      SELECT vec_id, label,
+        round(CASE WHEN nv * nq = 0 THEN 0.0
+          ELSE list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * qv[i])) / (nv * nq)
+          END, 6) AS score
+      FROM sc
+      ORDER BY score DESC, vec_id
+      LIMIT 20
+    """))
+
+  /** Embedding-cosine near-dup (training-pipeline op): blocked self-join
+    * (same label, vec_id distance <= 50) → pairwise cosine → top-50. The
+    * block key bounds the pair count linearly in corpus size. */
+  private val neardupCosine = QueryDef(
+    "neardup_cosine",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("b_id"), $"label".as("lb"), $"embedding".as("eb"))
+      a.join(b, $"label" === $"lb" && $"a_id" < $"b_id" && $"b_id" - $"a_id" <= 50)
+        .select($"a_id", $"b_id", round(cosine($"ea", $"eb"), 6).as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"a_id", $"b_id")
+        .limit(50)
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+          AND b.vec_id - a.vec_id <= 50),
+      sc AS (
+        SELECT a_id, b_id,
+          list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * eb[i]::DOUBLE)) AS d,
+          sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE))) AS na,
+          sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE))) AS nb
+        FROM pairs)
+      SELECT a_id, b_id,
+        round(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 6) AS cos_sim
+      FROM sc
+      ORDER BY cos_sim DESC, a_id, b_id
+      LIMIT 50
+    """))
 }
