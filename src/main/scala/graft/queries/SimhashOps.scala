@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{GraftFunctions, Tables}
+import graft.functions.TextFunctions.shingles
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SimHash operators: the native-expression fingerprint (P3, the Tier-1
+  * identity vector) and a SimHash near-dup dedup pass (training-pipeline
+  * dedup family).
+  *
+  * `simhash_dedup` uses a 60-bit Column-expression variant of the hash
+  * (distinct 4-shingles, first 15 hex chars of md5 per shingle) precisely
+  * so the SAME math is expressible in the DuckDB oracle — the native
+  * `Simhash64` expression is golden-file-tested instead (md5-low-64 with
+  * multiplicity weights is not practical in portable SQL).
+  *
+  * Scale shape: signature computation is scan-parallel; the dedup join is
+  * banded LSH (explode 4 bands → shuffle on the band key → pair join), so
+  * pair count is bounded by band-bucket collisions, never all-pairs — the
+  * standard 100 TB simhash-dedup layout.
+  */
+object SimhashOps {
+
+  def queries: Seq[QueryDef] = Seq(simhashFp, simhashDedup)
+
+  /** Bits of the oracle-parity hash (15 hex chars — keeps values in signed
+    * positive range on both engines). */
+  val Bits = 60
+  val Bands = 4
+  val BandBits: Int = Bits / Bands // 15
+  val BandMask: Long = (1L << BandBits) - 1
+  val HammingMax = 20
+
+  /** P3 — native `simhash64` fingerprint per document (no SQL oracle:
+    * rows-only check here, exact values pinned by SimhashSpec goldens). */
+  private val simhashFp = QueryDef(
+    "simhash_fp",
+    (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select($"doc_id", GraftFunctions.simhash64($"text").as("sh64"))
+        .orderBy($"doc_id")
+    },
+    None)
+
+  /** 60-bit simhash signature from distinct 4-shingles (Column exprs). */
+  private def simhash60(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val hashed = docs.select(
+      $"doc_id",
+      transform(shingles($"text", 4),
+        sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long")).as("hs"))
+      .select($"doc_id", $"hs", size($"hs").as("n"))
+    val sig = (0 until Bits).map { b =>
+      when(size(filter($"hs", h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)) * 2 > $"n",
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.select($"doc_id", sig.as("sh"))
+  }
+
+  /** SQL mirror of [[simhash60]] — term-for-term the same arithmetic. */
+  private def simhash60Sql: String = {
+    val sgs = "list_distinct(list_filter(list_transform(" +
+      "range(1, greatest(len(norm) - 2, 1)), i -> substr(norm, i, 4)), s -> len(s) = 4))"
+    val terms = (0 until Bits).map { b =>
+      s"CASE WHEN 2 * len(list_filter(hs, x -> (x >> $b) & 1 = 1)) > n THEN (1::BIGINT << $b) ELSE 0 END"
+    }.mkString("\n          + ")
+    s"""
+      WITH d AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      sh AS (SELECT doc_id, $sgs AS sgs FROM d),
+      h AS (
+        SELECT doc_id,
+          list_transform(sgs, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs,
+          len(sgs) AS n
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+          $terms AS sh
+        FROM h)"""
+  }
+
+  /** SimHash near-dup dedup: banded LSH candidates (4x15-bit bands) →
+    * exact hamming <= [[HammingMax]] → sorted pair list. */
+  private val simhashDedup = QueryDef(
+    "simhash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val sig = simhash60(Tables.documents(s, dir))
+      val bandKeys = array((0 until Bands).map { j =>
+        lit(j.toLong << BandBits).bitwiseOR(
+          shiftright($"sh", j * BandBits).bitwiseAND(lit(BandMask)))
+      }: _*)
+      val bands = sig.select($"doc_id", $"sh", explode(bandKeys).as("bk"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= HammingMax)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      val bandExprs = (0 until Bands).map { j =>
+        s"(${j}::BIGINT << $BandBits) | ((sh >> ${j * BandBits}) & $BandMask)"
+      }.mkString(", ")
+      s"""$simhash60Sql,
+      bands AS (SELECT doc_id, sh, unnest([$bandExprs]) AS bk FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, hamming
+      FROM pairs
+      WHERE hamming <= $HammingMax
+      ORDER BY a_id, b_id
+    """
+    })
+}

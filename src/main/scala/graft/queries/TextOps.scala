@@ -148,8 +148,11 @@ object TextOps {
     "jaccard_pairs",
     (s, dir) => {
       import s.implicits._
+      // cached: consumed three times (sizes + both self-join sides); at
+      // warehouse scale this is a materialized doc→gram feature table
       val grams = Tables.documents(s, dir)
         .select($"doc_id", explode(array_distinct(wordNgrams($"text", 4))).as("gram"))
+        .cache()
       val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a")
         .join(grams.as("b"),
@@ -188,66 +191,86 @@ object TextOps {
       LIMIT 50
     """))
 
-  /** MinHash signatures: k=16 md5-salted min-hashes over 5-char shingles,
-    * banded 4x4 for LSH (signature per doc — the write-side of dedup). */
+  /** MinHash signatures: k=16 min-hashes over 5-char shingles, banded 4x4
+    * for LSH (signature per doc — the write-side of dedup).
+    *
+    * One md5 per shingle (28-bit base hash), then k affine permutations
+    * `(a_j*h + b_j) mod P` (P = 2^31-1) — the standard trick that makes
+    * signature cost O(shingles + k) instead of O(shingles * k) digests.
+    * Constants come from a fixed seed so the DuckDB mirror is generated
+    * from the same values. */
   val MinhashK = 16
   val BandSize = 4
-
-  private def minhashCols(text: Column): Seq[Column] = {
-    val sh = shingles(text, 5)
-    (0 until MinhashK).map { j =>
-      array_min(transform(sh, x => md5(concat(lit(s"$j:"), x))))
-    }
+  private val P = 2147483647L // 2^31 - 1 (prime); 28-bit base hash keeps a*h in range
+  private val (permA, permB) = {
+    val rng = new scala.util.Random(7)
+    val a = Seq.fill(MinhashK)(1L + rng.nextInt(Int.MaxValue - 1).toLong)
+    val b = Seq.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong)
+    (a, b)
   }
 
-  private def minhashSqlExprs: Seq[String] = {
-    val sh = "list_distinct(list_transform(range(1, greatest(len(norm) - 3, 1)), i -> substr(norm, i, 5)))"
-    (0 until MinhashK).map { j =>
-      s"list_min(list_transform($sh, x -> md5('$j:' || x)))"
-    }
-  }
+  /** Base 28-bit hash per distinct 5-shingle, as an array column. */
+  private def baseHashes(text: Column): Column =
+    transform(shingles(text, 5),
+      x => conv(substring(md5(x), 1, 7), 16, 10).cast("long"))
+
+  private def minhashFrom(hs: Column, j: Int): Column =
+    array_min(transform(hs, h => (lit(permA(j)) * h + lit(permB(j))) % P))
+
+  private def bandCol(hs: Column, b: Int): Column =
+    concat_ws("|", (b * BandSize until (b + 1) * BandSize)
+      .map(j => minhashFrom(hs, j)): _*)
+
+  private val baseHashesSql =
+    "list_transform(list_distinct(list_filter(list_transform(" +
+      "range(1, greatest(len(norm) - 3, 1)), i -> substr(norm, i, 5)), " +
+      "s -> len(s) = 5)), x -> ('0x' || substr(md5(x), 1, 7))::BIGINT)"
+
+  private def minhashSql(j: Int): String =
+    s"CAST(list_min(list_transform(hs, h -> (${permA(j)} * h + ${permB(j)}) % $P)) AS VARCHAR)"
+
+  private def bandSql(b: Int): String =
+    (b * BandSize until (b + 1) * BandSize).map(minhashSql).mkString(" || '|' || ")
 
   private val minhashSig = QueryDef(
     "minhash_sig",
     (s, dir) => {
       import s.implicits._
-      val mh = minhashCols($"text")
-      val bands = (0 until MinhashK / BandSize).map { b =>
-        md5(concat_ws("|", mh.slice(b * BandSize, (b + 1) * BandSize): _*))
-          .as(s"band_$b")
-      }
-      Tables.documents(s, dir)
-        .select($"doc_id" +: bands: _*)
+      val withHs = Tables.documents(s, dir)
+        .select($"doc_id", baseHashes($"text").as("hs"))
+      withHs.select($"doc_id" +:
+        (0 until MinhashK / BandSize).map(b => bandCol($"hs", b).as(s"band_$b")): _*)
         .orderBy($"doc_id")
     },
     Some {
-      val mh = minhashSqlExprs
-      val bands = (0 until MinhashK / BandSize).map { b =>
-        val parts = mh.slice(b * BandSize, (b + 1) * BandSize)
-        s"md5(${parts.mkString(" || '|' || ")}) AS band_$b"
-      }.mkString(",\n        ")
+      val bands = (0 until MinhashK / BandSize)
+        .map(b => s"${bandSql(b)} AS band_$b").mkString(",\n        ")
       s"""
+      WITH h AS (
+        SELECT doc_id, $baseHashesSql AS hs
+        FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+              FROM documents))
       SELECT doc_id,
         $bands
-      FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
-            FROM documents)
+      FROM h
       ORDER BY doc_id
     """
     })
 
-  /** MinHash-LSH candidate pairs: docs sharing any band bucket. Empty on a
-    * corpus with no near-dups — the plan (explode bands → bucket self-join)
-    * is the scale path regardless. */
+  /** MinHash-LSH candidate pairs: docs sharing any band bucket — explode
+    * bands → shuffle on the bucket key → pair join. The signature relation
+    * is cached before the self-join (at warehouse scale it would be a
+    * materialized signature table) so minhashing runs once, not per side. */
   private val lshPairs = QueryDef(
     "lsh_pairs",
     (s, dir) => {
       import s.implicits._
-      val mh = minhashCols($"text")
-      val bandArr = array((0 until MinhashK / BandSize).map { b =>
-        md5(concat_ws("|", mh.slice(b * BandSize, (b + 1) * BandSize): _*))
-      }: _*)
-      val buckets = Tables.documents(s, dir)
+      val withHs = Tables.documents(s, dir)
+        .select($"doc_id", baseHashes($"text").as("hs"))
+      val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"hs", b)): _*)
+      val buckets = withHs
         .select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+        .cache()
       buckets.as("a")
         .join(buckets.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -258,16 +281,14 @@ object TextOps {
         .orderBy($"a_id", $"b_id")
     },
     Some {
-      val mh = minhashSqlExprs
-      val bands = (0 until MinhashK / BandSize).map { b =>
-        val parts = mh.slice(b * BandSize, (b + 1) * BandSize)
-        s"(${b}, md5(${parts.mkString(" || '|' || ")}))"
-      }.mkString(", ")
+      val bands = (0 until MinhashK / BandSize)
+        .map(b => s"(${b}, ${bandSql(b)})").mkString(", ")
       s"""
-      WITH buckets AS (
-        SELECT doc_id, unnest([$bands]) AS band
+      WITH h AS (
+        SELECT doc_id, $baseHashesSql AS hs
         FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
-              FROM documents))
+              FROM documents)),
+      buckets AS (SELECT doc_id, unnest([$bands]) AS band FROM h)
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.doc_id < b.doc_id
@@ -289,17 +310,19 @@ object TextOps {
       val docs = Tables.documents(s, dir)
         .select($"doc_id", wordTokens($"text").as("toks"))
         .select($"doc_id", $"toks", size($"toks").cast("double").as("dl"))
-      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg($"dl").as("avgdl"))
       val withTf = QueryTerms.foldLeft(docs) { (df, t) =>
         df.withColumn(s"tf_$t",
           size(filter(col("toks"), x => x === t)).cast("double"))
       }
-      val withIdf = QueryTerms.foldLeft(withTf.crossJoin(broadcast(n))) { (df, t) =>
-        df.withColumn(s"df_$t",
-          sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      }
+      // Corpus stats (N, avgdl, per-term df) as ONE partial-aggregated pass
+      // broadcast back over the scan — never a global window (which would
+      // funnel the corpus through a single partition at scale).
+      val stats = withTf.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg($"dl").as("avgdl") +:
+          QueryTerms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+      val withIdf = withTf.crossJoin(broadcast(stats))
       val score = QueryTerms.map { t =>
         val idf = log((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
         idf * (col(s"tf_$t") * (Bm25K1 + 1.0)) /

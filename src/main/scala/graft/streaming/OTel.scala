@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OTel-JSON log shape and the flattening projection (P4/P5).
+  *
+  * Reference walk (`/root/reference/app/services/ingestion_service.py:44-53`):
+  * `resourceLogs[0]` → resource attrs (`service.name`), `scopeLogs[0]` →
+  * `logRecords[0]` → `severityText`, `timeUnixNano` (string nanos → epoch
+  * seconds), `body.stringValue`; malformed records are skipped (`:69-71`).
+  * Producer shape: `/root/reference/generate_logs.py:61-79`.
+  */
+object OTel {
+
+  /** attributes: [{key, value: {stringValue|intValue|...}}] — only the
+    * string arm is projected; other arms parse as null (PERMISSIVE). */
+  private val attr = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("intValue", LongType))))))
+
+  private val logRecord = StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("traceId", StringType),
+    StructField("spanId", StringType),
+    StructField("severityNumber", LongType),
+    StructField("severityText", StringType),
+    StructField("body", StructType(Seq(StructField("stringValue", StringType)))),
+    StructField("attributes", ArrayType(attr))))
+
+  val schema: StructType = StructType(Seq(
+    StructField("resourceLogs", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(
+        StructField("attributes", ArrayType(attr))))),
+      StructField("scopeLogs", ArrayType(StructType(Seq(
+        StructField("logRecords", ArrayType(logRecord))))))))))))
+
+  /** Lookup `service.name` in a resource-attribute array column. */
+  private def serviceName(attrs: Column): Column =
+    element_at(filter(attrs, a => a.getField("key") === "service.name"), 1)
+      .getField("value").getField("stringValue")
+
+  /** Flatten a DataFrame with an OTel `resourceLogs` column into the
+    * canonical log columns. Mirrors the reference's first-element walk; a
+    * producer batching several records per envelope would use
+    * `explode(resourceLogs)` instead — the reference emits one per record.
+    *
+    * Output: service, severity, ts_sec (LONG epoch s), body — malformed
+    * rows (no parseable timestamp or body) are dropped, like the
+    * reference's try/except-continue.
+    */
+  def flatten(raw: DataFrame): DataFrame = {
+    val rl = element_at(col("resourceLogs"), 1)
+    val rec = element_at(element_at(rl.getField("scopeLogs"), 1)
+      .getField("logRecords"), 1)
+    raw.select(
+      coalesce(serviceName(rl.getField("resource").getField("attributes")),
+        lit("unknown")).as("service"),
+      coalesce(rec.getField("severityText"), lit("INFO")).as("severity"),
+      (rec.getField("timeUnixNano").cast("long") / lit(1000000000L))
+        .cast("long").as("ts_sec"),
+      rec.getField("body").getField("stringValue").as("body"))
+      .filter(col("ts_sec").isNotNull && col("body").isNotNull)
+  }
+
+  /** Parse a column of raw OTel JSON strings then flatten. */
+  def parseJson(lines: DataFrame, jsonCol: String = "value"): DataFrame =
+    flatten(lines.select(from_json(col(jsonCol), schema).as("o"))
+      .select(col("o.resourceLogs").as("resourceLogs")))
+}
