@@ -1,0 +1,62 @@
+package graft.analysis
+
+import graft.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** T5/A4 — promotion of detected anomalies to the permanent Tier-2
+  * forensic store.
+  *
+  * Reference (`/root/reference/app/services/promotion_service.py:14-53`):
+  * anomalies are clustered per rhythm hash → `start_ts=min(ts)`,
+  * `end_ts=max(ts)`, `count`, representative body/service/severity from
+  * the earliest point (`:29-44`), first 5 raw logs kept as samples
+  * (`:45`), then dense+sparse embedded and upserted into the daily
+  * collection of `start_ts`'s day (`qdrant_service.py:112-135`).
+  *
+  * Spark: one groupBy (single shuffle of pre-aggregated partials — min_by
+  * and the slice(sort_array(collect_list)) sample cap are all partial-
+  * aggregable), embedding is a codegen'd expression, and "daily
+  * collection" ≡ `dt` partition of one parquet/Delta table.
+  */
+object Promoter {
+
+  val SampleLogs = 5
+
+  /** @param anomalies columns: rhythm_hash, anomaly_type, n, baseline_mean
+    * @param points    Tier-1 rows for the analysis window (rhythm_hash,
+    *                  ts_sec, service, severity, body)
+    */
+  def rollup(anomalies: DataFrame, points: DataFrame): DataFrame = {
+    val joined = points.join(anomalies, "rhythm_hash")
+    val spark = points.sparkSession
+    GraftFunctions.register(spark)
+    joined
+      .groupBy(col("rhythm_hash"), col("anomaly_type"), col("baseline_mean"))
+      .agg(
+        min(col("ts_sec")).as("start_ts"),
+        max(col("ts_sec")).as("end_ts"),
+        count(lit(1)).as("count"),
+        min_by(col("service"), col("ts_sec")).as("service"),
+        min_by(col("severity"), col("ts_sec")).as("severity"),
+        min_by(col("body"), col("ts_sec")).as("body"),
+        slice(sort_array(collect_list(struct(col("ts_sec"), col("body")))),
+          1, SampleLogs).as("sample_logs"))
+      .select(
+        lit("event_cluster").as("entity_type"),
+        col("rhythm_hash"), col("anomaly_type"),
+        concat(lit("count="), col("count"),
+          when(col("baseline_mean").isNotNull,
+            concat(lit(" baseline="), col("baseline_mean"))).otherwise(lit("")))
+          .as("anomaly_context"),
+        col("start_ts"), col("end_ts"), col("count"),
+        col("service"), col("severity"), col("body"), col("sample_logs"),
+        GraftFunctions.embedText(col("body")).as("dense"),
+        to_date(from_unixtime(col("start_ts"))).as("dt"))
+  }
+
+  /** Append promoted clusters to the Tier-2 store (day-partitioned). */
+  def promote(anomalies: DataFrame, points: DataFrame, tier2Path: String): Unit =
+    rollup(anomalies, points)
+      .write.mode("append").partitionBy("dt").parquet(tier2Path)
+}

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object RhythmAnalyzer {
 
-  /** @param ev columns: rhythm_hash STRING, ts_sec LONG, event_id LONG
+  /** @param ev columns: rhythm_hash STRING, ts_sec LONG (+ optional
+    *        tie-break column for a fully deterministic baseline sample)
     * @return rhythm_hash, anomaly_type ('novelty'|'frequency'), n,
     *         baseline_mean (null for novelty)
     */
@@ -36,14 +37,16 @@ object RhythmAnalyzer {
       noveltyMinCount: Int = 2,
       freqMinCount: Int = 3,
       freqSigma: Double = 2.5,
-      stdFloor: Double = 1.5): DataFrame = {
+      stdFloor: Double = 1.5,
+      tieBreakCol: Option[String] = None): DataFrame = {
     import ev.sparkSession.implicits._
 
     val recent = ev.filter($"ts_sec" >= windowStart)
       .groupBy($"rhythm_hash").agg(count(lit(1)).as("n"))
 
+    val baseOrder = $"ts_sec".desc +: tieBreakCol.map(col(_).desc).toSeq
     val baseSample = ev.filter($"ts_sec" < windowStart)
-      .orderBy($"ts_sec".desc, $"event_id".desc)
+      .orderBy(baseOrder: _*)
       .limit(histSample)
       .cache() // two consumers (span + per-hash counts); sample is <=10k rows
 

@@ -41,7 +41,7 @@ object AnomalyOps {
         windowStart = WindowStart, windowSec = WindowSec,
         histSample = HistSample, noveltyMinCount = NoveltyMinCount,
         freqMinCount = FreqMinCount, freqSigma = FreqSigma,
-        stdFloor = StdFloor)
+        stdFloor = StdFloor, tieBreakCol = Some("event_id"))
         .orderBy($"anomaly_type", $"rhythm_hash")
     },
     Some(s"""

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.analysis.{Promoter, RhythmAnalyzer}
+import graft.control.Rules
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** T2/T3/T7 — the 60-second analysis loop: detect rhythm anomalies over
+  * the Tier-1 store, enforce control rules, promote clusters to Tier-2.
+  *
+  * Reference (`/root/reference/app/worker.py:13-36` →
+  * `rhythm_analysis_service.py:66-108` → `promotion_service.py:14-53`):
+  * an asyncio task every `ANALYSIS_INTERVAL_SEC=60` analyzes the last 60 s
+  * against a 10k-point historical sample; errors are logged and the loop
+  * continues.
+  *
+  * Spark: each trigger is ONE batch plan over the Tier-1 table — exactly
+  * what the reference does via two Qdrant scrolls, but with partition
+  * pruning on `dt` and Parquet ts min/max instead of payload indexes. The
+  * rolling baseline stays a batch top-k per trigger (SURVEY §7.5.5) rather
+  * than keyed streaming state: the reference re-reads history every cycle,
+  * and a 10k-row TakeOrdered over a pruned day range is cheap at any SF.
+  */
+object AnalysisJob {
+
+  /** One analysis cycle (the body of the 60 s loop, also the
+    * `POST /analysis/tier1/rhythm_anomalies` semantics). Returns the
+    * promoted clusters (possibly empty). */
+  def runOnce(
+      spark: SparkSession,
+      tier1Path: String,
+      tier2Path: String,
+      rules: Rules,
+      nowSec: Long,
+      windowSec: Long = 60): DataFrame = {
+    val t1 = spark.read.parquet(tier1Path)
+    val windowStart = nowSec - windowSec
+    val anomalies = rules.enforce(
+      RhythmAnalyzer.detect(t1, windowStart, windowSec.toDouble), nowSec)
+    val recentPoints = t1.filter(col("ts_sec") >= windowStart)
+    val clusters = Promoter.rollup(anomalies, recentPoints)
+    if (!clusters.isEmpty) {
+      clusters.write.mode("append").partitionBy("dt").parquet(tier2Path)
+    }
+    clusters
+  }
+
+  /** Continuous mode: a rate-source heartbeat triggers [[runOnce]] per
+    * interval via foreachBatch — the Structured Streaming analogue of the
+    * reference's background worker (errors logged, loop continues,
+    * `worker.py:29-34`). The clock is derived from wall time here; tests
+    * use [[runOnce]] with an injected clock. */
+  def start(
+      spark: SparkSession,
+      tier1Path: String,
+      tier2Path: String,
+      rules: Rules,
+      intervalSec: Long = 60): StreamingQuery = {
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(intervalSec * 1000))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        try {
+          runOnce(spark, tier1Path, tier2Path, rules,
+            System.currentTimeMillis() / 1000, intervalSec)
+          ()
+        } catch {
+          case e: Exception =>
+            // reference behavior: log and keep the loop alive (worker.py:32-34)
+            System.err.println(s"[analysis] cycle failed: ${e.getMessage}")
+        }
+      }
+      .start()
+  }
+}
