@@ -52,9 +52,12 @@ object VectorFunctions {
     * engine's "binary quantization": exact, 8 bytes/vector, always-RAM —
     * the Spark analogue of Tier-1's 64-bit fingerprints. 63 bits keeps the
     * value in signed-positive range for cross-engine (DuckDB) parity. */
-  def packSignBits63(v: Column): Column =
+  def packSignBits63(v: Column): Column = packSignBits(v, 63)
+
+  /** Sign-bit packing of the first `bits` dims (LSH bucket key when small). */
+  def packSignBits(v: Column, bits: Int): Column =
     aggregate(
-      zip_with(slice(v, 1, 63), sequence(lit(0), lit(62)),
+      zip_with(slice(v, 1, bits), sequence(lit(0), lit(bits - 1)),
         // 2^i via pow is exact for i <= 62 (powers of two are exact doubles)
         (x, i) => when(x > 0.0f, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)

@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample transforms.
+  *
+  * The Spark-side plumbing is real and tested — schemas, partition-local
+  * batch iteration (`mapPartitions` with one decoder instance per
+  * partition, the pattern a JNI codec or ONNX runtime needs), explode
+  * shapes, and partitioning. The byte-level DECODE step is a clearly
+  * marked deterministic STUB (this container ships no image/audio codecs):
+  * `StubCodec` derives stable pseudo-content from the payload bytes, so
+  * every downstream operator (resize, features, dedup over frames) runs
+  * against real data flow with reproducible values.
+  *
+  * Scale shape: all transforms are narrow (scan → mapPartitions/project);
+  * frame sampling explodes rows but stays partition-local. At 100 TB the
+  * only tuning is `spark.sql.files.maxPartitionBytes` vs decoded-frame
+  * memory — no shuffles are introduced here.
+  */
+object MediaOps {
+
+  case class MediaMeta(width: Int, height: Int, sampleRate: Int,
+      nFrames: Int, format: String)
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+      meta: MediaMeta)
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+      pixels: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, pixels: Array[Float])
+
+  /** ======= STUB CODEC =======
+    * Stands in for libjpeg/ffmpeg/soundfile: expands payload bytes into
+    * deterministic "pixel" data. Replace `decodeBytes` with a real codec
+    * binding in production; every signature stays identical. */
+  object StubCodec {
+    def decodeBytes(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+      val out = new Array[Float](w * h)
+      var acc = 0x811c9dc5 // FNV-1a over the payload drives the fake pixels
+      var i = 0
+      while (i < out.length) {
+        val b = if (bytes.nonEmpty) bytes(i % bytes.length) else 0
+        acc = (acc ^ (b & 0xff)) * 0x01000193
+        out(i) = ((acc >>> 8) & 0xff) / 255f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic fixture table (seeded payload bytes per id). */
+  def fixture(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(partitions).map { id =>
+      val kind = Seq("image", "audio", "video")(id.toInt % 3)
+      val rnd = new scala.util.Random(id)
+      val bytes = Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt().toByte)
+      val meta = kind match {
+        case "image" => MediaMeta(16, 16, 0, 1, "png")
+        case "audio" => MediaMeta(0, 0, 16000, 1, "wav")
+        case _ => MediaMeta(16, 16, 0, 8, "mp4")
+      }
+      MediaRow(id, kind, bytes, meta)
+    }
+  }
+
+  /** Decode images: one codec instance per PARTITION (not per row) — the
+    * batch shape a real decoder needs. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      // real codec: init once here (expensive), reuse across the iterator
+      rows.map { r =>
+        DecodedImage(r.media_id, r.meta.width, r.meta.height,
+          StubCodec.decodeBytes(r.bytes, r.meta.width, r.meta.height))
+      }
+    }
+  }
+
+  /** Nearest-neighbour resize over decoded pixel arrays (pure Spark-side
+    * math — NOT stubbed). */
+  def resize(images: Dataset[DecodedImage], ow: Int, oh: Int): Dataset[DecodedImage] = {
+    import images.sparkSession.implicits._
+    images.map { img =>
+      val out = new Array[Float](ow * oh)
+      var y = 0
+      while (y < oh) {
+        val sy = y * img.height / oh
+        var x = 0
+        while (x < ow) {
+          out(y * ow + x) = img.pixels(sy * img.width + x * img.width / ow)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(img.media_id, ow, oh, out)
+    }
+  }
+
+  /** Sample every `everyN`-th frame of videos (explode shape: one row per
+    * kept frame, partition-local). */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      (0 until r.meta.nFrames by everyN).map { f =>
+        // real codec: seek+decode frame f; stub varies content by frame index
+        Frame(r.media_id, f,
+          StubCodec.decodeBytes(r.bytes :+ f.toByte, r.meta.width, r.meta.height))
+      }
+    }
+  }
+
+  /** Feature extraction: mean/std/edge-energy per decoded image — the
+    * hand-off row shape for an embedding model (runs on real pixel data,
+    * deterministic given the stub decode). */
+  def imageFeatures(images: Dataset[DecodedImage]): DataFrame = {
+    import images.sparkSession.implicits._
+    images.map { img =>
+      val n = img.pixels.length.max(1)
+      val mean = img.pixels.sum / n
+      val variance = img.pixels.map(p => (p - mean) * (p - mean)).sum / n
+      var edge = 0f
+      var i = 1
+      while (i < img.pixels.length) {
+        edge += math.abs(img.pixels(i) - img.pixels(i - 1)); i += 1
+      }
+      (img.media_id, mean, math.sqrt(variance).toFloat, edge / n)
+    }.toDF("media_id", "px_mean", "px_std", "edge_energy")
+  }
+}

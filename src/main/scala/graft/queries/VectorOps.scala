@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  def queries: Seq[QueryDef] = Seq(cosineTopk, hammingTopk, recommend, neardupCosine)
+  def queries: Seq[QueryDef] =
+    Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -131,6 +132,51 @@ object VectorOps {
       ORDER BY score DESC, vec_id
       LIMIT 20
     """))
+
+  /** ANN top-k — the scale path for V1: sign-bit hyperplane LSH bucketing
+    * (first [[AnnBits]] dims) with 1-bit multi-probe, exact cosine only
+    * inside the probed buckets. At 100 TB the bucket column is computed at
+    * write time and the probe predicate prunes the scan to
+    * (1+bits)/2^bits of the corpus (~3.5% here) before any vector math;
+    * brute-force `cosine_topk` above is the recall-100 baseline. */
+  val AnnBits = 8
+  val AnnK = 10
+
+  private val annLsh = QueryDef(
+    "ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val qBucket = (0 until AnnBits)
+        .foldLeft(0L)((acc, i) => if (Q(i) > 0) acc | (1L << i) else acc)
+      val probes = qBucket +: (0 until AnnBits).map(b => qBucket ^ (1L << b))
+      Tables.embeddings(s, dir)
+        .withColumn("bucket", packSignBits($"embedding", AnnBits))
+        .filter($"bucket".isin(probes: _*))
+        .select($"vec_id", $"label",
+          round(cosineToConst($"embedding", Q), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(AnnK)
+    },
+    Some {
+      val qBucket = (0 until AnnBits)
+        .foldLeft(0L)((acc, i) => if (Q(i) > 0) acc | (1L << i) else acc)
+      val probes = (qBucket +: (0 until AnnBits).map(b => qBucket ^ (1L << b)))
+        .mkString(", ")
+      s"""
+      WITH bk AS (
+        SELECT vec_id, label, embedding,
+          CAST(list_sum(list_transform(range($AnnBits),
+            i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+                 ELSE 0 END)) AS BIGINT) AS bucket,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+        FROM embeddings)
+      SELECT vec_id, label, ${cosSql("embedding", QSql, QNorm.toString)} AS score
+      FROM bk
+      WHERE bucket IN ($probes)
+      ORDER BY score DESC, vec_id
+      LIMIT $AnnK
+    """
+    })
 
   /** Embedding-cosine near-dup (training-pipeline op): blocked self-join
     * (same label, vec_id distance <= 50) → pairwise cosine → top-50. The

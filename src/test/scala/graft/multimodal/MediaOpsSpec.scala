@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.MediaOps._
+
+class MediaOpsSpec extends SparkSpec {
+
+  test("fixture schema and binary column survive a parquet roundtrip") {
+    import spark.implicits._
+    val m = fixture(spark, 12)
+    assert(m.schema("bytes").dataType.typeName == "binary")
+    val tmp = java.nio.file.Files.createTempDirectory("media").toString + "/t"
+    m.write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp).as[MediaRow]
+    assert(back.count() == 12)
+    val orig = m.collect().map(r => r.media_id -> r.bytes.toSeq).toMap
+    back.collect().foreach(r => assert(r.bytes.toSeq == orig(r.media_id)))
+  }
+
+  test("decode is deterministic and partition-count-invariant") {
+    val a = decodeImages(fixture(spark, 9, partitions = 1)).collect()
+      .map(d => d.media_id -> d.pixels.toSeq).toMap
+    val b = decodeImages(fixture(spark, 9, partitions = 4)).collect()
+      .map(d => d.media_id -> d.pixels.toSeq).toMap
+    assert(a == b, "decode output must not depend on partitioning")
+    assert(a.values.forall(_.length == 16 * 16))
+  }
+
+  test("resize produces the target geometry from real decoded data") {
+    val small = resize(decodeImages(fixture(spark, 6)), 4, 4).collect()
+    assert(small.forall(i => i.width == 4 && i.pixels.length == 16))
+    // resize is pure: pixel values come from the decoded source
+    val src = decodeImages(fixture(spark, 6)).collect()
+      .map(d => d.media_id -> d.pixels).toMap
+    small.foreach { s =>
+      assert(s.pixels.toSet.subsetOf(src(s.media_id).toSet)) }
+  }
+
+  test("frame sampling explodes every Nth frame per video") {
+    import spark.implicits._
+    val frames = sampleFrames(fixture(spark, 9), everyN = 2)
+    val perVideo = frames.groupByKey(_.media_id).count().collect().toMap
+    assert(perVideo.nonEmpty)
+    assert(perVideo.values.forall(_ == 4), s"8 frames step 2 -> 4: $perVideo")
+    val idxs = frames.collect().map(_.frame_idx).distinct.sorted.toSeq
+    assert(idxs == Seq(0, 2, 4, 6))
+  }
+
+  test("feature extraction emits one stat row per image") {
+    val feats = imageFeatures(decodeImages(fixture(spark, 9))).collect()
+    assert(feats.length == 3, "ids 0,3,6 are images")
+    feats.foreach { r =>
+      val mean = r.getAs[Float]("px_mean")
+      assert(mean > 0f && mean < 1f)
+      assert(r.getAs[Float]("edge_energy") > 0f)
+    }
+  }
+}
