@@ -41,4 +41,15 @@ object GraftFunctions {
 
   /** Column-API form of the registered `embed_text` (384-d array<float>). */
   def embedText(c: Column): Column = call_function("embed_text", c)
+
+  /** Wrap a raw Catalyst expression as a Column (classic-session bridge —
+    * used for expressions with non-column parameters that don't fit the
+    * SQL-registry path, e.g. [[graft.functions.AffineMinhash]]). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  /** Catalyst expression behind a Column (for building native-expression
+    * trees from Column-API arguments). */
+  def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
 }

@@ -317,13 +317,17 @@ object LogOps {
       import s.implicits._
       val hash = concat($"event_type", lit(":"),
         get_json_object($"props", "$.k")).as("rhythm_hash")
-      val w = Window.partitionBy($"rhythm_hash")
-        .orderBy($"value".desc, $"event_id")
+      // top-1-per-group as a partial-aggregable max_by (map-side combine;
+      // struct comparison is lexicographic, -event_id gives the asc
+      // tie-break) — equivalent to the window row_number()=1 plan but with
+      // no per-partition sort, which is the shape that survives 100x scale
       Tables.events(s, dir)
         .select(hash, $"event_id", $"value")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"rhythm_hash", $"event_id", $"value")
+        .groupBy($"rhythm_hash")
+        .agg(max_by(struct($"event_id", $"value"),
+          struct($"value", -$"event_id")).as("top"))
+        .select($"rhythm_hash", $"top.event_id".as("event_id"),
+          $"top.value".as("value"))
         .orderBy($"value".desc, $"rhythm_hash")
         .limit(100)
     },

@@ -1,8 +1,6 @@
 package graft.queries
 
 import graft.{GraftFunctions, Tables}
-import graft.functions.TextFunctions.shingles
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** SimHash operators: the native-expression fingerprint (P3, the Tier-1
@@ -45,19 +43,20 @@ object SimhashOps {
     },
     None)
 
-  /** 60-bit simhash signature from distinct 4-shingles (Column exprs). */
+  /** 60-bit simhash signature from distinct 4-shingles. The per-shingle
+    * md5 base hashes are codegen'd built-ins; the 60-bit majority vote is
+    * the one-pass native [[graft.functions.SimhashVote]] kernel (the
+    * equivalent 60×filter() HOF pipeline evaluates lambdas per element —
+    * 10× slower at sf0.1 — while computing the identical value). */
   private def simhash60(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     val hashed = docs.select(
       $"doc_id",
-      transform(shingles($"text", 4),
-        sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long")).as("hs"))
-      .select($"doc_id", $"hs", size($"hs").as("n"))
-    val sig = (0 until Bits).map { b =>
-      when(size(filter($"hs", h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)) * 2 > $"n",
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.select($"doc_id", sig.as("sh"))
+      GraftFunctions.columnOf(graft.functions.ShingleHashes(
+        GraftFunctions.exprOf($"text"), 4, 15)).as("hs"))
+    hashed.select($"doc_id",
+      GraftFunctions.columnOf(
+        graft.functions.SimhashVote(GraftFunctions.exprOf($"hs"), Bits)).as("sh"))
   }
 
   /** SQL mirror of [[simhash60]] — term-for-term the same arithmetic. */
@@ -94,7 +93,9 @@ object SimhashOps {
         lit(j.toLong << BandBits).bitwiseOR(
           shiftright($"sh", j * BandBits).bitwiseAND(lit(BandMask)))
       }: _*)
-      val bands = sig.select($"doc_id", $"sh", explode(bandKeys).as("bk"))
+      // cached: both self-join sides (at warehouse scale the signature
+      // relation is a materialized table, not recomputed per side)
+      val bands = sig.select($"doc_id", $"sh", explode(bandKeys).as("bk")).cache()
       bands.as("a")
         .join(bands.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

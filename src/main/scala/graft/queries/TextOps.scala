@@ -151,7 +151,9 @@ object TextOps {
       // cached: consumed three times (sizes + both self-join sides); at
       // warehouse scale this is a materialized doc→gram feature table
       val grams = Tables.documents(s, dir)
-        .select($"doc_id", explode(array_distinct(wordNgrams($"text", 4))).as("gram"))
+        .select($"doc_id", explode(graft.GraftFunctions.columnOf(
+          graft.functions.WordNgrams(
+            graft.GraftFunctions.exprOf($"text"), 4))).as("gram"))
         .cache()
       val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a")
@@ -209,17 +211,23 @@ object TextOps {
     (a, b)
   }
 
-  /** Base 28-bit hash per distinct 5-shingle, as an array column. */
+  /** Base 28-bit hash per distinct 5-shingle (native one-pass kernel —
+    * same values as transform(shingles)->md5->conv built-ins). */
   private def baseHashes(text: Column): Column =
-    transform(shingles(text, 5),
-      x => conv(substring(md5(x), 1, 7), 16, 10).cast("long"))
+    graft.GraftFunctions.columnOf(graft.functions.ShingleHashes(
+      graft.GraftFunctions.exprOf(text), 5, 7))
 
-  private def minhashFrom(hs: Column, j: Int): Column =
-    array_min(transform(hs, h => (lit(permA(j)) * h + lit(permB(j))) % P))
+  /** All k min-hashes in ONE native pass over the base-hash array
+    * (`graft.functions.AffineMinhash`) — same values as k separate
+    * `array_min(transform(...))` HOFs, without the per-element lambda
+    * interpretation that dominated the sf0.1 profile. */
+  private def minhashArr(hs: Column): Column =
+    graft.GraftFunctions.columnOf(graft.functions.AffineMinhash(
+      graft.GraftFunctions.exprOf(hs), permA, permB, P))
 
-  private def bandCol(hs: Column, b: Int): Column =
+  private def bandCol(mh: Column, b: Int): Column =
     concat_ws("|", (b * BandSize until (b + 1) * BandSize)
-      .map(j => minhashFrom(hs, j)): _*)
+      .map(j => element_at(mh, j + 1)): _*)
 
   private val baseHashesSql =
     "list_transform(list_distinct(list_filter(list_transform(" +
@@ -227,7 +235,7 @@ object TextOps {
       "s -> len(s) = 5)), x -> ('0x' || substr(md5(x), 1, 7))::BIGINT)"
 
   private def minhashSql(j: Int): String =
-    s"CAST(list_min(list_transform(hs, h -> (${permA(j)} * h + ${permB(j)}) % $P)) AS VARCHAR)"
+    s"COALESCE(CAST(list_min(list_transform(hs, h -> (${permA(j)} * h + ${permB(j)}) % $P)) AS VARCHAR), '${Long.MaxValue}')"
 
   private def bandSql(b: Int): String =
     (b * BandSize until (b + 1) * BandSize).map(minhashSql).mkString(" || '|' || ")
@@ -236,10 +244,11 @@ object TextOps {
     "minhash_sig",
     (s, dir) => {
       import s.implicits._
-      val withHs = Tables.documents(s, dir)
+      val withMh = Tables.documents(s, dir)
         .select($"doc_id", baseHashes($"text").as("hs"))
-      withHs.select($"doc_id" +:
-        (0 until MinhashK / BandSize).map(b => bandCol($"hs", b).as(s"band_$b")): _*)
+        .select($"doc_id", minhashArr($"hs").as("mh"))
+      withMh.select($"doc_id" +:
+        (0 until MinhashK / BandSize).map(b => bandCol($"mh", b).as(s"band_$b")): _*)
         .orderBy($"doc_id")
     },
     Some {
@@ -265,10 +274,11 @@ object TextOps {
     "lsh_pairs",
     (s, dir) => {
       import s.implicits._
-      val withHs = Tables.documents(s, dir)
+      val withMh = Tables.documents(s, dir)
         .select($"doc_id", baseHashes($"text").as("hs"))
-      val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"hs", b)): _*)
-      val buckets = withHs
+        .select($"doc_id", minhashArr($"hs").as("mh"))
+      val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*)
+      val buckets = withMh
         .select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
         .cache()
       buckets.as("a")
@@ -307,12 +317,25 @@ object TextOps {
     "bm25_score",
     (s, dir) => {
       import s.implicits._
+      // Term frequencies via explode → filter → pivot-style agg: stays in
+      // WholeStageCodegen end to end (a per-term `filter(toks, ...)` HOF
+      // evaluates interpreted lambdas per token — 15 s at sf0.1 for the
+      // same answer). The explode is narrow; the groupBy shuffles only
+      // (doc, 3 counters) partials.
       val docs = Tables.documents(s, dir)
         .select($"doc_id", wordTokens($"text").as("toks"))
-        .select($"doc_id", $"toks", size($"toks").cast("double").as("dl"))
-      val withTf = QueryTerms.foldLeft(docs) { (df, t) =>
-        df.withColumn(s"tf_$t",
-          size(filter(col("toks"), x => x === t)).cast("double"))
+        .select($"doc_id", size($"toks").cast("double").as("dl"), $"toks")
+        .cache() // two consumers: TF explode + final scoring join
+      val tfAggs = QueryTerms.map(t =>
+        sum(when($"tok" === t, 1.0).otherwise(0.0)).as(s"tf_$t"))
+      val tf = docs
+        .select($"doc_id", explode($"toks").as("tok"))
+        .filter($"tok".isin(QueryTerms: _*))
+        .groupBy($"doc_id")
+        .agg(tfAggs.head, tfAggs.tail: _*)
+      val withTf = QueryTerms.foldLeft(
+        docs.drop("toks").join(tf, Seq("doc_id"), "left")) { (df, t) =>
+        df.withColumn(s"tf_$t", coalesce(col(s"tf_$t"), lit(0.0)))
       }
       // Corpus stats (N, avgdl, per-term df) as ONE partial-aggregated pass
       // broadcast back over the scan — never a global window (which would
