@@ -388,12 +388,4 @@ object TextOps {
     """
     })
 
-  /** Word n-grams helper (space-joined) — used by jaccardPairs. */
-  private def wordNgrams(text: Column, n: Int): Column = {
-    val ts = wordTokens(text)
-    filter(
-      transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
-        i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)),
-      g => size(split(g, " ")) === n)
-  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.Registry
+
+/** Plan-shape assertions for the scale-critical queries: these encode the
+  * 100 TB design contract (pushdown reaches the scan, small sides
+  * broadcast, top-k never becomes a global sort) so a regression in plan
+  * shape fails CI even while results stay correct. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val q = Registry.all.find(_.name == name).get
+    q.fn(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  test("projection pruning reaches the parquet scan (token_count)") {
+    val p = plan("token_count")
+    assert(p.contains("ReadSchema"), p.take(400))
+    assert(p.contains("doc_id") && p.contains("text"))
+    assert(!p.contains("lang#") || !p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
+      "only doc_id+text should be read")
+  }
+
+  test("filter pushdown reaches the scan (tail_filter)") {
+    val p = plan("ts_window")
+    assert(p.contains("PushedFilters: [") , "expected pushed filters in scan")
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort (topk_sort, cosine_topk)") {
+    assert(plan("topk_sort").contains("TakeOrderedAndProject"))
+    assert(plan("cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("anomaly detector joins stay broadcast (no shuffled fact join)") {
+    val p = plan("anomaly_detect")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in detector plan:\n${p.take(1200)}")
+  }
+
+  test("bm25 corpus stats are broadcast, never a global window") {
+    val p = plan("bm25_score")
+    assert(!p.contains("Window"), "global window would single-partition the corpus")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("grouped_search aggregates map-side before the exchange, no window sort") {
+    val p = plan("grouped_search")
+    // partial_max_by below the Exchange = map-side combine (struct-buffer
+    // aggs compile to SortAggregate, which is fine — the partial is what
+    // keeps the shuffle at one row per (partition, hash))
+    assert(p.contains("partial_max_by"), p.take(1200))
+    assert(!p.contains("Window"))
+  }
+
+  test("whole-stage codegen covers the scan->project hot path (template_hash)") {
+    val q = Registry.all.find(_.name == "template_hash").get
+    val p = q.fn(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p.take(400))
+  }
+}
