@@ -52,7 +52,12 @@ object Promoter {
         col("start_ts"), col("end_ts"), col("count"),
         col("service"), col("severity"), col("body"), col("sample_logs"),
         GraftFunctions.embedText(col("body")).as("dense"),
+        GraftFunctions.columnOf(graft.functions.Bm25Sparse(
+          GraftFunctions.exprOf(col("body")))).as("sparse"),
         to_date(from_unixtime(col("start_ts"))).as("dt"))
+      .withColumn("sparse_idx", col("sparse.idx"))
+      .withColumn("sparse_val", col("sparse.val"))
+      .drop("sparse")
   }
 
   /** Append promoted clusters to the Tier-2 store (day-partitioned). */

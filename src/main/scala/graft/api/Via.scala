@@ -1,0 +1,98 @@
+package graft.api
+
+import graft.control.{Evals, Rules, SchemaEngine, SchemaRegistry}
+import graft.search.ClusterSearch
+import graft.streaming.{AnalysisJob, IngestPipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The engine's user-facing surface: one Scala method per REST verb of the
+  * reference (`/root/reference/app/api/v1/router.py:6-10`). A user of the
+  * reference can run every query they run today through this object; no
+  * HTTP server is required for parity (SURVEY §7.1 `api/`).
+  *
+  * Construction wires the store paths once; everything else is stateless
+  * DataFrame plans over them.
+  *
+  * @param warehouse root directory: `tier1/`, `tier2/`, `rules`, `schemas`,
+  *                  `evals/`, `checkpoints/` live under it
+  */
+final class Via(spark: SparkSession, warehouse: String) {
+
+  val tier1Path = s"$warehouse/tier1"
+  val tier2Path = s"$warehouse/tier2"
+  val rules = new Rules(spark, s"$warehouse/rules")
+  val schemas = new SchemaRegistry(spark, s"$warehouse/schemas")
+  val evals = new Evals(s"$warehouse/evals")
+
+  private def tier1: DataFrame = spark.read.parquet(tier1Path)
+  private def tier2: DataFrame = spark.read.parquet(tier2Path)
+
+  // --- POST /ingest/stream (S1) ---------------------------------------
+  /** Start streaming ingest from a JSONL drop directory. */
+  def startIngest(inputDir: String): StreamingQuery =
+    IngestPipeline.start(spark, inputDir, tier1Path,
+      s"$warehouse/checkpoints/ingest")
+
+  /** Batch form: ingest a DataFrame of raw OTel JSON strings now. */
+  def ingestBatch(rawJsonLines: DataFrame): Unit =
+    IngestPipeline.ingestBatch(rawJsonLines)
+      .write.mode("append").partitionBy("dt").parquet(tier1Path)
+
+  // --- GET /stream/tail (S3) ------------------------------------------
+  def tail(n: Int = 100, filter: Option[String] = None): DataFrame =
+    IngestPipeline.tail(tier1, n, filter)
+
+  // --- POST /analysis/tier1/rhythm_anomalies (T2/T3/A1-A3/J1-J3/T5) ---
+  def analyzeOnce(nowSec: Long, windowSec: Long = 60): DataFrame =
+    AnalysisJob.runOnce(spark, tier1Path, tier2Path, rules, nowSec, windowSec)
+
+  /** Background 60 s loop (the reference's worker). */
+  def startAnalysis(intervalSec: Long = 60): StreamingQuery =
+    AnalysisJob.start(spark, tier1Path, tier2Path, rules, intervalSec)
+
+  // --- POST /analysis/tier2/clusters (V1/V6/A5/A6/J3/J4) --------------
+  def clusters(
+      nowSec: Long,
+      startTs: Option[Long] = None,
+      endTs: Option[Long] = None,
+      textFilter: Option[String] = None): DataFrame =
+    ClusterSearch.clusters(tier2, Some(rules), nowSec, startTs, endTs, textFilter)
+
+  // --- POST /analysis/tier2/triage (V3/A7) ----------------------------
+  def triage(positive: Seq[String], negative: Seq[String]): DataFrame =
+    ClusterSearch.triage(tier2, positive, negative)
+
+  // --- POST /control/suppress | /control/patch (C4, T4) ---------------
+  def suppress(rhythmHash: String, ttlSec: Long, nowSec: Long): Unit =
+    rules.suppress(rhythmHash, ttlSec, nowSec)
+
+  /** Patch = permanent allow-list + auto-generated regression eval case
+    * (`control_service.py:66-87` + `:37-58`). */
+  def patch(rhythmHash: String, nowSec: Long): Unit = {
+    rules.patch(rhythmHash)
+    import spark.implicits._
+    val ctx = tier1.filter($"rhythm_hash" === rhythmHash)
+      .orderBy($"ts_sec".desc).limit(Via.EvalContextLogs)
+      .select("body").as[String].collect().toSeq
+    evals.write(rhythmHash, ctx)
+  }
+
+  // --- GET /control/rules + DELETEs (C5/C7) ---------------------------
+  def activeRules(nowSec: Long): DataFrame = rules.active(nowSec)
+  def unpatch(rhythmHash: String): Unit = rules.deactivate(rhythmHash, Rules.AllowList)
+  def unsuppress(rhythmHash: String): Unit = rules.deactivate(rhythmHash, Rules.Suppression)
+
+  // --- POST /schemas/detect | /schemas (C1-C3) ------------------------
+  def detectSchema(samples: Seq[String]): Option[SchemaEngine.LogSchema] =
+    SchemaEngine.detect(samples)
+  def saveSchema(name: String, schema: SchemaEngine.LogSchema): Unit =
+    schemas.save(name, schema)
+  def listSchemas(): Seq[String] = schemas.list()
+}
+
+object Via {
+  /** Context logs captured per eval case (reference keeps the recent
+    * occurrences of the patched hash). */
+  val EvalContextLogs = 10
+}

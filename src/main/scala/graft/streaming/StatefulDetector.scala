@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-native rhythm detection: per-hash keyed state instead of
+  * re-scanning the Tier-1 table each trigger — the M7 scale variant of
+  * [[graft.analysis.RhythmAnalyzer]] (SURVEY §7.5.5 deliberately ships the
+  * batch form first; this is the 100 TB path where the historical sample
+  * re-read would be too expensive).
+  *
+  * Semantics (same thresholds as the batch detector, reference
+  * `rhythm_analysis_service.py:66-108`): per rhythm hash, keep an
+  * exponential per-window baseline rate; when a window closes, classify —
+  * novelty if the hash has no baseline and count >= 2, frequency if
+  * `count > mean + 2.5*max(1.5, sqrt(mean))` and count >= 3 — then fold
+  * the window into the baseline. Late data is bounded by the watermark
+  * (T6: the reference has none; we declare watermark-bounded lateness).
+  */
+object StatefulDetector {
+
+  case class WindowCount(rhythmHash: String, windowStart: Long, n: Long)
+  case class HashState(windows: Long, mean: Double)
+  case class Anomaly(rhythm_hash: String, window_start: Long,
+      anomaly_type: String, n: Long, baseline_mean: Option[Double])
+
+  val NoveltyMinCount = 2
+  val FreqMinCount = 3
+  val FreqSigma = 2.5
+  val StdFloor = 1.5
+
+  /** Classify one closed window against state and update it.
+    * Exposed for unit testing; pure apart from `state`. */
+  def classify(
+      key: String,
+      counts: Iterator[WindowCount],
+      state: GroupState[HashState]): Iterator[Anomaly] = {
+    val sorted = counts.toSeq.sortBy(_.windowStart)
+    var st = state.getOption.getOrElse(HashState(0L, 0.0))
+    val out = Seq.newBuilder[Anomaly]
+    sorted.foreach { wc =>
+      if (st.windows == 0) {
+        if (wc.n >= NoveltyMinCount)
+          out += Anomaly(key, wc.windowStart, "novelty", wc.n, None)
+      } else {
+        val std = math.max(StdFloor, math.sqrt(st.mean))
+        if (wc.n > st.mean + FreqSigma * std && wc.n >= FreqMinCount)
+          out += Anomaly(key, wc.windowStart, "frequency", wc.n,
+            Some(math.rint(st.mean * 10000) / 10000))
+      }
+      // fold the window into the baseline (running mean over windows)
+      st = HashState(st.windows + 1,
+        (st.mean * st.windows + wc.n) / (st.windows + 1))
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Wire the stateful detector over a canonical log stream
+    * (rhythm_hash, ts_sec): tumbling windows + watermark + keyed state.
+    * Returns the anomaly stream (append mode). */
+  def detect(
+      logs: DataFrame,
+      windowSec: Long = 60,
+      watermarkDelay: String = "2 minutes"): Dataset[Anomaly] = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+    logs
+      .withColumn("ts", to_timestamp(from_unixtime(col("ts_sec"))))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("rhythm_hash"), window(col("ts"), s"$windowSec seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("rhythm_hash"),
+        unix_timestamp(col("window.start")).as("window_start"), col("n"))
+      .as[(String, Long, Long)]
+      .map { case (h, w, n) => WindowCount(h, w, n) }
+      .groupByKey(_.rhythmHash)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(classify)
+  }
+}
