@@ -1,0 +1,73 @@
+package graft.api
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The user-facing surface end to end: everything a reference user calls
+  * over REST, through the `Via` facade. */
+class ViaSpec extends SparkSpec {
+
+  private val now = 1700000000L
+
+  private def otel(service: String, level: String, ts: Long, body: String) =
+    s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$service"}}]},""" +
+      s""""scopeLogs":[{"logRecords":[{"timeUnixNano":"${ts}000000000","severityText":"$level",""" +
+      s""""body":{"stringValue":"$body"}}]}]}]}"""
+
+  test("batch ingest -> analyze -> clusters -> triage -> control round trip") {
+    import spark.implicits._
+    val via = new Via(spark, Files.createTempDirectory("via").toString)
+
+    val lines =
+      (0 until 120 by 5).map(i => otel("web", "INFO", now - 660 + i * 5,
+        s"handled request ${i} in ${i % 40} ms")) ++
+      (0 until 12).map(i => otel("web", "INFO", now - 55 + i * 4,
+        s"handled request ${900 + i} in ${i} ms")) ++
+      (0 until 4).map(i => otel("db", "ERROR", now - 50 + i,
+        s"deadlock detected on orders table $i")) ++
+      (0 until 5).map(i => otel("cache", "WARN", now - 40 + i,
+        s"evicted hot session key $i"))
+    via.ingestBatch(lines.toDF("value"))
+
+    assert(via.tail(n = 3).count() == 3)
+    assert(via.tail(n = 100, filter = Some("DEADLOCK")).count() == 4)
+
+    val found = via.analyzeOnce(now)
+    val types = found.select("anomaly_type", "rhythm_hash").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(types.exists(_._1 == "novelty"), types.toSeq.toString)
+
+    val clusters = via.clusters(now, textFilter = Some("deadlock detected"))
+    assert(clusters.count() >= 1)
+    val top = clusters.collect().head
+    assert(top.getAs[String]("service") == "db")
+
+    // triage: recommend other clusters given the deadlock one as positive
+    val allClusters = via.clusters(now)
+    if (allClusters.count() >= 2) {
+      val posHash = top.getAs[String]("rhythm_hash")
+      val t = via.triage(Seq(posHash), Nil)
+      assert(!t.select("rhythm_hash").collect().map(_.getString(0)).contains(posHash))
+    }
+
+    // suppress one hash -> gone from next analysis; unsuppress -> back
+    val h = types.head._2
+    via.suppress(h, ttlSec = 600, nowSec = now)
+    assert(!via.analyzeOnce(now).select("rhythm_hash").as[String]
+      .collect().contains(h))
+    via.unsuppress(h)
+    assert(via.activeRules(now).count() == 0)
+
+    // patch writes the eval case file
+    via.patch(h, now)
+    assert(via.evals.readAll().exists(_.rhythmHash == h))
+    assert(via.activeRules(now).count() == 1)
+
+    // schema registry round trip
+    val det = via.detectSchema(Seq(otel("s", "INFO", now, "x")))
+    assert(det.isDefined)
+    via.saveSchema("otel-src", det.get)
+    assert(via.listSchemas() == Seq("otel-src"))
+  }
+}
