@@ -17,5 +17,6 @@ object Registry {
   /** All registered queries, in SURVEY §2 inventory order. */
   def all: Seq[QueryDef] =
     Relational.queries ++ LogOps.queries ++ AnomalyOps.queries ++
-      VectorOps.queries ++ TextOps.queries ++ SimhashOps.queries
+      VectorOps.queries ++ TextOps.queries ++ SimhashOps.queries ++
+      StreamOps.queries
 }

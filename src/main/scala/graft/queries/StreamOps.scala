@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{GraftFunctions, Tables}
+import graft.streaming.StatefulDetector
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable forms of the streaming-side operators.
+  *
+  * `stateful_detect` runs the keyed-state detector (T2/T3's M7 scale
+  * variant, `streaming/StatefulDetector`) in batch mode over `events` —
+  * its per-hash running-baseline semantics are EXACTLY a SQL window
+  * running average over preceding tumbling windows, which makes the
+  * stateful operator DuckDB-checkable end to end (novelty/frequency
+  * thresholds included).
+  */
+object StreamOps {
+
+  def queries: Seq[QueryDef] = Seq(statefulDetect, sparseScore)
+
+  /** Demo thresholds for the low-rate synthetic stream (the production
+    * defaults never fire on a uniform Poisson-ish corpus — tightened here
+    * so the gate exercises BOTH branches with non-empty output). */
+  private val Th = StatefulDetector.Thresholds(
+    noveltyMinCount = 1, freqMinCount = 2, freqSigma = 1.0, stdFloor = 0.5)
+
+  private val statefulDetect = QueryDef(
+    "stateful_detect",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type".as("rhythm_hash"), $"ts_sec")
+      StatefulDetector.detect(ev, thresholds = Th)
+        .toDF()
+        .select($"rhythm_hash", $"window_start", $"anomaly_type", $"n",
+          $"baseline_mean")
+        .orderBy($"rhythm_hash", $"window_start", $"anomaly_type")
+    },
+    Some(s"""
+      WITH wc AS (
+        SELECT event_type AS rhythm_hash,
+          (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_start,
+          count(*) AS n
+        FROM events
+        GROUP BY 1, 2),
+      st AS (
+        SELECT rhythm_hash, window_start, n,
+          count(*) OVER w AS prev_windows,
+          avg(n) OVER w AS prev_mean
+        FROM wc
+        WINDOW w AS (PARTITION BY rhythm_hash ORDER BY window_start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT rhythm_hash, window_start,
+        CASE WHEN prev_windows = 0 THEN 'novelty' ELSE 'frequency' END AS anomaly_type,
+        n,
+        CASE WHEN prev_windows = 0 THEN NULL
+          ELSE round(prev_mean, 4) END AS baseline_mean
+      FROM st
+      WHERE (prev_windows = 0 AND n >= ${Th.noveltyMinCount})
+        OR (prev_windows > 0
+          AND n > prev_mean + ${Th.freqSigma}
+            * greatest(${Th.stdFloor}, sqrt(prev_mean))
+          AND n >= ${Th.freqMinCount})
+      ORDER BY rhythm_hash, window_start, anomaly_type
+    """))
+
+  /** V4 read path over the write-side sparse vectors: score documents
+    * against a query text by sparse TF dot product (IDF-free form — the
+    * corpus-stats IDF variant is `bm25_score`). Rows-only driver check;
+    * exact values pinned by Bm25SparseSpec/GoldenSpec (murmur bucketing
+    * is not expressible in portable SQL). */
+  private val sparseScore = QueryDef(
+    "sparse_score",
+    (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val q = graft.functions.Bm25Sparse.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("filter window join"))
+      val qIdx = {
+        val a = q.getArray(0); (0 until a.numElements()).map(a.getInt).toArray
+      }
+      val qVal = {
+        val a = q.getArray(1); (0 until a.numElements()).map(i => a.getFloat(i)).toArray
+      }
+      val sparse = GraftFunctions.columnOf(graft.functions.Bm25Sparse(
+        GraftFunctions.exprOf($"text")))
+      val dotUdf = udf((idx: Seq[Int], vals: Seq[Float]) =>
+        graft.functions.Bm25Sparse.dot(idx.toArray, vals.toArray, qIdx, qVal))
+      Tables.documents(s, dir)
+        .select($"doc_id", sparse.as("sp"))
+        .select($"doc_id", round(dotUdf($"sp.idx", $"sp.val"), 6).as("score"))
+        .filter($"score" > 0)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(30)
+    },
+    None)
+}

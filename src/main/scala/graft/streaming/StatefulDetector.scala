@@ -30,9 +30,17 @@ object StatefulDetector {
   val FreqSigma = 2.5
   val StdFloor = 1.5
 
+  /** Threshold bundle (defaults = the reference's production constants;
+    * callers may tighten for low-rate streams). */
+  case class Thresholds(
+      noveltyMinCount: Long = NoveltyMinCount,
+      freqMinCount: Long = FreqMinCount,
+      freqSigma: Double = FreqSigma,
+      stdFloor: Double = StdFloor)
+
   /** Classify one closed window against state and update it.
     * Exposed for unit testing; pure apart from `state`. */
-  def classify(
+  def classify(th: Thresholds)(
       key: String,
       counts: Iterator[WindowCount],
       state: GroupState[HashState]): Iterator[Anomaly] = {
@@ -41,13 +49,15 @@ object StatefulDetector {
     val out = Seq.newBuilder[Anomaly]
     sorted.foreach { wc =>
       if (st.windows == 0) {
-        if (wc.n >= NoveltyMinCount)
+        if (wc.n >= th.noveltyMinCount)
           out += Anomaly(key, wc.windowStart, "novelty", wc.n, None)
       } else {
-        val std = math.max(StdFloor, math.sqrt(st.mean))
-        if (wc.n > st.mean + FreqSigma * std && wc.n >= FreqMinCount)
+        val std = math.max(th.stdFloor, math.sqrt(st.mean))
+        if (wc.n > st.mean + th.freqSigma * std && wc.n >= th.freqMinCount)
           out += Anomaly(key, wc.windowStart, "frequency", wc.n,
-            Some(math.rint(st.mean * 10000) / 10000))
+            // HALF_UP to match SQL round() semantics (oracle parity)
+            Some(BigDecimal(st.mean)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
       }
       // fold the window into the baseline (running mean over windows)
       st = HashState(st.windows + 1,
@@ -63,7 +73,8 @@ object StatefulDetector {
   def detect(
       logs: DataFrame,
       windowSec: Long = 60,
-      watermarkDelay: String = "2 minutes"): Dataset[Anomaly] = {
+      watermarkDelay: String = "2 minutes",
+      thresholds: Thresholds = Thresholds()): Dataset[Anomaly] = {
     val spark = logs.sparkSession
     import spark.implicits._
     logs
@@ -77,6 +88,6 @@ object StatefulDetector {
       .map { case (h, w, n) => WindowCount(h, w, n) }
       .groupByKey(_.rhythmHash)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(classify)
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(classify(thresholds))
   }
 }

@@ -17,20 +17,20 @@ class StatefulDetectorSpec extends SparkSpec {
   test("classify: novelty on first window, frequency on burst, baseline folds") {
     val st = freshState()
     // first window, count 3 -> novelty
-    val w1 = classify("h", Iterator(WindowCount("h", 0, 3)), st).toSeq
+    val w1 = classify(Thresholds())("h", Iterator(WindowCount("h", 0, 3)), st).toSeq
     assert(w1.map(a => (a.anomaly_type, a.n)) == Seq(("novelty", 3L)))
     assert(st.get.windows == 1 && st.get.mean == 3.0)
     // steady windows -> no anomaly, mean tracks
-    val w2 = classify("h", Iterator(WindowCount("h", 60, 3), WindowCount("h", 120, 3)), st).toSeq
+    val w2 = classify(Thresholds())("h", Iterator(WindowCount("h", 60, 3), WindowCount("h", 120, 3)), st).toSeq
     assert(w2.isEmpty)
     assert(st.get.windows == 3 && math.abs(st.get.mean - 3.0) < 1e-9)
     // burst: 3 + 2.5*max(1.5, sqrt(3)) = 3 + 4.33 = 7.33 -> 12 flags
-    val w3 = classify("h", Iterator(WindowCount("h", 180, 12)), st).toSeq
+    val w3 = classify(Thresholds())("h", Iterator(WindowCount("h", 180, 12)), st).toSeq
     assert(w3.map(_.anomaly_type) == Seq("frequency"))
     assert(w3.head.baseline_mean.contains(3.0))
     // single-occurrence new hash -> below novelty floor
     val st2 = freshState()
-    assert(classify("x", Iterator(WindowCount("x", 0, 1)), st2).isEmpty)
+    assert(classify(Thresholds())("x", Iterator(WindowCount("x", 0, 1)), st2).isEmpty)
   }
 
   test("detect() runs the windowed stateful plan (batch mode)") {
