@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   def queries: Seq[QueryDef] =
-    Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh)
+    Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -175,6 +175,75 @@ object VectorOps {
       WHERE bucket IN ($probes)
       ORDER BY score DESC, vec_id
       LIMIT $AnnK
+    """
+    })
+
+  /** ANN top-k, IVF variant: a fixed set of [[IvfCentroids]] seed vectors
+    * acts as the coarse quantizer; every vector is assigned to its
+    * nearest centroid (write-time bucketing at warehouse scale), and the
+    * query probes only the [[IvfNprobe]] centroids nearest to it before
+    * exact cosine. Complements `ann_lsh` (hash buckets) with the
+    * clustered-bucket family; both fall back to `cosine_topk` as the
+    * recall-100 baseline. */
+  val IvfCentroids: Seq[Long] = (0 until 16).map(_ * 7L)
+  val IvfNprobe = 2
+  val IvfK = 10
+
+  private val annIvf = QueryDef(
+    "ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter($"vec_id".isin(IvfCentroids: _*))
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      // assignment: nearest centroid per vector (argmax cosine, tie -> min cid)
+      val assigned = e.select($"vec_id", $"embedding", $"label")
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", cosine($"embedding", $"cvec"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cid"), struct($"cs", -$"cid")).getField("cid").as("cid"))
+      // probe set: the nprobe centroids nearest to the query vector
+      val probes = cents
+        .select($"cid", cosineToConst($"cvec", Q).as("qs"))
+        .orderBy($"qs".desc, $"cid")
+        .limit(IvfNprobe)
+        .select($"cid")
+      e.join(assigned, "vec_id")
+        .join(broadcast(probes), "cid")
+        .select($"vec_id", $"label",
+          round(cosineToConst($"embedding", Q), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(IvfK)
+    },
+    Some {
+      val cos = (a: String, b: String, na: String, nb: String) =>
+        s"""CASE WHEN $na * $nb = 0 THEN 0.0
+            ELSE list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / ($na * $nb) END"""
+      s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nc
+        FROM embeddings WHERE vec_id IN (${IvfCentroids.mkString(", ")})),
+      ev AS (
+        SELECT vec_id, label, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id,
+          (list(cid ORDER BY ${cos("embedding", "cvec", "nv", "nc")} DESC, cid ASC))[1] AS cid
+        FROM ev, cents
+        GROUP BY vec_id),
+      probes AS (
+        SELECT cid FROM cents
+        ORDER BY ${cos("cvec", QSql, "nc", QNorm.toString)} DESC, cid
+        LIMIT $IvfNprobe)
+      SELECT e.vec_id, e.label,
+        round(${cos("e.embedding", QSql, "e.nv", QNorm.toString)}, 6) AS score
+      FROM ev e
+      JOIN assigned a ON e.vec_id = a.vec_id
+      JOIN probes p ON a.cid = p.cid
+      ORDER BY score DESC, e.vec_id
+      LIMIT $IvfK
     """
     })
 
