@@ -1,0 +1,36 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Proves StatefulDetector.detect runs as a REAL stream (window aggregate
+  * chained into flatMapGroupsWithState), not just in batch mode. */
+class StatefulStreamingSmokeSpec extends SparkSpec {
+
+  test("windowed stateful detection over a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val logs = input.toDF().toDF("rhythm_hash", "ts_sec")
+
+    val q = StatefulDetector.detect(logs, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = 1700000000L
+      // batch 1: a novel hash with 3 hits in one window
+      input.addData(("novel", base + 1), ("novel", base + 5), ("novel", base + 9))
+      q.processAllAvailable()
+      // batch 2: advance the watermark far enough to close the first window
+      input.addData(("novel", base + 600))
+      q.processAllAvailable()
+      input.addData(("novel", base + 1200))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM anomalies").collect()
+      assert(rows.exists(r => r.getAs[String]("rhythm_hash") == "novel" &&
+        r.getAs[String]("anomaly_type") == "novelty" && r.getAs[Long]("n") == 3),
+        s"got: ${rows.toSeq}")
+    } finally q.stop()
+  }
+}
