@@ -1,0 +1,30 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Throughput floor for the ingest path: the reference's configured live
+  * rate is 100 logs/s (BASELINE.md); the batch derivation pipeline must
+  * clear it by orders of magnitude on a single node for the streaming
+  * claim to hold at warehouse scale. */
+class IngestThroughputSpec extends SparkSpec {
+
+  test("batch ingest derivation sustains >> 100 logs/s") {
+    import spark.implicits._
+    val n = 50000
+    val lines = spark.range(n).map { i =>
+      s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc${i % 6}"}}]},""" +
+        s""""scopeLogs":[{"logRecords":[{"timeUnixNano":"${1700000000L + i}000000000","severityText":"INFO",""" +
+        s""""body":{"stringValue":"request $i from 10.0.${i % 255}.${i % 9} took ${i % 400} ms"}}]}]}]}"""
+    }.toDF("value")
+    lines.cache().count() // exclude fixture generation from the measurement
+
+    val t0 = System.nanoTime()
+    val out = IngestPipeline.ingestBatch(lines)
+    val cnt = out.write.format("noop").mode("overwrite").save()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = n / secs
+    info(f"ingest derivation: $n rows in $secs%.2f s = $rate%.0f rows/s")
+    assert(IngestPipeline.ingestBatch(lines).count() == n)
+    assert(rate > 10000, f"derivation pipeline too slow: $rate%.0f rows/s")
+  }
+}
