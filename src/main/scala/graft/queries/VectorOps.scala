@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   def queries: Seq[QueryDef] =
-    Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf)
+    Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
+      int8Topk)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -244,6 +245,58 @@ object VectorOps {
       JOIN probes p ON a.cid = p.cid
       ORDER BY score DESC, e.vec_id
       LIMIT $IvfK
+    """
+    })
+
+  /** V7 — INT8-quantized cosine top-k: vectors stored 4x smaller as
+    * (tinyint[], scale), scored with pure integer dot products (scales
+    * cancel in cosine). The quantized ranking approximates `cosine_topk`;
+    * the oracle mirrors the quantization arithmetic exactly so the check
+    * is exact even though the ranking is approximate. */
+  private val int8Topk = QueryDef(
+    "int8_topk",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.QuantizeInt8._
+      val qScale = Q.map(math.abs).max
+      val qQuant: Seq[Int] = Q.map(x =>
+        BigDecimal(x * 127.0 / qScale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+      val qCol = array(qQuant.map(v => lit(v.toByte)): _*)
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", scaleOf($"embedding").as("s"), $"embedding")
+        .select($"vec_id", $"label", quantize($"embedding", $"s").as("qv"))
+        .select($"vec_id", $"label", round(qcosine($"qv", qCol), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(20)
+    },
+    Some {
+      val qScale = Q.map(math.abs).max
+      val qQuant: Seq[Int] = Q.map(x =>
+        BigDecimal(x * 127.0 / qScale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+      val qLit = qQuant.mkString("[", ", ", "]")
+      val qNorm = math.sqrt(qQuant.map(v => v.toDouble * v).sum)
+      s"""
+      WITH sc AS (
+        SELECT vec_id, label, embedding,
+          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
+            ELSE CAST(round(x::DOUBLE * 127.0 / s) AS BIGINT) END) AS qv
+        FROM sc),
+      d AS (
+        SELECT vec_id, label,
+          list_sum(list_transform(range(1, 65), i -> qv[i] * ($qLit)[i]))::DOUBLE AS dd,
+          sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS nq
+        FROM qz)
+      SELECT vec_id, label,
+        round(CASE WHEN nq * $qNorm = 0 THEN 0.0 ELSE dd / (nq * $qNorm) END, 6) AS score
+      FROM d
+      ORDER BY score DESC, vec_id
+      LIMIT 20
     """
     })
 

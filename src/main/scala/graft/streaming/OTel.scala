@@ -56,18 +56,27 @@ object OTel {
     val rl = element_at(col("resourceLogs"), 1)
     val rec = element_at(element_at(rl.getField("scopeLogs"), 1)
       .getField("logRecords"), 1)
-    raw.select(
+    val hasRaw = raw.columns.contains("full_log_json")
+    val base = Seq(
       coalesce(serviceName(rl.getField("resource").getField("attributes")),
         lit("unknown")).as("service"),
       coalesce(rec.getField("severityText"), lit("INFO")).as("severity"),
       (rec.getField("timeUnixNano").cast("long") / lit(1000000000L))
         .cast("long").as("ts_sec"),
       rec.getField("body").getField("stringValue").as("body"))
+    // reference keeps the entire raw record in the payload
+    // (ingestion_service.py:66 `full_log_json`); retained losslessly as a
+    // string column, from_json applied on demand (SURVEY §1.3)
+    val cols = if (hasRaw) base :+ col("full_log_json")
+      else base :+ to_json(struct(col("resourceLogs"))).as("full_log_json")
+    raw.select(cols: _*)
       .filter(col("ts_sec").isNotNull && col("body").isNotNull)
   }
 
-  /** Parse a column of raw OTel JSON strings then flatten. */
+  /** Parse a column of raw OTel JSON strings then flatten; the original
+    * line rides along as `full_log_json`. */
   def parseJson(lines: DataFrame, jsonCol: String = "value"): DataFrame =
-    flatten(lines.select(from_json(col(jsonCol), schema).as("o"))
-      .select(col("o.resourceLogs").as("resourceLogs")))
+    flatten(lines.select(from_json(col(jsonCol), schema).as("o"),
+      col(jsonCol).as("full_log_json"))
+      .select(col("o.resourceLogs").as("resourceLogs"), col("full_log_json")))
 }

@@ -60,6 +60,10 @@ class E2EFlowSpec extends SparkSpec {
     val t1 = spark.read.parquet(tier1)
     assert(t1.count() == fixtureLines().size, "all records ingested")
     assert(t1.columns.toSet.contains("rhythm_hash") && t1.columns.contains("simhash"))
+    // raw record retained (reference's full_log_json payload field)
+    assert(t1.columns.contains("full_log_json"))
+    assert(t1.select("full_log_json").as[String].collect()
+      .forall(_.contains("resourceLogs")))
     // template masking: integers/IPs gone from templates
     assert(!t1.select("template").as[String].collect().exists(_.matches(".*\\b\\d+\\b.*")))
 
