@@ -53,6 +53,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("ANN variants broadcast their centroid/probe sides (ann_ivf, int8_topk)") {
+    val ivf = plan("ann_ivf")
+    assert(ivf.contains("BroadcastHashJoin") || ivf.contains("BroadcastExchange"),
+      "centroid + probe tables must broadcast, never shuffle the vectors")
+    assert(plan("int8_topk").contains("TakeOrderedAndProject"),
+      "quantized scoring stays a single-pass top-k")
+  }
+
   test("whole-stage codegen covers the scan->project hot path (template_hash)") {
     val q = Registry.all.find(_.name == "template_hash").get
     val p = q.fn(spark, dir).queryExecution.explainString(
