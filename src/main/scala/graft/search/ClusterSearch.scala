@@ -5,7 +5,6 @@ import graft.control.Rules
 import graft.functions.TextFunctions.matchText
 import graft.functions.VectorFunctions.cosine
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tier-2 query surface: grouped cluster search and triage recommend.
@@ -51,12 +50,11 @@ object ClusterSearch {
       case None => filtered.withColumn("score", lit(0.0))
     }
     val ruled = rules.fold(scored)(_.enforce(scored, nowSec))
-    val w = Window.partitionBy(col("rhythm_hash"))
-      .orderBy(col("score").desc, col("start_ts").desc, col("dt"))
-    ruled
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    // best hit per rhythm-hash group via the custom bounded-buffer
+    // operator (graft.plans.TopKPerGroup) — no per-partition sort, one
+    // clustering exchange; ≡ Window row_number()=1 with this ordering
+    graft.plans.TopKPerGroup(ruled, Seq("rhythm_hash"),
+      Seq(("score", false), ("start_ts", false), ("dt", true)), 1)
       .orderBy(col("score").desc, col("start_ts").desc, col("rhythm_hash"))
       .limit(limit)
       .select("rhythm_hash", "anomaly_type", "anomaly_context", "service",
