@@ -31,6 +31,21 @@ class StatefulStreamingSmokeSpec extends SparkSpec {
       assert(rows.exists(r => r.getAs[String]("rhythm_hash") == "novel" &&
         r.getAs[String]("anomaly_type") == "novelty" && r.getAs[Long]("n") == 3),
         s"got: ${rows.toSeq}")
+
+      // T6 — late data beyond the watermark is DROPPED (declared,
+      // watermark-bounded semantics; the reference has no lateness bound):
+      // a straggler for the long-closed first window must not re-open it
+      // or emit a second anomaly for that window.
+      val before = spark.sql("SELECT count(*) FROM anomalies").collect()(0).getLong(0)
+      input.addData(("late-hash", base + 2), ("late-hash", base + 3))
+      input.addData(("novel", base + 1800)) // keeps the watermark advancing
+      q.processAllAvailable()
+      val lateRows = spark.sql(
+        "SELECT * FROM anomalies WHERE rhythm_hash = 'late-hash'").collect()
+      assert(lateRows.isEmpty,
+        s"late rows behind the watermark must be dropped: ${lateRows.toSeq}")
+      assert(spark.sql("SELECT count(*) FROM anomalies").collect()(0).getLong(0)
+        >= before)
     } finally q.stop()
   }
 }
