@@ -48,8 +48,8 @@ final class Via(spark: SparkSession, warehouse: String) {
     AnalysisJob.runOnce(spark, tier1Path, tier2Path, rules, nowSec, windowSec)
 
   /** Background 60 s loop (the reference's worker). */
-  def startAnalysis(intervalSec: Long = 60): StreamingQuery =
-    AnalysisJob.start(spark, tier1Path, tier2Path, rules, intervalSec)
+  def startAnalysis(intervalSec: Long = 60, windowSec: Long = 60): StreamingQuery =
+    AnalysisJob.start(spark, tier1Path, tier2Path, rules, intervalSec, windowSec)
 
   // --- POST /analysis/tier2/clusters (V1/V6/A5/A6/J3/J4) --------------
   def clusters(

@@ -56,14 +56,15 @@ object AnalysisJob {
       tier1Path: String,
       tier2Path: String,
       rules: Rules,
-      intervalSec: Long = 60): StreamingQuery = {
+      intervalSec: Long = 60,
+      windowSec: Long = 60): StreamingQuery = {
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream
       .trigger(Trigger.ProcessingTime(intervalSec * 1000))
       .foreachBatch { (_: DataFrame, _: Long) =>
         try {
           runOnce(spark, tier1Path, tier2Path, rules,
-            System.currentTimeMillis() / 1000, intervalSec)
+            System.currentTimeMillis() / 1000, windowSec)
           ()
         } catch {
           case e: Exception =>
