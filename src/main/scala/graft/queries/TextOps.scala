@@ -18,7 +18,7 @@ object TextOps {
 
   def queries: Seq[QueryDef] = Seq(
     dedupExact, tokenCount, qualityScoreQ, langId, jaccardPairs,
-    minhashSig, lshPairs, bm25Score)
+    jaccardCapped, minhashSig, lshPairs, bm25Score)
 
   /** Exact dedup by content fingerprint (md5 of lowercased alnum-only
     * text): keeper = min doc_id per fingerprint. */
@@ -239,6 +239,71 @@ object TextOps {
 
   private def bandSql(b: Int): String =
     (b * BandSize until (b + 1) * BandSize).map(minhashSql).mkString(" || '|' || ")
+
+  /** Document-frequency-capped Jaccard: grams appearing in more than
+    * [[JaccardDfCap]] documents are dropped BEFORE pair formation — the
+    * standard warehouse-scale dedup guard. A gram shared by f docs makes
+    * f(f-1)/2 candidate pairs, so one stop-phrase gram can quadratically
+    * dominate the shuffle while carrying no dedup signal; capping bounds
+    * every bucket. Jaccard is then DECLARED over the discriminative-gram
+    * sets (numerator and denominators both post-cap), mirrored exactly in
+    * the oracle. */
+  val JaccardDfCap = 4
+
+  private val jaccardCapped = QueryDef(
+    "jaccard_capped",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", explode(graft.GraftFunctions.columnOf(
+          graft.functions.WordNgrams(
+            graft.GraftFunctions.exprOf($"text"), 4))).as("gram"))
+        .cache()
+      val hot = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df" > JaccardDfCap)
+        .select($"gram")
+      val pruned = grams.join(broadcast(hot), Seq("gram"), "left_anti").cache()
+      val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .select($"a_id", $"b_id",
+          round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jaccard"))
+        .orderBy($"jaccard".desc, $"a_id", $"b_id")
+        .limit(50)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(ts) - 2, 1)),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS gram
+        FROM toks),
+      pruned AS (
+        SELECT doc_id, gram FROM grams
+        WHERE gram NOT IN (
+          SELECT gram FROM grams GROUP BY gram HAVING count(*) > $JaccardDfCap)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id,
+        round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON a_id = sa.doc_id
+      JOIN sizes sb ON b_id = sb.doc_id
+      ORDER BY jaccard DESC, a_id, b_id
+      LIMIT 50
+    """))
 
   private val minhashSig = QueryDef(
     "minhash_sig",
