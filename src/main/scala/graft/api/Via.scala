@@ -51,6 +51,32 @@ final class Via(spark: SparkSession, warehouse: String) {
   def startAnalysis(intervalSec: Long = 60, windowSec: Long = 60): StreamingQuery =
     AnalysisJob.start(spark, tier1Path, tier2Path, rules, intervalSec, windowSec)
 
+  /** Fully streaming detection: Tier-1 is itself a streaming source
+    * (parquet file stream over the partitioned store), windows close via
+    * watermark, and anomalies append to `anomalies/` continuously — no
+    * polling loop at all. This is the keyed-state scale path
+    * ([[graft.streaming.StatefulDetector]]); the reference can only poll. */
+  def startStatefulDetection(
+      windowSec: Long = 60,
+      watermarkDelay: String = "2 minutes",
+      thresholds: graft.streaming.StatefulDetector.Thresholds =
+        graft.streaming.StatefulDetector.Thresholds()): StreamingQuery = {
+    val schema = spark.read.parquet(tier1Path).schema
+    val logs = spark.readStream.schema(schema).parquet(tier1Path)
+      .select("rhythm_hash", "ts_sec")
+    graft.streaming.StatefulDetector
+      .detect(logs, windowSec, watermarkDelay, thresholds)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$warehouse/anomalies")
+      .option("checkpointLocation", s"$warehouse/checkpoints/stateful")
+      .outputMode("append")
+      .start()
+  }
+
+  /** Anomalies emitted by [[startStatefulDetection]]. */
+  def anomalies(): DataFrame = spark.read.parquet(s"$warehouse/anomalies")
+
   // --- POST /analysis/tier2/clusters (V1/V6/A5/A6/J3/J4) --------------
   def clusters(
       nowSec: Long,
