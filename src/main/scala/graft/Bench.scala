@@ -23,6 +23,7 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
         .selectExpr("size(split(lower(text), '[^a-z0-9]+')) AS n").collect()
     } catch { case _: Throwable => }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink: materializes EVERY output column (a bare count() would
       // let Catalyst prune the projections and under-report pure-projection
@@ -34,7 +35,12 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          // a crashed query must NOT fake a near-zero time into the total —
+          // record it in the failed list (and on stderr) so the gate sees it
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -42,7 +48,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
+    // the driver parses the log tail: write the result to a file it can
+    // always read, stop Spark (whose shutdown logging would otherwise push
+    // the line out of a bounded tail capture), THEN print the bare JSON as
+    // the very last stdout line
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_RESULT.json"), line + "\n")
     spark.stop()
+    println(line)
   }
 }

@@ -50,12 +50,19 @@ object RhythmAnalyzer {
       .limit(histSample)
       .cache() // two consumers (span + per-hash counts); sample is <=10k rows
 
+    // reference guards (rhythm_analysis_service.py:42-46): <2 baseline
+    // points → NO stats (every recent hash classifies as novelty), and the
+    // sample span is floored at 1 s — otherwise a single-epoch-second
+    // sample divides by zero (ANSI mode: DIVIDE_BY_ZERO kills the cycle)
     val span = baseSample.agg(
-      (max($"ts_sec") - min($"ts_sec")).cast("double").as("dur"))
+      greatest((max($"ts_sec") - min($"ts_sec")).cast("double"), lit(1.0))
+        .as("dur"),
+      count(lit(1)).as("base_n"))
 
     val stats = baseSample.groupBy($"rhythm_hash")
       .agg(count(lit(1)).as("hist_n"))
       .crossJoin(broadcast(span))
+      .filter($"base_n" >= 2)
       .select($"rhythm_hash",
         ($"hist_n" * (lit(windowSec) / $"dur")).as("mean"))
       .withColumn("std", greatest(lit(stdFloor), sqrt($"mean")))

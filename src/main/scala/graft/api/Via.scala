@@ -60,22 +60,42 @@ final class Via(spark: SparkSession, warehouse: String) {
       windowSec: Long = 60,
       watermarkDelay: String = "2 minutes",
       thresholds: graft.streaming.StatefulDetector.Thresholds =
-        graft.streaming.StatefulDetector.Thresholds()): StreamingQuery = {
+        graft.streaming.StatefulDetector.Thresholds(),
+      triggerMs: Long = 10000,
+      stateTtlMs: Option[Long] =
+        Some(graft.streaming.StatefulDetector.DefaultStateTtlMs)): StreamingQuery = {
     val schema = spark.read.parquet(tier1Path).schema
     val logs = spark.readStream.schema(schema).parquet(tier1Path)
       .select("rhythm_hash", "ts_sec")
     graft.streaming.StatefulDetector
-      .detect(logs, windowSec, watermarkDelay, thresholds)
+      .detect(logs, windowSec, watermarkDelay, thresholds, stateTtlMs)
       .writeStream
       .format("parquet")
       .option("path", s"$warehouse/anomalies")
       .option("checkpointLocation", s"$warehouse/checkpoints/stateful")
       .outputMode("append")
+      // a real trigger interval: the state TTL's processing-time timeouts
+      // request a batch per trigger — with the default 0 ms trigger that
+      // degenerates into a busy loop of empty batches
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .start()
   }
 
   /** Anomalies emitted by [[startStatefulDetection]]. */
   def anomalies(): DataFrame = spark.read.parquet(s"$warehouse/anomalies")
+
+  /** Fully streaming detection AND promotion: watermarked keyed-state
+    * anomalies are promoted to Tier-2 per closed window via the exact
+    * batch `Promoter` semantics (T5 scale path — batch parity proven by
+    * PromotionStreamSpec; rules enforcement included). */
+  def startStreamingPromotion(
+      windowSec: Long = 60,
+      watermarkDelay: String = "2 minutes",
+      thresholds: graft.streaming.StatefulDetector.Thresholds =
+        graft.streaming.StatefulDetector.Thresholds()): StreamingQuery =
+    graft.streaming.PromotionStream.start(spark, tier1Path, tier2Path,
+      s"$warehouse/checkpoints/promotion", Some(rules), windowSec,
+      watermarkDelay, thresholds)
 
   // --- POST /analysis/tier2/clusters (V1/V6/A5/A6/J3/J4) --------------
   def clusters(

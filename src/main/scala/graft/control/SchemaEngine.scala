@@ -29,13 +29,16 @@ object SchemaEngine {
       "(?<nodeagain>\\S+) (?<mtype>RAS) (?<component>\\S+) (?<level>\\S+) (?<message>.*)$"
 
   /** C1/C2 — detect from sample lines: OTel JSON wins if the first sample
-    * parses and contains the resourceLogs path; else BGL if the regex
-    * matches; else None. */
+    * REALLY parses as a JSON object and the
+    * `resourceLogs[0].scopeLogs[0].logRecords[0]` path exists (Jackson,
+    * already on Spark's classpath — mirrors the reference's `json.loads` +
+    * path walk, `schema_service.py:22-48`; we additionally require the OTel
+    * path to be present, where the reference's defaulted walk would accept
+    * ANY json dict — declared tightening, same canonical field output);
+    * else BGL if the regex matches; else None. */
   def detect(samples: Seq[String]): Option[LogSchema] = {
     val first = samples.headOption.getOrElse("")
-    val otel = first.contains("\"resourceLogs\"") &&
-      scala.util.Try(ujsonLite(first)).getOrElse(false)
-    if (otel)
+    if (isOtelJson(first))
       Some(LogSchema("otel-json", Seq(
         Field("timestamp", "datetime",
           "resourceLogs[0].scopeLogs[0].logRecords[0].timeUnixNano"),
@@ -54,11 +57,20 @@ object SchemaEngine {
     else None
   }
 
-  /** Cheap structural JSON sanity check (balanced braces, starts with `{`)
-    * — full parsing happens in Spark's from_json on the data path. */
-  private def ujsonLite(s: String): Boolean = {
-    val t = s.trim
-    t.startsWith("{") && t.endsWith("}")
+  /** Real JSON parse + OTel path walk: the sample must be a JSON object
+    * whose `resourceLogs[0].scopeLogs[0].logRecords[0]` resolves to an
+    * object (strict mode — a non-JSON line containing the literal token
+    * `"resourceLogs"`, or a JSON object missing the path, is NOT OTel). */
+  private def isOtelJson(s: String): Boolean = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      val root = mapper.readTree(s)
+      if (root == null || !root.isObject) return false
+      val rec = root.path("resourceLogs").path(0)
+        .path("scopeLogs").path(0)
+        .path("logRecords").path(0)
+      rec.isObject
+    } catch { case _: java.io.IOException => false }
   }
 
   /** C2 — project BGL lines into canonical columns with regexp_extract. */

@@ -89,4 +89,56 @@ object Bm25Sparse {
     }
     s
   }
+
+  /** ArrayData form of [[dot]] — called from generated code with the
+    * stored struct's arrays, no per-row copies. */
+  def dotRow(row: InternalRow, qIdx: Array[Int], qVal: Array[Float]): Double = {
+    val aIdx = row.getArray(0)
+    val aVal = row.getArray(1)
+    var i = 0; var j = 0; var s = 0.0
+    val n = aIdx.numElements()
+    while (i < n && j < qIdx.length) {
+      val ai = aIdx.getInt(i)
+      if (ai == qIdx(j)) { s += aVal.getFloat(i).toDouble * qVal(j); i += 1; j += 1 }
+      else if (ai < qIdx(j)) i += 1
+      else j += 1
+    }
+    s
+  }
+}
+
+/** Dot product of a stored sparse vector (struct(idx,val), indices
+  * ascending) against a CONSTANT query sparse vector — the native,
+  * codegen'd form of the query-time sparse scoring path (the Scala-UDF
+  * version deserialized both arrays per row; this reads the unsafe struct
+  * in place, per the repo's no-UDFs-in-the-hot-path doctrine). */
+case class SparseDotConst(child: Expression, qIdx: Array[Int], qVal: Array[Float])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(fields) if fields.length == 2 &&
+      fields(0).dataType.isInstanceOf[ArrayType] &&
+      fields(0).dataType.asInstanceOf[ArrayType].elementType == IntegerType &&
+      fields(1).dataType.isInstanceOf[ArrayType] &&
+      fields(1).dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sparse_dot_const requires struct<idx:array<int>,val:array<float>>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sparse_dot_const"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bm25Sparse.dotRow(input.asInstanceOf[InternalRow], qIdx, qVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qi = ctx.addReferenceObj("sparseQIdx", qIdx, "int[]")
+    val qv = ctx.addReferenceObj("sparseQVal", qVal, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Bm25Sparse.dotRow($c, $qi, $qv)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SparseDotConst =
+    copy(child = newChild)
 }

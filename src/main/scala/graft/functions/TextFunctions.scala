@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** UUID literal (case-insensitive via explicit char classes — Spark and
-    * most SQL engines differ in inline-flag support, so keep it portable). */
-  val UuidRe = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+  /** UUID literal — EXACTLY the reference's regex (`ingestion_service.py:18`):
+    * lowercase hex only, `\b`-anchored (an uppercase UUID or a UUID-shaped
+    * substring inside a longer token is NOT masked, so templates — and
+    * therefore rhythm hashes — match the reference byte-for-byte). */
+  val UuidRe = "\\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\\b"
   val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   val IntRe = "\\b\\d+\\b"
 
@@ -39,9 +41,18 @@ object TextFunctions {
 
   /** Word tokens: lowercase, split on non-alphanumerics, drop empties.
     * Mirrors Qdrant's word tokenizer + lowercase text index
-    * (`/root/reference/app/services/qdrant_service.py:95`). */
+    * (`/root/reference/app/services/qdrant_service.py:95`). Native one-pass
+    * kernel (the `filter(split(...))` HOF form evaluates its lambda
+    * interpreted per element — identical values, ~10× the cost). */
   def wordTokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    graft.GraftFunctions.columnOf(
+      WordTokens(graft.GraftFunctions.exprOf(text)))
+
+  /** Count of tokens present in a fixed word set (with multiplicity) —
+    * native form of `size(filter(toks, t.isin(words)))`. */
+  def countInSet(tokens: Column, words: Seq[String]): Column =
+    graft.GraftFunctions.columnOf(
+      CountInSet(graft.GraftFunctions.exprOf(tokens), words))
 
   /** P7 — full-text match: ALL query tokens present in the word-token set. */
   def matchText(text: Column, query: String): Column = {
@@ -67,8 +78,7 @@ object TextFunctions {
     val nChars = length(text).cast("double")
     val toks = wordTokens(text)
     val nToks = greatest(size(toks).cast("double"), lit(1.0))
-    val stops = Stopwords.map(lit(_))
-    val nStop = size(filter(toks, t => t.isin(stops: _*))).cast("double")
+    val nStop = countInSet(toks, Stopwords).cast("double")
     val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
     val lenScore = least(nChars / lit(500.0), lit(1.0))
     val stopScore = least(nStop / nToks * lit(3.0), lit(1.0))

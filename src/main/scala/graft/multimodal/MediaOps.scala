@@ -112,21 +112,47 @@ object MediaOps {
     }
   }
 
+  /** mean / std / edge-energy of one pixel buffer (single-threaded loop —
+    * bit-deterministic, which the golden-parquet gate compare relies on). */
+  private[multimodal] def feats(pixels: Array[Float]): (Float, Float, Float) = {
+    val n = pixels.length.max(1)
+    val mean = pixels.sum / n
+    val variance = pixels.map(p => (p - mean) * (p - mean)).sum / n
+    var edge = 0f
+    var i = 1
+    while (i < pixels.length) {
+      edge += math.abs(pixels(i) - pixels(i - 1)); i += 1
+    }
+    (mean, math.sqrt(variance).toFloat, edge / n)
+  }
+
   /** Feature extraction: mean/std/edge-energy per decoded image — the
     * hand-off row shape for an embedding model (runs on real pixel data,
     * deterministic given the stub decode). */
   def imageFeatures(images: Dataset[DecodedImage]): DataFrame = {
     import images.sparkSession.implicits._
     images.map { img =>
-      val n = img.pixels.length.max(1)
-      val mean = img.pixels.sum / n
-      val variance = img.pixels.map(p => (p - mean) * (p - mean)).sum / n
-      var edge = 0f
-      var i = 1
-      while (i < img.pixels.length) {
-        edge += math.abs(img.pixels(i) - img.pixels(i - 1)); i += 1
-      }
-      (img.media_id, mean, math.sqrt(variance).toFloat, edge / n)
+      val (mean, std, edge) = feats(img.pixels)
+      (img.media_id, mean, std, edge)
     }.toDF("media_id", "px_mean", "px_std", "edge_energy")
+  }
+
+  /** Per-UNIT features across modalities: one row per image and per
+    * sampled video frame (`unit_idx` = 0 for images, the frame index for
+    * frames). All math is per-row (decode → features in one task), so the
+    * output is bit-deterministic — the driver-checkable gate shape for the
+    * multimodal pipeline. */
+  def unitFeatures(media: Dataset[MediaRow], everyN: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    val imgs = decodeImages(media).map { img =>
+      val (mean, std, edge) = feats(img.pixels)
+      (img.media_id, "image", 0, mean, std, edge)
+    }
+    val frames = sampleFrames(media, everyN).map { f =>
+      val (mean, std, edge) = feats(f.pixels)
+      (f.media_id, "video", f.frame_idx, mean, std, edge)
+    }
+    imgs.union(frames)
+      .toDF("media_id", "kind", "unit_idx", "px_mean", "px_std", "edge_energy")
   }
 }

@@ -56,11 +56,14 @@ object AnomalyOps {
       base_sample AS (
         SELECT * FROM ev WHERE ts_sec < $WindowStart
         ORDER BY ts_sec DESC, event_id DESC LIMIT $HistSample),
-      span AS (SELECT max(ts_sec) - min(ts_sec) AS dur FROM base_sample),
+      span AS (SELECT greatest(CAST(max(ts_sec) - min(ts_sec) AS DOUBLE), 1.0)
+          AS dur, count(*) AS base_n FROM base_sample),
       stats AS (
         SELECT rhythm_hash,
           count(*) * ($WindowSec / (SELECT dur FROM span)) AS mean
-        FROM base_sample GROUP BY 1),
+        FROM base_sample
+        WHERE (SELECT base_n FROM span) >= 2
+        GROUP BY 1),
       stats2 AS (
         SELECT rhythm_hash, mean, greatest($StdFloor, sqrt(mean)) AS std
         FROM stats)

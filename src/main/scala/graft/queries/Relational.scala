@@ -20,33 +20,42 @@ object Relational {
     * order cannot flip the hash compare. */
   def queries: Seq[QueryDef] = Seq(q1Agg, q3Topk, q5Join)
 
+  /** Money sums accumulate as DECIMAL(18,6) of the per-row double product
+    * (per-row IEEE math is identical across engines; the decimal SUM is
+    * order-independent, so AQE re-planning can never flip a half-cent
+    * rounding boundary the way double accumulation order can). */
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)"))
+
   private val q1Agg = QueryDef(
     "q1_agg",
     (s, dir) => {
       import s.implicits._
+      val disc = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      val charge = disc * (lit(1.0) + $"l_tax")
       Tables.lineitem(s, dir)
         .filter($"l_shipdate" < lit("2000-01-01").cast("timestamp_ntz"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_extendedprice"), 4).as("avg_price"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          round(decSum($"l_quantity").cast("double"), 2).as("sum_qty"),
+          round(decSum($"l_extendedprice").cast("double"), 2).as("sum_base_price"),
+          round(decSum(disc).cast("double"), 2).as("sum_disc_price"),
+          round(decSum(charge).cast("double"), 2).as("sum_charge"),
+          round(decSum($"l_quantity").cast("double") / count(lit(1)), 4).as("avg_qty"),
+          round(decSum($"l_extendedprice").cast("double") / count(lit(1)), 4).as("avg_price"),
+          round(decSum($"l_discount").cast("double") / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        round(avg(l_quantity), 4) AS avg_qty,
-        round(avg(l_extendedprice), 4) AS avg_price,
-        round(avg(l_discount), 4) AS avg_disc,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+        round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+        round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
         count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate < TIMESTAMP '2000-01-01'
@@ -63,16 +72,21 @@ object Relational {
         .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
       val li = Tables.lineitem(s, dir)
         .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp_ntz"))
+      // no explicit broadcast on customer: it grows with SF, so a forced
+      // hint becomes an OOM risk at 100×. AQE broadcasts it at runtime
+      // whenever the filtered side is under the threshold — the safe form
+      // of the same plan.
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderpriority")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .agg(round(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("double"), 2).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(20)
     },
     Some("""
       SELECT l_orderkey, o_orderpriority,
-        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -88,8 +102,8 @@ object Relational {
     "q5_join",
     (s, dir) => {
       import s.implicits._
-      // region -> nation -> (customer, supplier) are tiny: broadcast the
-      // whole dimension subtree; only orders⋈lineitem shuffles.
+      // region -> nation are fixed-size dims (joined into customer below);
+      // only orders⋈lineitem and the customer join shuffle.
       val dims = Tables.nation(s, dir)
         .join(Tables.region(s, dir).filter($"r_name".isin("ASIA", "EUROPE")),
           $"n_regionkey" === $"r_regionkey")
@@ -101,19 +115,24 @@ object Relational {
       val ord = Tables.orders(s, dir)
         .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
           $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      // customer is SF-proportional: no forced broadcast (AQE decides).
+      // nation/region (fixed-size, folded into `cust` via `dims`) and the
+      // 2-column supplier projection stay cheap; supplier keeps the hint —
+      // at TPC-H ratios it is 10× smaller than customer and 2 columns wide.
       Tables.lineitem(s, dir)
         .join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .join(broadcast(supp),
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .groupBy($"n_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        .agg(round(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"revenue".desc, $"n_name")
     },
     Some("""
       SELECT n_name,
-        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
         count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey

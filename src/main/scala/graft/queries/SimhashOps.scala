@@ -30,8 +30,10 @@ object SimhashOps {
   val BandMask: Long = (1L << BandBits) - 1
   val HammingMax = 20
 
-  /** P3 — native `simhash64` fingerprint per document (no SQL oracle:
-    * rows-only check here, exact values pinned by SimhashSpec goldens). */
+  /** P3 — native `simhash64` fingerprint per document. The md5-low-64
+    * multiplicity-weighted math is not practical in portable SQL, so the
+    * oracle is a committed golden parquet ([[Golden]], pinned at the
+    * driver's sf0.01 verify scale; drift caught by GoldenOracleSpec). */
   private val simhashFp = QueryDef(
     "simhash_fp",
     (s, dir) => {
@@ -41,7 +43,7 @@ object SimhashOps {
         .select($"doc_id", GraftFunctions.simhash64($"text").as("sh64"))
         .orderBy($"doc_id")
     },
-    None)
+    Some(Golden.sql("simhash_fp")))
 
   /** 60-bit simhash signature from distinct 4-shingles. The per-shingle
     * md5 base hashes are codegen'd built-ins; the 60-bit majority vote is

@@ -65,9 +65,9 @@ object StreamOps {
 
   /** V4 read path over the write-side sparse vectors: score documents
     * against a query text by sparse TF dot product (IDF-free form — the
-    * corpus-stats IDF variant is `bm25_score`). Rows-only driver check;
-    * exact values pinned by Bm25SparseSpec/GoldenSpec (murmur bucketing
-    * is not expressible in portable SQL). */
+    * corpus-stats IDF variant is `bm25_score`). Murmur bucketing is not
+    * expressible in portable SQL, so the oracle is a committed golden
+    * parquet ([[Golden]]); values also pinned by Bm25SparseSpec/GoldenSpec. */
   private val sparseScore = QueryDef(
     "sparse_score",
     (s, dir) => {
@@ -83,14 +83,15 @@ object StreamOps {
       }
       val sparse = GraftFunctions.columnOf(graft.functions.Bm25Sparse(
         GraftFunctions.exprOf($"text")))
-      val dotUdf = udf((idx: Seq[Int], vals: Seq[Float]) =>
-        graft.functions.Bm25Sparse.dot(idx.toArray, vals.toArray, qIdx, qVal))
+      // native codegen'd sparse dot (no Scala UDF in the scoring path)
       Tables.documents(s, dir)
         .select($"doc_id", sparse.as("sp"))
-        .select($"doc_id", round(dotUdf($"sp.idx", $"sp.val"), 6).as("score"))
+        .select($"doc_id",
+          round(GraftFunctions.columnOf(graft.functions.SparseDotConst(
+            GraftFunctions.exprOf($"sp"), qIdx, qVal)), 6).as("score"))
         .filter($"score" > 0)
         .orderBy($"score".desc, $"doc_id")
         .limit(30)
     },
-    None)
+    Some(Golden.sql("sparse_score")))
 }

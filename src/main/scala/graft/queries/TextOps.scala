@@ -106,8 +106,10 @@ object TextOps {
     (s, dir) => {
       import s.implicits._
       val toks = wordTokens($"text")
+      // native CountInSet kernel, not filter(isin) HOFs — 5 interpreted
+      // lambdas per token was a top-5 bench cost; values are identical
       val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, ms) =>
-        lang -> size(filter(toks, t => t.isin(ms.map(lit(_)): _*))).cast("long")
+        lang -> countInSet(toks, ms)
       }
       val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
       val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>

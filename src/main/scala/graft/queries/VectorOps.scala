@@ -300,27 +300,40 @@ object VectorOps {
     """
     })
 
-  /** Embedding-cosine near-dup (training-pipeline op): blocked self-join
-    * (same label, vec_id distance <= 50) → pairwise cosine → top-50. The
-    * block key bounds the pair count linearly in corpus size. */
+  /** Embedding-cosine near-dup (training-pipeline op): blocked self-join →
+    * pairwise cosine → top-50. The block key is an LSH sign bucket of the
+    * vector itself ([[NeardupBits]] hyperplane bits, same family as
+    * `ann_lsh`) — data-derived and ~uniform, unlike a label/category block
+    * whose few distinct values skew the self-join shuffle at 100 TB. Two
+    * near-identical vectors agree on every sign bit, so true near-dups
+    * stay in-bucket; the id-distance cap bounds the per-bucket pair count. */
+  val NeardupBits = 8
+
   private val neardupCosine = QueryDef(
     "neardup_cosine",
     (s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
-      val b = e.select($"vec_id".as("b_id"), $"label".as("lb"), $"embedding".as("eb"))
-      a.join(b, $"label" === $"lb" && $"a_id" < $"b_id" && $"b_id" - $"a_id" <= 50)
+        .withColumn("bucket", packSignBits($"embedding", NeardupBits))
+      val a = e.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("b_id"), $"bucket".as("bb"), $"embedding".as("eb"))
+      a.join(b, $"bucket" === $"bb" && $"a_id" < $"b_id" && $"b_id" - $"a_id" <= 50)
         .select($"a_id", $"b_id", round(cosine($"ea", $"eb"), 6).as("cos_sim"))
         .orderBy($"cos_sim".desc, $"a_id", $"b_id")
         .limit(50)
     },
-    Some("""
-      WITH pairs AS (
+    Some(s"""
+      WITH bk AS (
+        SELECT vec_id, embedding,
+          CAST(list_sum(list_transform(range($NeardupBits),
+            i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+                 ELSE 0 END)) AS BIGINT) AS bucket
+        FROM embeddings),
+      pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           a.embedding AS ea, b.embedding AS eb
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM bk a JOIN bk b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           AND b.vec_id - a.vec_id <= 50),
       sc AS (
         SELECT a_id, b_id,

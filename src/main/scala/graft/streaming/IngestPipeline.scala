@@ -50,11 +50,14 @@ object IngestPipeline {
       checkpoint: String,
       triggerMs: Long = 500,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    // read as TEXT, not .json(schema): parseJson keeps the ORIGINAL line in
+    // full_log_json (a schema'd json read would re-serialize through
+    // OTel.schema and drop unknown attributes / extra value arms — the
+    // reference stores the raw record verbatim, ingestion_service.py:66)
     val raw = spark.readStream
-      .schema(OTel.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(inputDir)
-    derive(OTel.flatten(raw))
+      .text(inputDir)
+    derive(OTel.parseJson(raw))
       .writeStream
       .format("parquet")
       .option("path", tier1Path)

@@ -61,8 +61,7 @@ object OTel {
       coalesce(serviceName(rl.getField("resource").getField("attributes")),
         lit("unknown")).as("service"),
       coalesce(rec.getField("severityText"), lit("INFO")).as("severity"),
-      (rec.getField("timeUnixNano").cast("long") / lit(1000000000L))
-        .cast("long").as("ts_sec"),
+      rec.getField("timeUnixNano").cast("long").as("ts_nanos"),
       rec.getField("body").getField("stringValue").as("body"))
     // reference keeps the entire raw record in the payload
     // (ingestion_service.py:66 `full_log_json`); retained losslessly as a
@@ -70,6 +69,12 @@ object OTel {
     val cols = if (hasRaw) base :+ col("full_log_json")
       else base :+ to_json(struct(col("resourceLogs"))).as("full_log_json")
     raw.select(cols: _*)
+      // integer division (`div`), NOT `/`: Spark's `/` on longs is double
+      // division, and nanos (~1.7e18) exceed 2^53 — the quotient can land
+      // on the wrong second within ~128 ns of a boundary (same fix as
+      // Tables.events' ts_sec)
+      .withColumn("ts_sec", expr("ts_nanos div 1000000000"))
+      .select("service", "severity", "ts_sec", "body", "full_log_json")
       .filter(col("ts_sec").isNotNull && col("body").isNotNull)
   }
 

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.analysis.Promoter
+import graft.control.Rules
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** T5, fully-streaming form — the watermarked promotion pipeline:
+  * StatefulDetector anomalies → rules enforcement → Promoter rollup →
+  * Tier-2 append, all driven by one `foreachBatch` sink (completes the
+  * streaming path started with the facade's `startStatefulDetection`;
+  * VERDICT r1 item 10).
+  *
+  * Contract: each micro-batch of CLOSED anomaly windows is promoted by
+  * exactly the batch `Promoter.rollup` the 60 s loop uses
+  * (`AnalysisJob.runOnce`), applied per window — so streaming output ==
+  * batch output for the same events (PromotionStreamSpec proves the
+  * parity). Reference flow: `rhythm_analysis_service.py:108` →
+  * `promotion_service.py:14-53`.
+  *
+  * Scale shape: the detector carries only per-(hash,window) counts through
+  * the shuffle; promotion reads Tier-1 pruned to the anomaly windows
+  * (dt/ts predicate → partition pruning + parquet min/max skipping); the
+  * per-window loop is control-plane (a handful of closed windows per
+  * trigger), never data-sized.
+  */
+object PromotionStream {
+
+  /** Promote one micro-batch of closed anomaly windows — the exact batch
+    * semantics, applied per distinct `window_start`. */
+  def promoteBatch(
+      spark: SparkSession,
+      anomalies: DataFrame,
+      tier1Path: String,
+      tier2Path: String,
+      rules: Option[Rules],
+      windowSec: Long): Unit = {
+    if (anomalies.isEmpty) return
+    val t1 = spark.read.parquet(tier1Path)
+    // distinct closed windows this trigger: bounded by trigger cadence
+    // (control-plane collect, not data-plane)
+    val windows = anomalies.select("window_start").distinct()
+      .collect().map(_.getLong(0)).sorted
+    windows.foreach { w =>
+      val nowSec = w + windowSec
+      val anomsW0 = anomalies.filter(col("window_start") === w)
+        .select("rhythm_hash", "anomaly_type", "n", "baseline_mean")
+      val anomsW = rules.fold(anomsW0)(r => r.enforce(anomsW0, nowSec))
+      val points = t1.filter(col("ts_sec") >= w && col("ts_sec") < nowSec)
+      Promoter.promote(anomsW, points, tier2Path)
+    }
+  }
+
+  /** Start the end-to-end stream: Tier-1 file stream → watermarked keyed
+    * detection → per-window promotion into Tier-2. */
+  def start(
+      spark: SparkSession,
+      tier1Path: String,
+      tier2Path: String,
+      checkpoint: String,
+      rules: Option[Rules] = None,
+      windowSec: Long = 60,
+      watermarkDelay: String = "2 minutes",
+      thresholds: StatefulDetector.Thresholds = StatefulDetector.Thresholds(),
+      triggerMs: Long = 1000,
+      stateTtlMs: Option[Long] = Some(StatefulDetector.DefaultStateTtlMs)): StreamingQuery = {
+    val schema = spark.read.parquet(tier1Path).schema
+    val logs = spark.readStream.schema(schema).parquet(tier1Path)
+      .select("rhythm_hash", "ts_sec")
+    StatefulDetector.detect(logs, windowSec, watermarkDelay, thresholds, stateTtlMs)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        try promoteBatch(batch.sparkSession, batch, tier1Path, tier2Path,
+          rules, windowSec)
+        catch {
+          case e: Exception =>
+            // reference behavior: log and keep the loop alive (worker.py:32-34)
+            System.err.println(s"[promotion] batch failed: ${e.getMessage}")
+        }
+      }
+      .start()
+  }
+}

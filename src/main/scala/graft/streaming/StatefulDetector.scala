@@ -39,11 +39,23 @@ object StatefulDetector {
       stdFloor: Double = StdFloor)
 
   /** Classify one closed window against state and update it.
-    * Exposed for unit testing; pure apart from `state`. */
-  def classify(th: Thresholds)(
+    * Exposed for unit testing; pure apart from `state`.
+    *
+    * `ttlMs` — idle-state eviction: every update re-arms a processing-time
+    * timeout; a rhythm hash with no traffic for the TTL gets its state
+    * REMOVED (without this, one HashState per distinct hash lives forever —
+    * unbounded on a 100 TB stream where template storms mint new hashes).
+    * An evicted hash that reappears re-enters as novelty, which is exactly
+    * the reference's behavior for a hash absent from the 10k-point
+    * historical sample (rhythm_analysis_service.py:66-108). */
+  def classify(th: Thresholds, ttlMs: Option[Long] = None)(
       key: String,
       counts: Iterator[WindowCount],
       state: GroupState[HashState]): Iterator[Anomaly] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val sorted = counts.toSeq.sortBy(_.windowStart)
     var st = state.getOption.getOrElse(HashState(0L, 0.0))
     val out = Seq.newBuilder[Anomaly]
@@ -64,19 +76,29 @@ object StatefulDetector {
         (st.mean * st.windows + wc.n) / (st.windows + 1))
     }
     state.update(st)
+    ttlMs.foreach(state.setTimeoutDuration)
     out.result().iterator
   }
 
   /** Wire the stateful detector over a canonical log stream
     * (rhythm_hash, ts_sec): tumbling windows + watermark + keyed state.
     * Returns the anomaly stream (append mode). */
+  /** Default idle-state TTL: an hour of silence evicts a hash's baseline
+    * (it re-detects as novelty on return). Pass `stateTtl = None` to keep
+    * state forever (test/batch comparisons). */
+  val DefaultStateTtlMs: Long = 60 * 60 * 1000L
+
   def detect(
       logs: DataFrame,
       windowSec: Long = 60,
       watermarkDelay: String = "2 minutes",
-      thresholds: Thresholds = Thresholds()): Dataset[Anomaly] = {
+      thresholds: Thresholds = Thresholds(),
+      stateTtlMs: Option[Long] = Some(DefaultStateTtlMs)): Dataset[Anomaly] = {
     val spark = logs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     logs
       .withColumn("ts", to_timestamp(from_unixtime(col("ts_sec"))))
       .withWatermark("ts", watermarkDelay)
@@ -88,6 +110,6 @@ object StatefulDetector {
       .map { case (h, w, n) => WindowCount(h, w, n) }
       .groupByKey(_.rhythmHash)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(classify(thresholds))
+        OutputMode.Append(), timeoutConf)(classify(thresholds, stateTtlMs))
   }
 }

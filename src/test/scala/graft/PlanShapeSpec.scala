@@ -61,6 +61,28 @@ class PlanShapeSpec extends SparkSpec {
       "quantized scoring stays a single-pass top-k")
   }
 
+  test("no forced broadcast on SF-proportional sides (q3/q5); fixed dims keep hints") {
+    // customer grows with SF: a forced hint would OOM at 100× — AQE must
+    // decide at runtime. The 2-column supplier projection keeps its hint.
+    def analyzed(name: String): String = {
+      val q = Registry.all.find(_.name == name).get
+      q.fn(spark, dir).queryExecution.analyzed.toString
+    }
+    assert(!analyzed("q3_topk").contains("ResolvedHint"),
+      "q3 must carry no broadcast hint (AQE decides for customer)")
+    val q5 = analyzed("q5_join")
+    assert(q5.contains("ResolvedHint"), "q5 keeps the supplier-subtree hint")
+    assert(q5.indexOf("ResolvedHint") == q5.lastIndexOf("ResolvedHint"),
+      "exactly one hint (supplier) in q5")
+  }
+
+  test("neardup_cosine blocks on the LSH bucket, not a low-cardinality label") {
+    val q = Registry.all.find(_.name == "neardup_cosine").get
+    val p = q.fn(spark, dir).queryExecution.optimizedPlan.toString
+    assert(!p.contains("(label"), "label must not be a join key")
+    assert(p.contains("bucket"), "expected the sign-bucket block key")
+  }
+
   test("whole-stage codegen covers the scan->project hot path (template_hash)") {
     val q = Registry.all.find(_.name == "template_hash").get
     val p = q.fn(spark, dir).queryExecution.explainString(

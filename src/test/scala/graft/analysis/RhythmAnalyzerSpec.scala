@@ -36,6 +36,26 @@ class RhythmAnalyzerSpec extends SparkSpec {
     assert(outBurst.head.getAs[Double]("baseline_mean") == 6.6667)
   }
 
+  test("<2 baseline points -> no stats, recent hashes all classify novelty") {
+    // reference guard (rhythm_analysis_service.py:42-46): a 1-point
+    // baseline returns {}, so even a hash PRESENT in it flags as novelty
+    val rows = Seq(("h", w - 50L)) ++ Seq(("h", w + 1), ("h", w + 2))
+    val out = RhythmAnalyzer.detect(ev(rows), w, 60).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("h", "novelty")))
+  }
+
+  test("zero-span baseline survives ANSI mode (span floored at 1s)") {
+    // all baseline points share one epoch second: raw span = 0 -> the
+    // unguarded mean would be DIVIDE_BY_ZERO under ANSI; floor makes it
+    // hist_n * windowSec / 1
+    val hist = Seq.tabulate(5)(_ => ("h", w - 10L))
+    val recent = Seq.tabulate(4)(i => ("h", w + i.toLong))
+    val out = RhythmAnalyzer.detect(ev(hist ++ recent), w, 60).collect()
+    // mean = 5*60/1 = 300 -> 4 recent hits are way below: no anomaly, no crash
+    assert(out.isEmpty)
+  }
+
   test("historical sample cap bounds the baseline (T3)") {
     // 30 old points for 'cap' but sample limited to the 10 newest overall
     val old = Seq.tabulate(30)(i => ("cap", w - 1000 + i)) // ts 0..29

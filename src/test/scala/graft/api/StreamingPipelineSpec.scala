@@ -25,8 +25,10 @@ class StreamingPipelineSpec extends SparkSpec {
     via.ingestBatch((0 until 4).map(i =>
       otel("pay", base + 10 + i, "card declined for order x")).toDF("value"))
 
+    // stateTtlMs = None: processAllAvailable is unreliable under
+    // ProcessingTimeTimeout (TTL is unit-tested in StatefulDetectorTtlSpec)
     val q = via.startStatefulDetection(
-      windowSec = 60, watermarkDelay = "30 seconds")
+      windowSec = 60, watermarkDelay = "30 seconds", stateTtlMs = None)
     try {
       q.processAllAvailable()
       // batch 2: much later traffic — advances the watermark past the
@@ -51,7 +53,8 @@ class StreamingPipelineSpec extends SparkSpec {
     via.ingestBatch(Seq(otel("db", base + 5, "single event")).toDF("value"))
     val q = via.startStatefulDetection(windowSec = 60,
       watermarkDelay = "10 seconds",
-      thresholds = StatefulDetector.Thresholds(noveltyMinCount = 1))
+      thresholds = StatefulDetector.Thresholds(noveltyMinCount = 1),
+      stateTtlMs = None)
     try {
       q.processAllAvailable()
       via.ingestBatch(Seq(otel("db", base + 300, "later")).toDF("value"))

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** T5 fully-streaming: watermarked detection → per-window promotion must
+  * produce EXACTLY the rows the batch path produces for the same events
+  * (the parity contract of PromotionStream.promoteBatch). */
+class PromotionStreamSpec extends SparkSpec {
+
+  test("streaming promotion == batch promotion for the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-promo").toString
+    val base = 1700000000L
+    val th = StatefulDetector.Thresholds(
+      noveltyMinCount = 2, freqMinCount = 2, freqSigma = 1.0, stdFloor = 0.5)
+    val windowSec = 60L
+
+    // window base+0: novelty (n=3); window base+120: frequency burst (n=8)
+    val events: Seq[(String, Long)] =
+      Seq.tabulate(3)(i => ("h1", base + i)) ++
+        Seq.tabulate(8)(i => ("h1", base + 120 + i))
+
+    // Tier-1 fixture the promotion joins its points from
+    events.zipWithIndex.map { case ((h, ts), i) =>
+      (h, ts, "auth", "INFO", s"login event $i")
+    }.toDF("rhythm_hash", "ts_sec", "service", "severity", "body")
+      .write.parquet(s"$tmp/tier1")
+
+    // --- batch reference: detector in batch mode, same promotion fn ---
+    val batchAnoms = StatefulDetector.detect(
+      events.toDF("rhythm_hash", "ts_sec"), windowSec, thresholds = th).toDF()
+    PromotionStream.promoteBatch(spark, batchAnoms,
+      s"$tmp/tier1", s"$tmp/t2_batch", None, windowSec)
+
+    // --- streaming: MemoryStream + watermark closes the windows ---
+    val input = MemoryStream[(String, Long)]
+    // stateTtlMs = None: with ProcessingTimeTimeout the engine schedules
+    // timeout-check batches continuously under the default 0ms trigger and
+    // processAllAvailable never settles — TTL behavior is unit-tested in
+    // StatefulDetectorTtlSpec; production (PromotionStream.start) runs a
+    // real trigger interval, where timeout batches fire once per trigger
+    val q = StatefulDetector.detect(
+      input.toDF().toDF("rhythm_hash", "ts_sec"), windowSec,
+      watermarkDelay = "10 seconds", thresholds = th, stateTtlMs = None).toDF()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        PromotionStream.promoteBatch(b.sparkSession, b,
+          s"$tmp/tier1", s"$tmp/t2_stream", None, windowSec)
+      }
+      .start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // watermark sentinel: closes both windows; its own count of 1 is
+      // below noveltyMinCount so it flags in NEITHER path
+      input.addData(("sentinel", base + 4000))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(path: String): Seq[String] =
+      spark.read.parquet(path)
+        .drop("dense", "sparse_idx", "sparse_val") // deterministic, but bulky
+        .collect().map(_.toString).toSeq.sorted
+    val batchRows = rows(s"$tmp/t2_batch")
+    val streamRows = rows(s"$tmp/t2_stream")
+    assert(batchRows.nonEmpty, "batch reference must promote something")
+    assert(batchRows.exists(_.contains("novelty")))
+    assert(batchRows.exists(_.contains("frequency")))
+    assert(streamRows == batchRows,
+      s"parity broken:\nbatch=$batchRows\nstream=$streamRows")
+  }
+}

@@ -14,7 +14,11 @@ class StatefulStreamingSmokeSpec extends SparkSpec {
     val input = MemoryStream[(String, Long)]
     val logs = input.toDF().toDF("rhythm_hash", "ts_sec")
 
-    val q = StatefulDetector.detect(logs, watermarkDelay = "10 seconds")
+    // stateTtlMs = None: processAllAvailable is unreliable under
+    // ProcessingTimeTimeout's continuous timeout-check batches (see
+    // PromotionStreamSpec); TTL is unit-tested in StatefulDetectorTtlSpec
+    val q = StatefulDetector.detect(logs, watermarkDelay = "10 seconds",
+      stateTtlMs = None)
       .writeStream.format("memory").queryName("anomalies")
       .outputMode(OutputMode.Append()).start()
     try {
