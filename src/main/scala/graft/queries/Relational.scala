@@ -20,12 +20,25 @@ object Relational {
     * order cannot flip the hash compare. */
   def queries: Seq[QueryDef] = Seq(q1Agg, q3Topk, q5Join)
 
-  /** Money sums accumulate as DECIMAL(18,6) of the per-row double product
-    * (per-row IEEE math is identical across engines; the decimal SUM is
-    * order-independent, so AQE re-planning can never flip a half-cent
-    * rounding boundary the way double accumulation order can). */
-  private def decSum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,6)"))
+  /** Exact, order-independent money accumulation WITHOUT decimal boxing:
+    * each per-row amount becomes integer MICROS and the sum runs over
+    * LONGs inside whole-stage codegen. Double accumulation is
+    * order-dependent (AQE re-planning flipped a half-cent boundary);
+    * DECIMAL(18,6) sums were exact too but ~4× slower in the agg loop —
+    * and `round()` itself goes through BigDecimal per row in Spark, so the
+    * half-up is `floor(x*1e6 + 0.5)`: pure IEEE ops, bit-identical across
+    * engines for these positive amounts. */
+  private def microsSum(c: org.apache.spark.sql.Column) =
+    sum(floor(c * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** micros → money at 2 decimals, HALF_UP (positive amounts only). */
+  private def cents(sumMicros: org.apache.spark.sql.Column) =
+    floor((sumMicros + lit(5000L)).cast("double") / lit(10000.0)) / lit(100.0)
+
+  /** micros → per-row average at 4 decimals. */
+  private def avg4(sumMicros: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column) =
+    round(sumMicros.cast("double") / n / lit(1000000.0), 4)
 
   private val q1Agg = QueryDef(
     "q1_agg",
@@ -33,35 +46,41 @@ object Relational {
       import s.implicits._
       val disc = $"l_extendedprice" * (lit(1.0) - $"l_discount")
       val charge = disc * (lit(1.0) + $"l_tax")
+      val n = count(lit(1))
       Tables.lineitem(s, dir)
         .filter($"l_shipdate" < lit("2000-01-01").cast("timestamp_ntz"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(decSum($"l_quantity").cast("double"), 2).as("sum_qty"),
-          round(decSum($"l_extendedprice").cast("double"), 2).as("sum_base_price"),
-          round(decSum(disc).cast("double"), 2).as("sum_disc_price"),
-          round(decSum(charge).cast("double"), 2).as("sum_charge"),
-          round(decSum($"l_quantity").cast("double") / count(lit(1)), 4).as("avg_qty"),
-          round(decSum($"l_extendedprice").cast("double") / count(lit(1)), 4).as("avg_price"),
-          round(decSum($"l_discount").cast("double") / count(lit(1)), 4).as("avg_disc"),
+          cents(microsSum($"l_quantity")).as("sum_qty"),
+          cents(microsSum($"l_extendedprice")).as("sum_base_price"),
+          cents(microsSum(disc)).as("sum_disc_price"),
+          cents(microsSum(charge)).as("sum_charge"),
+          avg4(microsSum($"l_quantity"), n).as("avg_qty"),
+          avg4(microsSum($"l_extendedprice"), n).as("avg_price"),
+          avg4(microsSum($"l_discount"), n).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
-    Some("""
+    Some {
+      def micros(x: String) = s"sum(CAST(floor(($x) * 1000000.0 + 0.5) AS BIGINT))"
+      def cents(x: String) = s"floor(CAST(${micros(x)} + 5000 AS DOUBLE) / 10000.0) / 100.0"
+      def avg4(x: String) = s"round(CAST(${micros(x)} AS DOUBLE) / count(*) / 1000000.0, 4)"
+      s"""
       SELECT l_returnflag, l_linestatus,
-        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
-        round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
-        round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
-        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
-        round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        ${cents("l_quantity")} AS sum_qty,
+        ${cents("l_extendedprice")} AS sum_base_price,
+        ${cents("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${cents("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${avg4("l_quantity")} AS avg_qty,
+        ${avg4("l_extendedprice")} AS avg_price,
+        ${avg4("l_discount")} AS avg_disc,
         count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate < TIMESTAMP '2000-01-01'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus
-    """))
+    """
+    })
 
   private val q3Topk = QueryDef(
     "q3_topk",
@@ -79,14 +98,14 @@ object Relational {
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderpriority")
-        .agg(round(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-          .cast("double"), 2).as("revenue"))
+        .agg(cents(microsSum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(20)
     },
     Some("""
       SELECT l_orderkey, o_orderpriority,
-        round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) + 5000 AS DOUBLE) / 10000.0) / 100.0 AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -125,14 +144,14 @@ object Relational {
         .join(broadcast(supp),
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .groupBy($"n_name")
-        .agg(round(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-          .cast("double"), 2).as("revenue"),
+        .agg(cents(microsSum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"revenue".desc, $"n_name")
     },
     Some("""
       SELECT n_name,
-        round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) + 5000 AS DOUBLE) / 10000.0) / 100.0 AS revenue,
         count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
