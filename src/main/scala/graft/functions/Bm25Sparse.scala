@@ -54,7 +54,9 @@ object Bm25Sparse {
   val AvgDl = 256.0
   private val Seed = 0x5bd1e995
 
-  def compute(input: UTF8String): InternalRow = {
+  def compute(input: UTF8String): InternalRow = compute(input, AvgDl)
+
+  def compute(input: UTF8String, avgDl: Double): InternalRow = {
     val toks = input.toString.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     val dl = toks.length.toDouble
     val tf = new java.util.TreeMap[Int, Int]()
@@ -72,7 +74,7 @@ object Bm25Sparse {
       val e = it.next()
       idx(i) = e.getKey
       val f = e.getValue.toDouble
-      vals(i) = (f * (K1 + 1.0) / (f + K1 * (1.0 - B + B * dl / AvgDl))).toFloat
+      vals(i) = (f * (K1 + 1.0) / (f + K1 * (1.0 - B + B * dl / avgDl))).toFloat
       i += 1
     }
     new GenericInternalRow(Array[Any](
@@ -141,4 +143,93 @@ case class SparseDotConst(child: Expression, qIdx: Array[Int], qVal: Array[Float
 
   override protected def withNewChildInternal(newChild: Expression): SparseDotConst =
     copy(child = newChild)
+}
+
+/** [[Bm25Sparse]] with a CORPUS average document length (reference
+  * fidelity: Qdrant computes BM25 stats server-side over the real corpus,
+  * `qdrant_service.py:23,80` — the fixed `AvgDl = 256` base form is the
+  * streaming-append trade-off, this is the stats-pass variant). `avgDl`
+  * is a scalar column (broadcast corpus aggregate), not a literal, so the
+  * two-pass query stays one declarative plan with no driver collect. */
+case class Bm25SparseDl(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bm25_sparse_dl requires (string, double), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", ArrayType(IntegerType, containsNull = false)),
+    StructField("val", ArrayType(FloatType, containsNull = false))))
+
+  override def prettyName: String = "bm25_sparse_dl"
+
+  override protected def nullSafeEval(text: Any, avgDl: Any): Any =
+    Bm25Sparse.compute(text.asInstanceOf[UTF8String],
+      avgDl.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, a) =>
+      s"graft.functions.Bm25Sparse.compute($t, $a)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Bm25SparseDl =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two sparse-vector struct columns (indices ascending) —
+  * the stored-vs-query scoring path when BOTH sides are computed in the
+  * plan (e.g. corpus-avgdl BM25, where the query vector depends on the
+  * stats pass and cannot be a driver-side constant). */
+case class SparseDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def isSparse(t: DataType): Boolean = t match {
+    case StructType(fields) => fields.length == 2 &&
+      fields(0).dataType.isInstanceOf[ArrayType] &&
+      fields(0).dataType.asInstanceOf[ArrayType].elementType == IntegerType &&
+      fields(1).dataType.isInstanceOf[ArrayType] &&
+      fields(1).dataType.asInstanceOf[ArrayType].elementType == FloatType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isSparse(left.dataType) && isSparse(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sparse_dot requires two struct<idx:array<int>,val:array<float>>, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sparse_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SparseDot.dotRows(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SparseDot.dotRows($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparseDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object SparseDot {
+  def dotRows(a: InternalRow, b: InternalRow): Double = {
+    val aIdx = a.getArray(0); val aVal = a.getArray(1)
+    val bIdx = b.getArray(0); val bVal = b.getArray(1)
+    var i = 0; var j = 0; var s = 0.0
+    val n = aIdx.numElements(); val m = bIdx.numElements()
+    while (i < n && j < m) {
+      val ai = aIdx.getInt(i); val bj = bIdx.getInt(j)
+      if (ai == bj) { s += aVal.getFloat(i).toDouble * bVal.getFloat(j); i += 1; j += 1 }
+      else if (ai < bj) i += 1
+      else j += 1
+    }
+    s
+  }
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
-  def queries: Seq[QueryDef] = Seq(statefulDetect, sparseScore)
+  def queries: Seq[QueryDef] = Seq(statefulDetect, sparseScore, sparseCorpusScore)
 
   /** Demo thresholds for the low-rate synthetic stream (the production
     * defaults never fire on a uniform Poisson-ish corpus — tightened here
@@ -94,4 +94,37 @@ object StreamOps {
         .limit(30)
     },
     Some(Golden.sql("sparse_score")))
+
+  /** V4, reference-fidelity variant: write-side sparse vectors weighted
+    * with the CORPUS average document length (Qdrant computes BM25 stats
+    * server-side over the real corpus, `qdrant_service.py:23,80`; the base
+    * `sparse_score` uses the declared fixed avgdl=256 streaming-append
+    * trade-off). The stats pass is one broadcast scalar aggregate — both
+    * document AND query vectors take `avgdl` from it in-plan (native
+    * [[graft.functions.Bm25SparseDl]] + [[graft.functions.SparseDot]];
+    * no driver collect, no UDF). avgdl rounded to 6 dp for cross-run
+    * stability. */
+  private val sparseCorpusScore = QueryDef(
+    "sparse_corpus_score",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.wordTokens
+      val docs = Tables.documents(s, dir)
+      // corpus avgdl over the same tokenization Bm25Sparse uses
+      val stats = docs.agg(
+        round(avg(size(wordTokens($"text"))), 6).as("adl"))
+      def sparseDl(text: org.apache.spark.sql.Column) =
+        GraftFunctions.columnOf(graft.functions.Bm25SparseDl(
+          GraftFunctions.exprOf(text), GraftFunctions.exprOf($"adl")))
+      docs.crossJoin(broadcast(stats))
+        .select($"doc_id",
+          round(GraftFunctions.columnOf(graft.functions.SparseDot(
+            GraftFunctions.exprOf(sparseDl($"text")),
+            GraftFunctions.exprOf(sparseDl(lit("filter window join"))))), 6)
+            .as("score"))
+        .filter($"score" > 0)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(30)
+    },
+    Some(Golden.sql("sparse_corpus_score")))
 }

@@ -17,7 +17,7 @@ object VectorOps {
 
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
-      int8Topk)
+      int8Topk, int8CorpusTopk)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -299,6 +299,59 @@ object VectorOps {
       LIMIT 20
     """
     })
+
+  /** V7, reference-fidelity variant — INT8 quantization with a CORPUS
+    * 0.99-quantile bound and outlier clipping, exactly Qdrant's
+    * `ScalarQuantization(type=INT8, quantile=0.99)`
+    * (`qdrant_service.py:84-90`): pass 1 computes the 0.99 quantile of
+    * |component| over the whole corpus (one broadcast scalar — the
+    * write-time stats pass at warehouse scale; `int8_topk` above is the
+    * zero-pass per-vector form), pass 2 quantizes with
+    * `clamp(round(x*127/bound), -127, 127)` and scores integer cosine.
+    * The bound is rounded to 6 dp on both engines so a last-ulp
+    * percentile-interpolation difference cannot flip a component. */
+  private val int8CorpusTopk = QueryDef(
+    "int8_corpus_topk",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.QuantizeInt8.qcosine
+      val e = Tables.embeddings(s, dir)
+      val bound = e.select(explode($"embedding").as("x"))
+        .agg(round(expr("percentile(abs(cast(x as double)), 0.99)"), 6).as("b"))
+      def clip(v: org.apache.spark.sql.Column) =
+        transform(v, x => greatest(least(
+          round(x.cast("double") * 127.0 / $"b", 0), lit(127.0)), lit(-127.0))
+          .cast("long"))
+      val qLit = array(Q.map(lit): _*)
+      e.crossJoin(broadcast(bound))
+        .select($"vec_id", $"label",
+          round(qcosine(clip($"embedding"), clip(qLit)), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(20)
+    },
+    Some(s"""
+      WITH bound AS (
+        SELECT round(quantile_cont(abs(x::DOUBLE), 0.99), 6) AS b
+        FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+      qz AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x ->
+            greatest(least(round(x::DOUBLE * 127.0 / b), 127.0), -127.0)::BIGINT) AS qv,
+          list_transform($QSql, x ->
+            greatest(least(round(x * 127.0 / b), 127.0), -127.0)::BIGINT) AS qq
+        FROM embeddings, bound),
+      d AS (
+        SELECT vec_id, label,
+          list_sum(list_transform(range(1, 65), i -> qv[i] * qq[i]))::DOUBLE AS dd,
+          sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS nv,
+          sqrt(list_sum(list_transform(qq, x -> x * x))::DOUBLE) AS nq
+        FROM qz)
+      SELECT vec_id, label,
+        round(CASE WHEN nv * nq = 0 THEN 0.0 ELSE dd / (nv * nq) END, 6) AS score
+      FROM d
+      ORDER BY score DESC, vec_id
+      LIMIT 20
+    """))
 
   /** Embedding-cosine near-dup (training-pipeline op): blocked self-join →
     * pairwise cosine → top-50. The block key is an LSH sign bucket of the

@@ -25,6 +25,10 @@ class IngestThroughputSpec extends SparkSpec {
     val rate = n / secs
     info(f"ingest derivation: $n rows in $secs%.2f s = $rate%.0f rows/s")
     assert(IngestPipeline.ingestBatch(lines).count() == n)
-    assert(rate > 10000, f"derivation pipeline too slow: $rate%.0f rows/s")
+    // 50x the reference's 100 logs/s: high enough to catch a real
+    // regression (an interpreted-kernel slip costs 10x), low enough not
+    // to flake when the suite saturates all cores around this test
+    // (measured 13k rows/s solo, ~7k under full-suite contention)
+    assert(rate > 5000, f"derivation pipeline too slow: $rate%.0f rows/s")
   }
 }
