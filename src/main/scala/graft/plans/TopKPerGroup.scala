@@ -35,18 +35,35 @@ case class TopKPerGroupNode(
 }
 
 object TopKPerGroupStrategy extends SparkStrategy {
+  /** Set to `true` to plan the sort-based exec (O(k) memory per partition,
+    * sort spill handled by Spark's external sorter) instead of the default
+    * hash exec (no sort, memory ∝ groups-per-partition). */
+  val SortBasedKey = "spark.graft.topKPerGroup.sortBased"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(group, order, k, child) =>
-      TopKPerGroupExec(group, order, k, planLater(child)) :: Nil
+      val sortBased = org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.conf.get(SortBasedKey, "false").toBoolean)
+      TopKPerGroupExec(group, order, k, planLater(child), sortBased) :: Nil
     case _ => Nil
   }
 }
 
+/** MEMORY CONTRACT: the default (hash) mode holds at most
+  * k · |distinct groups in the partition| row copies plus one UnsafeRow
+  * key per group — NOT proportional to input rows. That is the right
+  * trade for the engine's group domains (rhythm hashes, day buckets:
+  * ≤ millions of groups ⇒ tens of MB at k≤10). For ultra-high-cardinality
+  * group keys set [[TopKPerGroupStrategy.SortBasedKey]]: the planner then
+  * requires a child sort on the group key (Spark's external sorter spills
+  * it to disk) and this exec streams one group at a time with O(k) memory.
+  */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    sortBased: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -55,40 +72,87 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
+  /** Sort-based mode additionally asks for group-key order, making the
+    * per-group scan streaming (spillable sort instead of a hash map). */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (sortBased)
+      Seq(groupExprs.map(SortOrder(_,
+        org.apache.spark.sql.catalyst.expressions.Ascending)))
+    else Seq(Nil)
+
   override protected def doExecute(): RDD[InternalRow] = {
+    import TopKPerGroupExec.insert
     val groupE = groupExprs
     val orderE = ordering
     val limit = k
     val childOutput = child.output
+    val sorted = sortBased
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val ord = RowOrdering.create(orderE, childOutput)
-      // group key -> k best rows, kept sorted ascending by `ord` (element
-      // 0 = best); insertion keeps the buffer bounded at k
-      val buffers = new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var buf = buffers.get(key)
-        if (buf == null) {
-          buf = new java.util.ArrayList[InternalRow](limit)
-          buffers.put(key.copy(), buf)
-        }
-        if (buf.size() < limit || ord.compare(row, buf.get(buf.size() - 1)) < 0) {
-          val copy = row.copy()
-          var i = buf.size()
-          if (buf.size() == limit) { buf.remove(limit - 1); i = limit - 1 }
-          while (i > 0 && ord.compare(copy, buf.get(i - 1)) < 0) i -= 1
-          buf.add(i, copy)
-        }
-      }
       import scala.jdk.CollectionConverters._
-      buffers.values().asScala.iterator.flatMap(_.asScala)
+      if (sorted) {
+        // child is sorted by group key: stream group runs, O(k) memory
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = _
+          private val buf = new java.util.ArrayList[InternalRow](limit)
+          private var out: Iterator[InternalRow] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              if (curKey == null) curKey = key.copy()
+              else if (key != curKey) {
+                out = new java.util.ArrayList(buf).asScala.iterator
+                buf.clear()
+                curKey = key.copy()
+              }
+              insert(buf, row, ord, limit)
+            }
+            if (!out.hasNext && !iter.hasNext && !buf.isEmpty) {
+              out = new java.util.ArrayList(buf).asScala.iterator
+              buf.clear()
+            }
+          }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): InternalRow = { advance(); out.next() }
+        }
+      } else {
+        // group key -> k best rows; bounded at k rows per DISTINCT group
+        // in this partition (see the class-level memory contract)
+        val buffers = new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
+        while (iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          var buf = buffers.get(key)
+          if (buf == null) {
+            buf = new java.util.ArrayList[InternalRow](limit)
+            buffers.put(key.copy(), buf)
+          }
+          insert(buf, row, ord, limit)
+        }
+        buffers.values().asScala.iterator.flatMap(_.asScala)
+      }
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Insert `row` into the bounded best-k buffer (ascending by `ord`).
+    * Static so task closures don't capture the exec node. */
+  private def insert(buf: java.util.ArrayList[InternalRow], row: InternalRow,
+      ord: Ordering[InternalRow], limit: Int): Unit = {
+    if (buf.size() < limit || ord.compare(row, buf.get(buf.size() - 1)) < 0) {
+      val copy = row.copy()
+      var i = buf.size()
+      if (buf.size() == limit) { buf.remove(limit - 1); i = limit - 1 }
+      while (i > 0 && ord.compare(copy, buf.get(i - 1)) < 0) i -= 1
+      buf.add(i, copy)
+    }
+  }
 }
 
 object TopKPerGroup {

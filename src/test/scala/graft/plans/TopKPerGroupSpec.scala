@@ -52,6 +52,23 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"no per-partition sort expected:\n${plan.take(600)}")
   }
 
+  test("sort-based mode (ultra-high-cardinality fallback) matches hash mode") {
+    import spark.implicits._
+    val df = fixture
+    val hash = TopKPerGroup(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    spark.conf.set(TopKPerGroupStrategy.SortBasedKey, "true")
+    try {
+      val sortDf = TopKPerGroup(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+      val sorted = sortDf
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(sorted.sameElements(hash))
+      // the spillable group sort must actually be in the plan
+      val plan = sortDf.queryExecution.executedPlan.toString
+      assert(plan.contains("Sort "), s"expected group-key sort:\n${plan.take(600)}")
+    } finally spark.conf.unset(TopKPerGroupStrategy.SortBasedKey)
+  }
+
   test("works via the SQL-extensions-configured session too") {
     // SparkSpec's session is built with spark.sql.extensions=GraftExtensions,
     // so the strategy is already injected; construction must not depend on
