@@ -74,4 +74,32 @@ class PromotionStreamSpec extends SparkSpec {
     assert(streamRows == batchRows,
       s"parity broken:\nbatch=$batchRows\nstream=$streamRows")
   }
+
+  test("PromotionStream.start wires tier1 file stream -> tier2 end to end") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-promo-e2e").toString
+    val base = 1700000000L
+    val th = StatefulDetector.Thresholds(
+      noveltyMinCount = 2, freqMinCount = 2, freqSigma = 1.0, stdFloor = 0.5)
+    def writeT1(rows: Seq[(String, Long)]): Unit =
+      rows.zipWithIndex.map { case ((h, ts), i) =>
+        (h, ts, "auth", "INFO", s"evt $i")
+      }.toDF("rhythm_hash", "ts_sec", "service", "severity", "body")
+        .write.mode("append").parquet(s"$tmp/tier1")
+
+    writeT1(Seq.tabulate(3)(i => ("hx", base + i)))
+    val q = PromotionStream.start(spark, s"$tmp/tier1", s"$tmp/tier2",
+      s"$tmp/ckpt", rules = None, windowSec = 60,
+      watermarkDelay = "10 seconds", thresholds = th,
+      triggerMs = 100, stateTtlMs = None)
+    try {
+      q.processAllAvailable()
+      writeT1(Seq(("hx", base + 4000))) // watermark sentinel closes the window
+      q.processAllAvailable()
+    } finally q.stop()
+    val t2 = spark.read.parquet(s"$tmp/tier2")
+    val got = t2.select("rhythm_hash", "anomaly_type", "count").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains(("hx", "novelty", 3L)), s"got: $got")
+  }
 }
