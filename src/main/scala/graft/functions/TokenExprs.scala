@@ -95,3 +95,66 @@ object CountInSet {
     c
   }
 }
+
+/** Order-sensitive document fingerprint: polynomial rolling hash (the
+  * Rabin–Karp family) over the word tokens —
+  * `h = fold(tokens)((acc, t) => (acc*B + md5_60(t) mod P) mod P)` with
+  * `B = 1000003`, `P = 1e9+7`, `md5_60` = first 15 md5 hex digits parsed
+  * base-16 (the engine's standard portable token hash). Unlike the md5
+  * content fingerprint (exact-dup identity), the rolling form is
+  * incremental — chunk fingerprints of a stream compose without
+  * re-hashing — and every step is expressible in the DuckDB oracle
+  * (`list_reduce`). One native pass per row; scan-parallel at any scale. */
+case class RollingFp(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_fp requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingFp.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingFp.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(child = newChild)
+}
+
+object RollingFp {
+  val B = 1000003L
+  val P = 1000000007L
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(input: UTF8String): Long = {
+    val toks = input.toString.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val md = digests.get()
+    var h = 0L
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits base-16 == ('0x'||substr(md5(t),1,15))::BIGINT
+      var v = 0L
+      var hx = 0
+      while (hx < 15) {
+        val b = d(hx / 2) & 0xff
+        val nibble = if (hx % 2 == 0) b >>> 4 else b & 0xf
+        v = (v << 4) | nibble
+        hx += 1
+      }
+      h = (h * B + v % P) % P
+      i += 1
+    }
+    h
+  }
+}

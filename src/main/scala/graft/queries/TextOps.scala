@@ -17,8 +17,37 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def queries: Seq[QueryDef] = Seq(
-    dedupExact, tokenCount, qualityScoreQ, langId, jaccardPairs,
+    dedupExact, rollingFp, tokenCount, qualityScoreQ, langId, jaccardPairs,
     jaccardCapped, minhashSig, lshPairs, bm25Score)
+
+  /** Document fingerprinting, rolling-hash form (training-pipeline op):
+    * order-sensitive polynomial hash over word tokens — the incremental/
+    * composable counterpart to the md5 exact-dup fingerprint above. Native
+    * one-pass kernel; the oracle folds the identical arithmetic with
+    * `list_reduce`. */
+  private val rollingFp = QueryDef(
+    "rolling_fp",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          graft.GraftFunctions.columnOf(graft.functions.RollingFp(
+            graft.GraftFunctions.exprOf($"text"))).as("fp"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> len(t) > 0),
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${graft.functions.RollingFp.P})),
+          (acc, x) -> (acc * ${graft.functions.RollingFp.B} + x) % ${graft.functions.RollingFp.P})
+          AS fp
+      FROM documents
+      ORDER BY doc_id
+    """))
 
   /** Exact dedup by content fingerprint (md5 of lowercased alnum-only
     * text): keeper = min doc_id per fingerprint. */
