@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** V7 — INT8 scalar quantization of float vectors, the storage-side
   * compression the reference applies to Tier-2 dense vectors
@@ -44,5 +49,66 @@ object QuantizeInt8 {
     val nb = sqrt(qdot(qb, qb).cast("double"))
     when(na === 0.0 || nb === 0.0, lit(0.0))
       .otherwise(qdot(qa, qb).cast("double") / (na * nb))
+  }
+}
+
+/** Corpus-bound INT8 cosine in ONE native pass: quantizes the stored
+  * vector AND the constant query vector with the (runtime, broadcast)
+  * corpus bound — `clamp(round_half_away_from_zero(x*127/bound), ±127)` —
+  * then scores integer cosine. Replaces a transform()+aggregate() HOF
+  * pipeline that evaluated ~13M interpreted lambdas (with per-element
+  * BigDecimal rounds) per bench run; values are IDENTICAL (half-up ==
+  * half-away-from-zero for BigDecimal/DuckDB alike, mirrored in the
+  * oracle SQL). */
+case class Int8QuantCosine(left: Expression, right: Expression, q: Seq[Double])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"int8_quant_cosine requires (array<float>, double), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_quant_cosine"
+
+  @transient private lazy val qArr: Array[Double] = q.toArray
+
+  override protected def nullSafeEval(vec: Any, bound: Any): Any =
+    Int8QuantCosine.compute(vec.asInstanceOf[ArrayData],
+      bound.asInstanceOf[Double], qArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("int8Query", qArr, "double[]")
+    defineCodeGen(ctx, ev, (v, b) =>
+      s"graft.functions.Int8QuantCosine.compute($v, $b, $qRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8QuantCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8QuantCosine {
+  /** round half away from zero then clamp to [-127, 127]. */
+  private def q127(x: Double, bound: Double): Long = {
+    val scaled = x * 127.0 / bound
+    val r = if (scaled >= 0) math.floor(scaled + 0.5) else math.ceil(scaled - 0.5)
+    math.max(-127.0, math.min(127.0, r)).toLong
+  }
+
+  def compute(vec: ArrayData, bound: Double, q: Array[Double]): Double = {
+    val n = vec.numElements()
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val a = q127(vec.getFloat(i).toDouble, bound)
+      val b = if (i < q.length) q127(q(i), bound) else 0L
+      dot += a * b; na += a * a; nb += b * b
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 }

@@ -314,18 +314,17 @@ object VectorOps {
     "int8_corpus_topk",
     (s, dir) => {
       import s.implicits._
-      import graft.functions.QuantizeInt8.qcosine
       val e = Tables.embeddings(s, dir)
       val bound = e.select(explode($"embedding").as("x"))
         .agg(round(expr("percentile(abs(cast(x as double)), 0.99)"), 6).as("b"))
-      def clip(v: org.apache.spark.sql.Column) =
-        transform(v, x => greatest(least(
-          round(x.cast("double") * 127.0 / $"b", 0), lit(127.0)), lit(-127.0))
-          .cast("long"))
-      val qLit = array(Q.map(lit): _*)
+      // one native pass per row: quantize (clamp ±127) both sides with the
+      // broadcast bound + integer cosine — the transform()/aggregate() HOF
+      // form evaluated ~13M interpreted lambdas here
       e.crossJoin(broadcast(bound))
         .select($"vec_id", $"label",
-          round(qcosine(clip($"embedding"), clip(qLit)), 6).as("score"))
+          round(graft.GraftFunctions.columnOf(graft.functions.Int8QuantCosine(
+            graft.GraftFunctions.exprOf($"embedding"),
+            graft.GraftFunctions.exprOf($"b"), Q)), 6).as("score"))
         .orderBy($"score".desc, $"vec_id")
         .limit(20)
     },
