@@ -100,7 +100,10 @@ object StatefulDetector {
       if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     logs
-      .withColumn("ts", to_timestamp(from_unixtime(col("ts_sec"))))
+      // timestamp_seconds = direct epoch conversion; the
+      // to_timestamp(from_unixtime(...)) form round-trips every row
+      // through a formatted STRING (tz formatter parse per row)
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("rhythm_hash"), window(col("ts"), s"$windowSec seconds"))
       .agg(count(lit(1)).as("n"))
