@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Vector / similarity operators (SURVEY §2.5) as pure `Column` expressions.
   *
@@ -28,23 +33,21 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
   /** Cosine similarity; 0.0 when either vector has zero norm (declared
-    * semantics for the reference's zero-vector search — SURVEY §7.5.3). */
-  def cosine(a: Column, b: Column): Column = {
-    val na = l2Norm(a)
-    val nb = l2Norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+    * semantics for the reference's zero-vector search — SURVEY §7.5.3).
+    * Native one-pass kernel ([[CosineSimExpr]]) — the `zip_with` +
+    * `aggregate` HOF form computes the identical sequential fold but
+    * evaluates its lambdas interpreted per element. */
+  def cosine(a: Column, b: Column): Column =
+    graft.GraftFunctions.columnOf(CosineSimExpr(
+      graft.GraftFunctions.exprOf(a), graft.GraftFunctions.exprOf(b)))
 
-  /** Cosine against a constant query vector, with norms constant-folded. */
+  /** Cosine against a constant query vector, with norms constant-folded
+    * (native kernel, [[CosineConstExpr]]). */
   def cosineToConst(v: Column, q: Seq[Double]): Column = {
     val qn = math.sqrt(q.map(x => x * x).sum)
     if (qn == 0.0) lit(0.0)
-    else {
-      val qCol = array(q.map(lit): _*)
-      val d = dot(v, qCol)
-      val nv = l2Norm(v)
-      when(nv === 0.0, lit(0.0)).otherwise(d / (nv * lit(qn)))
-    }
+    else graft.GraftFunctions.columnOf(CosineConstExpr(
+      graft.GraftFunctions.exprOf(v), q))
   }
 
   /** Pack the sign pattern of the first 63 dims of a float vector into a
@@ -74,4 +77,109 @@ object VectorFunctions {
     * the shuffle carries one dim-length row per partition, not the data. */
   def avgVector(v: Column, dim: Int): Column =
     array((1 to dim).map(i => avg(element_at(v, i).cast("double"))): _*)
+}
+
+/** Shared element accessor: float or double arrays score identically
+  * (every element is widened to double exactly, as `cast("double")` did
+  * in the HOF form). */
+private[functions] object VecElems {
+  def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** Native pairwise cosine over two float/double array columns — identical
+  * sequential-fold arithmetic to the zip_with+aggregate form, one
+  * codegen'd call per row. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecElems.isVec(left.dataType) && VecElems.isVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<float|double>, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val aFloat = VecElems.isFloat(left.dataType)
+  private lazy val bFloat = VecElems.isFloat(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.compute(a.asInstanceOf[ArrayData], aFloat,
+      b.asInstanceOf[ArrayData], bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSimExpr.compute($a, $aFloat, $b, $bFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val sna = math.sqrt(na); val snb = math.sqrt(nb)
+    if (sna == 0.0 || snb == 0.0) 0.0 else d / (sna * snb)
+  }
+}
+
+/** Native cosine against a CONSTANT query vector (query norm folded at
+  * plan time — same arithmetic as the HOF cosineToConst form). */
+case class CosineConstExpr(child: Expression, q: Seq[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecElems.isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_const requires array<float|double>, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_const"
+
+  @transient private lazy val qArr: Array[Double] = q.toArray
+  @transient private lazy val qNorm: Double = math.sqrt(q.map(x => x * x).sum)
+  private lazy val vFloat = VecElems.isFloat(child.dataType)
+
+  override protected def nullSafeEval(v: Any): Any =
+    CosineConstExpr.compute(v.asInstanceOf[ArrayData], vFloat, qArr, qNorm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("cosineQ", qArr, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.CosineConstExpr.compute($v, $vFloat, $qRef, $qNorm)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CosineConstExpr =
+    copy(child = newChild)
+}
+
+object CosineConstExpr {
+  def compute(v: ArrayData, vFloat: Boolean, q: Array[Double], qNorm: Double): Double = {
+    val n = math.min(v.numElements(), q.length)
+    var d = 0.0; var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      d += x * q(i); nv += x * x
+      i += 1
+    }
+    val snv = math.sqrt(nv)
+    if (snv == 0.0) 0.0 else d / (snv * qNorm)
+  }
 }
