@@ -57,13 +57,12 @@ object VectorFunctions {
     * value in signed-positive range for cross-engine (DuckDB) parity. */
   def packSignBits63(v: Column): Column = packSignBits(v, 63)
 
-  /** Sign-bit packing of the first `bits` dims (LSH bucket key when small). */
+  /** Sign-bit packing of the first `bits` dims (LSH bucket key when small).
+    * Native kernel, [[PackSignBitsExpr]] — identical values to the
+    * zip_with+pow HOF form it replaced. */
   def packSignBits(v: Column, bits: Int): Column =
-    aggregate(
-      zip_with(slice(v, 1, bits), sequence(lit(0), lit(bits - 1)),
-        // 2^i via pow is exact for i <= 62 (powers of two are exact doubles)
-        (x, i) => when(x > 0.0f, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    graft.GraftFunctions.columnOf(PackSignBitsExpr(
+      graft.GraftFunctions.exprOf(v), bits))
 
   /** Hamming distance between two packed bitsets. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -181,5 +180,45 @@ object CosineConstExpr {
     }
     val snv = math.sqrt(nv)
     if (snv == 0.0) 0.0 else d / (snv * qNorm)
+  }
+}
+
+/** Native sign-bit packing (bit i set iff v[i] > 0, first `bits` dims) —
+  * identical values to the zip_with(slice, sequence) + pow HOF form. */
+case class PackSignBitsExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecElems.isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pack_sign_bits requires array<float|double>, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pack_sign_bits"
+
+  private lazy val vFloat = VecElems.isFloat(child.dataType)
+
+  override protected def nullSafeEval(v: Any): Any =
+    PackSignBitsExpr.compute(v.asInstanceOf[ArrayData], vFloat, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.PackSignBitsExpr.compute($v, $vFloat, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackSignBitsExpr =
+    copy(child = newChild)
+}
+
+object PackSignBitsExpr {
+  def compute(v: ArrayData, vFloat: Boolean, bits: Int): Long = {
+    val n = math.min(v.numElements(), bits)
+    var out = 0L
+    var i = 0
+    while (i < n) {
+      val pos = if (vFloat) v.getFloat(i) > 0f else v.getDouble(i) > 0.0
+      if (pos) out |= (1L << i)
+      i += 1
+    }
+    out
   }
 }
