@@ -187,8 +187,14 @@ object TextOps {
             graft.GraftFunctions.exprOf($"text"), 4))).as("gram"))
         .cache()
       val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = grams.as("a")
-        .join(grams.as("b"),
+      // only grams shared by >=2 docs can form a pair — dropping df=1
+      // grams (the vast majority) BEFORE the self-join changes no result
+      // row but removes most of the join shuffle
+      val shared = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2).select($"gram")
+      val joinable = grams.join(shared, Seq("gram"), "left_semi")
+      val inter = joinable.as("a")
+        .join(joinable.as("b"),
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("i"))
@@ -290,13 +296,18 @@ object TextOps {
           graft.functions.WordNgrams(
             graft.GraftFunctions.exprOf($"text"), 4))).as("gram"))
         .cache()
-      val hot = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
-        .filter($"df" > JaccardDfCap)
-        .select($"gram")
-      val pruned = grams.join(broadcast(hot), Seq("gram"), "left_anti").cache()
+      val dfs = grams.groupBy($"gram").agg(count(lit(1)).as("df")).cache()
+      val hot = dfs.filter($"df" > JaccardDfCap).select($"gram")
+      val pruned = grams.join(broadcast(hot), Seq("gram"), "left_anti")
       val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = pruned.as("a")
-        .join(pruned.as("b"),
+      // pair-forming grams: 2 <= df <= cap (df=1 grams count toward sizes
+      // but cannot form a pair — pre-filtering them off the self-join
+      // changes no result row and removes most of the join shuffle)
+      val joinable = grams.join(
+        dfs.filter($"df".between(2, JaccardDfCap)).select($"gram"),
+        Seq("gram"), "left_semi")
+      val inter = joinable.as("a")
+        .join(joinable.as("b"),
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("i"))
