@@ -1,0 +1,31 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partition pruning for the day-partitioned Tier-1/Tier-2 stores.
+  *
+  * Every production read of a `dt`-partitioned table must carry a `dt`
+  * predicate derived from its time window — a bare `ts_sec` filter only
+  * skips parquet row groups (min/max), while file listing and footer reads
+  * still scale with TOTAL table history. On a 100 TB store scanned every
+  * 60 s that listing is the dominant cost; the `dt` bound turns it into a
+  * constant-size operation (reference analogue: Qdrant's index-ordered
+  * scroll gives cheap recent-history access, `qdrant_service.py:147-157`).
+  */
+object DtPrune {
+
+  /** Bound `df` to days overlapping `[fromSec, toSec]`. No-op when the
+    * frame has no `dt` column (un-partitioned test fixtures). Because
+    * `dt = to_date(timestamp_seconds(ts_sec))` at ingest
+    * (IngestPipeline.derive) and `to_date` is monotone in `ts_sec` for a
+    * fixed session timezone, this predicate is IMPLIED by any
+    * `ts_sec ∈ [fromSec, toSec]` filter — adding it never changes results,
+    * it only enables partition pruning. */
+  def apply(df: DataFrame, fromSec: Long, toSec: Long): DataFrame =
+    if (df.columns.contains("dt"))
+      df.filter(col("dt").between(
+        to_date(timestamp_seconds(lit(fromSec))),
+        to_date(timestamp_seconds(lit(toSec)))))
+    else df
+}

@@ -24,8 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object RhythmAnalyzer {
 
+  /** Declared baseline look-back horizon: the 10k-point sample is the most
+    * RECENT history, so at any realistic ingest rate it sits well inside
+    * 30 days — bounding the scan changes nothing semantically while turning
+    * an all-history read into a constant-size one (with [[DtPrune]] at the
+    * caller it prunes to ≤31 day-partitions). The reference gets the same
+    * bound for free from Qdrant's index-ordered scroll
+    * (`rhythm_analysis_service.py:74`, `qdrant_service.py:147-157`). */
+  val DefaultBaselineLookbackSec: Long = 30L * 86400
+
   /** @param ev columns: rhythm_hash STRING, ts_sec LONG (+ optional
     *        tie-break column for a fully deterministic baseline sample)
+    * @param baselineLookbackSec bound on how far before `windowStart` the
+    *        baseline sample may reach (see [[DefaultBaselineLookbackSec]])
     * @return rhythm_hash, anomaly_type ('novelty'|'frequency'), n,
     *         baseline_mean (null for novelty)
     */
@@ -38,14 +49,17 @@ object RhythmAnalyzer {
       freqMinCount: Int = 3,
       freqSigma: Double = 2.5,
       stdFloor: Double = 1.5,
-      tieBreakCol: Option[String] = None): DataFrame = {
+      tieBreakCol: Option[String] = None,
+      baselineLookbackSec: Long = DefaultBaselineLookbackSec): DataFrame = {
     import ev.sparkSession.implicits._
 
     val recent = ev.filter($"ts_sec" >= windowStart)
       .groupBy($"rhythm_hash").agg(count(lit(1)).as("n"))
 
     val baseOrder = $"ts_sec".desc +: tieBreakCol.map(col(_).desc).toSeq
-    val baseSample = ev.filter($"ts_sec" < windowStart)
+    val baseSample = ev
+      .filter($"ts_sec" < windowStart &&
+        $"ts_sec" >= windowStart - baselineLookbackSec)
       .orderBy(baseOrder: _*)
       .limit(histSample)
       .cache() // two consumers (span + per-hash counts); sample is <=10k rows

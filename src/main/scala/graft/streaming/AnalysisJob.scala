@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.analysis.{Promoter, RhythmAnalyzer}
+import graft.analysis.{DtPrune, Promoter, RhythmAnalyzer}
 import graft.control.Rules
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -24,6 +24,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AnalysisJob {
 
+  /** Tier-1 bounded to `[fromSec, toSec]` — `dt` partition pruning plus the
+    * matching `ts_sec` row-group bound. Every production read goes through
+    * this; an unbounded `spark.read.parquet(tier1)` would re-list ALL
+    * history every trigger (see [[graft.analysis.DtPrune]]). */
+  def tier1Window(
+      spark: SparkSession,
+      tier1Path: String,
+      fromSec: Long,
+      toSec: Long): DataFrame =
+    DtPrune(spark.read.parquet(tier1Path), fromSec, toSec)
+
   /** One analysis cycle (the body of the 60 s loop, also the
     * `POST /analysis/tier1/rhythm_anomalies` semantics). Returns the
     * promoted clusters (possibly empty). */
@@ -33,12 +44,17 @@ object AnalysisJob {
       tier2Path: String,
       rules: Rules,
       nowSec: Long,
-      windowSec: Long = 60): DataFrame = {
-    val t1 = spark.read.parquet(tier1Path)
+      windowSec: Long = 60,
+      baselineLookbackSec: Long = RhythmAnalyzer.DefaultBaselineLookbackSec): DataFrame = {
     val windowStart = nowSec - windowSec
+    // the detector needs window + look-back horizon; dt-prune to exactly that
+    val t1 = tier1Window(spark, tier1Path,
+      windowStart - baselineLookbackSec, nowSec)
     val anomalies = rules.enforce(
-      RhythmAnalyzer.detect(t1, windowStart, windowSec.toDouble), nowSec)
-    val recentPoints = t1.filter(col("ts_sec") >= windowStart)
+      RhythmAnalyzer.detect(t1, windowStart, windowSec.toDouble,
+        baselineLookbackSec = baselineLookbackSec), nowSec)
+    val recentPoints = DtPrune(
+      t1.filter(col("ts_sec") >= windowStart), windowStart, nowSec)
     val clusters = Promoter.rollup(anomalies, recentPoints)
     if (!clusters.isEmpty) {
       clusters.write.mode("append").partitionBy("dt").parquet(tier2Path)

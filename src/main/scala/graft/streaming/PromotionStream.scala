@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.analysis.Promoter
+import graft.analysis.{DtPrune, Promoter}
 import graft.control.Rules
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,7 +47,8 @@ object PromotionStream {
       val anomsW0 = anomalies.filter(col("window_start") === w)
         .select("rhythm_hash", "anomaly_type", "n", "baseline_mean")
       val anomsW = rules.fold(anomsW0)(r => r.enforce(anomsW0, nowSec))
-      val points = t1.filter(col("ts_sec") >= w && col("ts_sec") < nowSec)
+      val points = DtPrune(
+        t1.filter(col("ts_sec") >= w && col("ts_sec") < nowSec), w, nowSec)
       Promoter.promote(anomsW, points, tier2Path)
     }
   }
