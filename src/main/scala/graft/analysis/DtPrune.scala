@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Partition pruning for the day-partitioned Tier-1/Tier-2 stores.
@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object DtPrune {
 
+  /** THE canonical `dt` derivation — the one definition of the partition
+    * column. Ingest ([[graft.streaming.IngestPipeline.derive]]), promotion
+    * ([[graft.analysis.Promoter.rollup]]) and every test fixture must
+    * derive `dt` through this; [[apply]]'s pruning is only sound under it.
+    * A hand-written `dt` that disagrees with its row's `ts_sec` makes the
+    * partition invisible to every windowed read. */
+  def dtOf(tsSec: Column): Column = to_date(timestamp_seconds(tsSec))
+
   /** Bound `df` to days overlapping `[fromSec, toSec]`. No-op when the
     * frame has no `dt` column (un-partitioned test fixtures). Because
     * `dt = to_date(timestamp_seconds(ts_sec))` at ingest
@@ -24,8 +32,6 @@ object DtPrune {
     * it only enables partition pruning. */
   def apply(df: DataFrame, fromSec: Long, toSec: Long): DataFrame =
     if (df.columns.contains("dt"))
-      df.filter(col("dt").between(
-        to_date(timestamp_seconds(lit(fromSec))),
-        to_date(timestamp_seconds(lit(toSec)))))
+      df.filter(col("dt").between(dtOf(lit(fromSec)), dtOf(lit(toSec))))
     else df
 }

@@ -54,7 +54,7 @@ object Promoter {
         GraftFunctions.embedText(col("body")).as("dense"),
         GraftFunctions.columnOf(graft.functions.Bm25Sparse(
           GraftFunctions.exprOf(col("body")))).as("sparse"),
-        to_date(timestamp_seconds(col("start_ts"))).as("dt"))
+        DtPrune.dtOf(col("start_ts")).as("dt"))
       .withColumn("sparse_idx", col("sparse.idx"))
       .withColumn("sparse_val", col("sparse.val"))
       .drop("sparse")

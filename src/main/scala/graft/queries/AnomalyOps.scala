@@ -23,6 +23,10 @@ object AnomalyOps {
   val WindowStart = 1706400000L
   val WindowSec = 259200.0
   val HistSample = 10000
+  // mirrors RhythmAnalyzer.DefaultBaselineLookbackSec — the oracle must
+  // sample the SAME baseline window as the Spark plan on ANY data, not just
+  // fixtures whose history happens to sit inside the bound
+  val BaselineFloor: Long = WindowStart - RhythmAnalyzer.DefaultBaselineLookbackSec
   val NoveltyMinCount = 2
   val FreqMinCount = 3
   val FreqSigma = 2.5
@@ -54,7 +58,8 @@ object AnomalyOps {
         SELECT rhythm_hash, count(*) AS n FROM ev
         WHERE ts_sec >= $WindowStart GROUP BY 1),
       base_sample AS (
-        SELECT * FROM ev WHERE ts_sec < $WindowStart
+        SELECT * FROM ev
+        WHERE ts_sec < $WindowStart AND ts_sec >= $BaselineFloor
         ORDER BY ts_sec DESC, event_id DESC LIMIT $HistSample),
       span AS (SELECT greatest(CAST(max(ts_sec) - min(ts_sec) AS DOUBLE), 1.0)
           AS dur, count(*) AS base_n FROM base_sample),

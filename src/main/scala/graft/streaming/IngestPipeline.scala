@@ -33,7 +33,7 @@ object IngestPipeline {
         rhythmHash(col("template"), col("service"), col("severity")))
       .withColumn("simhash", GraftFunctions.simhash64(col("template")))
       .withColumn("point_id", expr("uuid()"))
-      .withColumn("dt", to_date(timestamp_seconds(col("ts_sec"))))
+      .withColumn("dt", graft.analysis.DtPrune.dtOf(col("ts_sec")))
   }
 
   /** Batch ingest: raw OTel JSON strings → Tier-1 rows (no write). */

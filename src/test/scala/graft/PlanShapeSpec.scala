@@ -83,6 +83,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bucket"), "expected the sign-bucket block key")
   }
 
+  test("detector/promotion tier-1 reads scan ONLY the windowed dt partitions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("dtprune").toString + "/tier1"
+    val now = 1754000000L // fixed epoch: derivation and pruning share the session tz
+    // three day-partitions: in-window, 40 d back, 80 d back
+    Seq(now - 10, now - 86400L * 40, now - 86400L * 80)
+      .toDF("ts_sec")
+      .withColumn("dt", graft.analysis.DtPrune.dtOf(col("ts_sec")))
+      .repartition(1)
+      .write.partitionBy("dt").parquet(store)
+    val win = graft.streaming.AnalysisJob.tier1Window(spark, store, now - 3600, now)
+    win.collect()
+    val scan = win.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in the tier-1 window plan"))
+    assert(scan.metadata("PartitionFilters").contains("dt"),
+      s"dt must be a partition filter, got: ${scan.metadata("PartitionFilters")}")
+    assert(scan.metrics("numFiles").value == 1,
+      s"only the in-window day partition may be listed/read, " +
+        s"got ${scan.metrics("numFiles").value} files")
+  }
+
   test("whole-stage codegen covers the scan->project hot path (template_hash)") {
     val q = Registry.all.find(_.name == "template_hash").get
     val p = q.fn(spark, dir).queryExecution.explainString(

@@ -23,7 +23,10 @@ class AnalysisWorkerSpec extends SparkSpec {
       .withColumn("service", org.apache.spark.sql.functions.lit("svc"))
       .withColumn("severity", org.apache.spark.sql.functions.lit("ERROR"))
       .withColumn("body", org.apache.spark.sql.functions.lit("live burst"))
-      .withColumn("dt", org.apache.spark.sql.functions.lit("1970-01-01"))
+      // dt MUST come from the canonical derivation — a hand-written literal
+      // would violate the DtPrune invariant and the partition gets pruned
+      .withColumn("dt",
+        graft.analysis.DtPrune.dtOf(org.apache.spark.sql.functions.col("ts_sec")))
       .write.mode("overwrite").partitionBy("dt").parquet(tier1)
 
     val q = AnalysisJob.start(spark, tier1, tier2, rules,
