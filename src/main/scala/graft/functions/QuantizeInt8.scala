@@ -99,11 +99,16 @@ object Int8QuantCosine {
   }
 
   def compute(vec: ArrayData, bound: Double, q: Array[Double]): Double = {
-    val n = vec.numElements()
+    // iterate to max(|vec|, |q|), zero-padding the shorter side: BOTH norms
+    // accumulate all their components, matching the DuckDB oracle (which
+    // sums each norm over its full vector) for ANY dimension pair — the
+    // previous min-length loop dropped tail query components from nb
+    val nv = vec.numElements()
+    val n = math.max(nv, q.length)
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
-      val a = q127(vec.getFloat(i).toDouble, bound)
+      val a = if (i < nv) q127(vec.getFloat(i).toDouble, bound) else 0L
       val b = if (i < q.length) q127(q(i), bound) else 0L
       dot += a * b; na += a * a; nb += b * b
       i += 1

@@ -105,17 +105,28 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null on dimension mismatch (mirrors the zip_with+aggregate HOF form
+  // this kernel replaced: zip_with null-pads and the fold propagates null)
+  override def nullable: Boolean = true
 
   private lazy val aFloat = VecElems.isFloat(left.dataType)
   private lazy val bFloat = VecElems.isFloat(right.dataType)
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimExpr.compute(a.asInstanceOf[ArrayData], aFloat,
-      b.asInstanceOf[ArrayData], bFloat)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]; val bv = b.asInstanceOf[ArrayData]
+    if (av.numElements() != bv.numElements()) null
+    else CosineSimExpr.compute(av, aFloat, bv, bFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSimExpr.compute($a, $aFloat, $b, $bFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CosineSimExpr.compute($a, $aFloat, $b, $bFloat);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
@@ -150,18 +161,29 @@ case class CosineConstExpr(child: Expression, q: Seq[Double])
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_const"
+  // null on dimension mismatch, matching the HOF form's null-pad semantics
+  override def nullable: Boolean = true
 
   @transient private lazy val qArr: Array[Double] = q.toArray
   @transient private lazy val qNorm: Double = math.sqrt(q.map(x => x * x).sum)
   private lazy val vFloat = VecElems.isFloat(child.dataType)
 
-  override protected def nullSafeEval(v: Any): Any =
-    CosineConstExpr.compute(v.asInstanceOf[ArrayData], vFloat, qArr, qNorm)
+  override protected def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    if (vv.numElements() != qArr.length) null
+    else CosineConstExpr.compute(vv, vFloat, qArr, qNorm)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("cosineQ", qArr, "double[]")
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.CosineConstExpr.compute($v, $vFloat, $qRef, $qNorm)")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($v.numElements() != $qRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CosineConstExpr.compute($v, $vFloat, $qRef, $qNorm);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CosineConstExpr =

@@ -17,7 +17,7 @@ object VectorOps {
 
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
-      int8Topk, int8CorpusTopk)
+      int8Topk, int8CorpusTopk, embedTextQ)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -351,6 +351,33 @@ object VectorOps {
       ORDER BY score DESC, vec_id
       LIMIT 20
     """))
+
+  /** V5 — the dense embedder in the gate: every document embedded by the
+    * native [[graft.functions.EmbedText]] expression (the declared 384-d
+    * stand-in for the reference's BGE ONNX model,
+    * `qdrant_service.py:22-26`), pinned per-document via three scalar
+    * projections — cosine against a constant query embedding (the read
+    * path every Tier-2 search takes), and the max/min bucket values (pin
+    * the bucket arithmetic + L2 normalization). Murmur feature hashing is
+    * not expressible in portable SQL, so the oracle is a committed golden
+    * parquet ([[Golden]]); unit-level hand-computed pins live in
+    * EmbedTextSpec. */
+  private val embedTextQ = QueryDef(
+    "embed_text",
+    (s, dir) => {
+      import s.implicits._
+      graft.GraftFunctions.register(s)
+      val qv: Seq[Double] = graft.functions.EmbedText
+        .embedString("database connection timeout").map(_.toDouble).toSeq
+      Tables.documents(s, dir)
+        .select($"doc_id", graft.GraftFunctions.embedText($"text").as("e"))
+        .select($"doc_id",
+          round(cosineToConst($"e", qv), 6).as("cos_q"),
+          round(array_max($"e").cast("double"), 6).as("max_bucket"),
+          round(array_min($"e").cast("double"), 6).as("min_bucket"))
+        .orderBy($"doc_id")
+    },
+    Some(Golden.sql("embed_text")))
 
   /** Embedding-cosine near-dup (training-pipeline op): blocked self-join →
     * pairwise cosine → top-50. The block key is an LSH sign bucket of the

@@ -54,6 +54,16 @@ class CosineExprSpec extends SparkSpec {
     assert(got.join(want, "id").filter(got("c") =!= want("c")).count() == 0)
   }
 
+  test("dimension mismatch yields NULL (HOF zip_with null-pad parity)") {
+    import spark.implicits._
+    val df = Seq((Array.fill(8)(1f), Array.fill(6)(1f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b").as("c")).head().isNullAt(0))
+    assert(df.select(VectorFunctions.cosineToConst($"a", Seq.fill(6)(1.0)).as("c"))
+      .head().isNullAt(0))
+    // parity with the HOF form it replaced
+    assert(df.select(hofCosine($"a", $"b").as("c")).head().isNullAt(0))
+  }
+
   test("zero vectors score 0.0 (declared zero-norm semantics)") {
     import spark.implicits._
     val df = Seq((Array.fill(8)(0f), Array.fill(8)(1f))).toDF("z", "v")

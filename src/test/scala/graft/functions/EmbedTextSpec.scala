@@ -26,6 +26,20 @@ class EmbedTextSpec extends SparkSpec {
     assert(nonZero.nonEmpty && nonZero.forall { case (i, _) => i >= 0 && i < 384 })
   }
 
+  test("independent pin: 'hello world' buckets recomputed outside the JVM") {
+    // Expected values come from an INDEPENDENT Python reimplementation of
+    // scala.util.hashing.MurmurHash3.stringHash + the feature pipeline
+    // (2 words + 9 char-trigrams; two features cancel, 9 buckets survive,
+    // each ±1 → ±1/3 after L2 normalization). This pins the math itself,
+    // not engine output — the golden parquet only guards regression.
+    val v = EmbedText.embedString("hello world")
+    val nonZero = v.zipWithIndex.filter(_._1 != 0f).map { case (x, i) => (i, x) }
+    val t = 1f / 3f
+    assert(nonZero.toSeq == Seq(
+      156 -> -t, 179 -> t, 186 -> t, 224 -> -t, 249 -> t,
+      312 -> -t, 315 -> -t, 327 -> t, 342 -> t))
+  }
+
   test("semantic locality: shared-token texts score higher than disjoint") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
