@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to this process's stdout/stderr with NO
+// "[info] "/"[error] " prefixes — Bench's bare JSON line must survive sbt
+// so the driver's `grep '^{'` parse works (BENCH "parsed": null otherwise).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

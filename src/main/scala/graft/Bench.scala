@@ -28,26 +28,29 @@ object Bench {
       // noop sink: materializes EVERY output column (a bare count() would
       // let Catalyst prune the projections and under-report pure-projection
       // queries). Best of two runs per query: first run pays one-time JIT/
-      // codegen-cache costs, min reports the steady state.
-      val times = (1 to 2).map { _ =>
+      // codegen-cache costs, min reports the steady state. Failed reps
+      // contribute NO time at all — a fast crash must not win the min, and
+      // an all-failed query reports null and is excluded from the total.
+      val times = (1 to 2).flatMap { _ =>
         // drop cached relations so run 2 can't reuse run 1's .cache()
         // (CacheManager matches identical logical plans across calls)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          // a crashed query must NOT fake a near-zero time into the total —
-          // record it in the failed list (and on stderr) so the gate sees it
-          if (!failed.contains(name)) failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
+    val total = results.values.flatten.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * and the slice(sort_array(collect_list)) sample cap are all partial-
   * aggregable), embedding is a codegen'd expression, and "daily
   * collection" ≡ `dt` partition of one parquet/Delta table.
+  *
+  * Sparse weights use the CORPUS average document length, computed over
+  * the window's Tier-1 points in one broadcast scalar aggregate —
+  * reference fidelity (Qdrant computes BM25 stats server-side over the
+  * real corpus, `qdrant_service.py:23,80`); the fixed `Bm25Sparse.AvgDl`
+  * is only the empty-corpus fallback.
   */
 object Promoter {
 
@@ -31,6 +37,13 @@ object Promoter {
     val joined = points.join(anomalies, "rhythm_hash")
     val spark = points.sparkSession
     GraftFunctions.register(spark)
+    // corpus-stats pass: avgdl over the window's Tier-1 corpus (same
+    // tokenization Bm25Sparse uses), rounded to 6 dp for cross-run
+    // stability — one broadcast scalar joined onto the (tiny) rollup
+    val stats = points.agg(
+      coalesce(
+        round(avg(size(graft.functions.TextFunctions.wordTokens(col("body")))), 6),
+        lit(graft.functions.Bm25Sparse.AvgDl)).as("adl"))
     joined
       .groupBy(col("rhythm_hash"), col("anomaly_type"), col("baseline_mean"))
       .agg(
@@ -42,6 +55,7 @@ object Promoter {
         min_by(col("body"), col("ts_sec")).as("body"),
         slice(sort_array(collect_list(struct(col("ts_sec"), col("body")))),
           1, SampleLogs).as("sample_logs"))
+      .crossJoin(broadcast(stats))
       .select(
         lit("event_cluster").as("entity_type"),
         col("rhythm_hash"), col("anomaly_type"),
@@ -52,8 +66,9 @@ object Promoter {
         col("start_ts"), col("end_ts"), col("count"),
         col("service"), col("severity"), col("body"), col("sample_logs"),
         GraftFunctions.embedText(col("body")).as("dense"),
-        GraftFunctions.columnOf(graft.functions.Bm25Sparse(
-          GraftFunctions.exprOf(col("body")))).as("sparse"),
+        GraftFunctions.columnOf(graft.functions.Bm25SparseDl(
+          GraftFunctions.exprOf(col("body")),
+          GraftFunctions.exprOf(col("adl")))).as("sparse"),
         DtPrune.dtOf(col("start_ts")).as("dt"))
       .withColumn("sparse_idx", col("sparse.idx"))
       .withColumn("sparse_val", col("sparse.val"))

@@ -134,14 +134,17 @@ object Relational {
       val ord = Tables.orders(s, dir)
         .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
           $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
-      // customer is SF-proportional: no forced broadcast (AQE decides).
-      // nation/region (fixed-size, folded into `cust` via `dims`) and the
-      // 2-column supplier projection stay cheap; supplier keeps the hint —
-      // at TPC-H ratios it is 10× smaller than customer and 2 columns wide.
+      // customer AND supplier are SF-proportional: no forced broadcast on
+      // either (a hint is a promise the side fits in executor memory at ANY
+      // scale — supplier is 10× smaller than customer at TPC-H ratios but
+      // still grows linearly, so at warehouse scale the hint is an OOM
+      // risk). AQE broadcasts whichever side is under the threshold at
+      // runtime; only the fixed-size nation/region dims (folded into
+      // `cust` via `dims`) are hint-eligible.
       Tables.lineitem(s, dir)
         .join(ord, $"l_orderkey" === $"o_orderkey")
         .join(cust, $"o_custkey" === $"c_custkey")
-        .join(broadcast(supp),
+        .join(supp,
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .groupBy($"n_name")
         .agg(cents(microsSum($"l_extendedprice" * (lit(1.0) - $"l_discount")))

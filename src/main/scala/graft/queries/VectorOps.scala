@@ -385,8 +385,20 @@ object VectorOps {
     * `ann_lsh`) — data-derived and ~uniform, unlike a label/category block
     * whose few distinct values skew the self-join shuffle at 100 TB. Two
     * near-identical vectors agree on every sign bit, so true near-dups
-    * stay in-bucket; the id-distance cap bounds the per-bucket pair count. */
+    * stay in-bucket.
+    *
+    * Skew guard — the `JaccardDfCap` pattern: buckets larger than
+    * [[NeardupBucketCap]] are dropped BEFORE pair formation, bounding any
+    * bucket's pair count at C(cap,2) regardless of data skew (an
+    * id-distance cap would bound pairs too, but ids carry no similarity
+    * meaning — real near-dups far apart in id order were silently missed).
+    * Recall contract: near-dups inside an over-full bucket are not
+    * reported; an over-full bucket means the hyperplane resolution is too
+    * coarse for the corpus, so the production lever is raising
+    * [[NeardupBits]] (buckets = 2^bits) until expected occupancy sits
+    * under the cap, exactly like choosing LSH band width. */
   val NeardupBits = 8
+  val NeardupBucketCap = 200
 
   private val neardupCosine = QueryDef(
     "neardup_cosine",
@@ -394,9 +406,14 @@ object VectorOps {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .withColumn("bucket", packSignBits($"embedding", NeardupBits))
-      val a = e.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
-      val b = e.select($"vec_id".as("b_id"), $"bucket".as("bb"), $"embedding".as("eb"))
-      a.join(b, $"bucket" === $"bb" && $"a_id" < $"b_id" && $"b_id" - $"a_id" <= 50)
+      // bucket census: at most 2^NeardupBits rows — always broadcast-able
+      val kept = e.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+        .filter($"bn" <= NeardupBucketCap)
+        .select($"bucket")
+      val pruned = e.join(broadcast(kept), "bucket")
+      val a = pruned.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
+      val b = pruned.select($"vec_id".as("b_id"), $"bucket".as("bb"), $"embedding".as("eb"))
+      a.join(b, $"bucket" === $"bb" && $"a_id" < $"b_id")
         .select($"a_id", $"b_id", round(cosine($"ea", $"eb"), 6).as("cos_sim"))
         .orderBy($"cos_sim".desc, $"a_id", $"b_id")
         .limit(50)
@@ -408,12 +425,15 @@ object VectorOps {
             i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
                  ELSE 0 END)) AS BIGINT) AS bucket
         FROM embeddings),
+      kept AS (
+        SELECT bucket FROM bk GROUP BY bucket
+        HAVING count(*) <= $NeardupBucketCap),
       pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           a.embedding AS ea, b.embedding AS eb
         FROM bk a JOIN bk b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          AND b.vec_id - a.vec_id <= 50),
+        WHERE a.bucket IN (SELECT bucket FROM kept)),
       sc AS (
         SELECT a_id, b_id,
           list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * eb[i]::DOUBLE)) AS d,

@@ -61,19 +61,18 @@ class PlanShapeSpec extends SparkSpec {
       "quantized scoring stays a single-pass top-k")
   }
 
-  test("no forced broadcast on SF-proportional sides (q3/q5); fixed dims keep hints") {
-    // customer grows with SF: a forced hint would OOM at 100× — AQE must
-    // decide at runtime. The 2-column supplier projection keeps its hint.
+  test("no forced broadcast on ANY SF-proportional side (q3/q5)") {
+    // customer and supplier both grow with SF: a forced hint is an OOM
+    // promise at 100× — AQE must decide at runtime for every
+    // SF-proportional side. Only fixed-size dims may ever carry hints.
     def analyzed(name: String): String = {
       val q = Registry.all.find(_.name == name).get
       q.fn(spark, dir).queryExecution.analyzed.toString
     }
     assert(!analyzed("q3_topk").contains("ResolvedHint"),
       "q3 must carry no broadcast hint (AQE decides for customer)")
-    val q5 = analyzed("q5_join")
-    assert(q5.contains("ResolvedHint"), "q5 keeps the supplier-subtree hint")
-    assert(q5.indexOf("ResolvedHint") == q5.lastIndexOf("ResolvedHint"),
-      "exactly one hint (supplier) in q5")
+    assert(!analyzed("q5_join").contains("ResolvedHint"),
+      "q5 must carry no broadcast hint (AQE decides for customer/supplier)")
   }
 
   test("neardup_cosine blocks on the LSH bucket, not a low-cardinality label") {

@@ -26,6 +26,12 @@ class PromoterSpec extends SparkSpec {
     assert(h1.getAs[String]("anomaly_context").contains("baseline=2.5"))
     assert(h1.getSeq[Float](h1.fieldIndex("dense")).length == graft.functions.EmbedText.Dim)
     assert(h1.getSeq[Int](h1.fieldIndex("sparse_idx")).nonEmpty)
+    // corpus-avgdl proof: every fixture body is exactly 2 tokens, so
+    // avgdl == dl and the BM25 TF weight collapses to exactly 1.0 for
+    // tf=1 — the fixed AvgDl=256 fallback would give ~1.683 instead
+    assert(h1.getSeq[Float](h1.fieldIndex("sparse_val"))
+      .forall(v => math.abs(v - 1.0f) < 1e-6f),
+      "sparse weights must use the window-corpus avgdl, not the fixed fallback")
     assert(h1.getAs[String]("entity_type") == "event_cluster")
 
     val h2 = out("h2")

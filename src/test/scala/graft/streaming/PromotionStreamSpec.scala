@@ -101,5 +101,10 @@ class PromotionStreamSpec extends SparkSpec {
     val got = t2.select("rhythm_hash", "anomaly_type", "count").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got.contains(("hx", "novelty", 3L)), s"got: $got")
+    // the streaming write also carries corpus-avgdl sparse weights: every
+    // windowed body is 2 tokens → avgdl == dl → tf=1 weight is exactly 1.0
+    val sv = t2.select("sparse_val").head().getSeq[Float](0)
+    assert(sv.nonEmpty && sv.forall(v => math.abs(v - 1.0f) < 1e-6f),
+      s"corpus-avgdl weights expected in the streaming Tier-2 write, got $sv")
   }
 }
