@@ -37,33 +37,43 @@ case class TopKPerGroupNode(
 object TopKPerGroupStrategy extends SparkStrategy {
   /** Set to `true` to plan the sort-based exec (O(k) memory per partition,
     * sort spill handled by Spark's external sorter) instead of the default
-    * hash exec (no sort, memory ∝ groups-per-partition). */
+    * hash exec (no sort, bounded by [[GroupBudgetKey]] via auto-spill). */
   val SortBasedKey = "spark.graft.topKPerGroup.sortBased"
+
+  /** Max distinct groups held in the hash exec's in-memory map per
+    * partition before it spills a key-sorted run to disk (see the exec's
+    * memory contract). */
+  val GroupBudgetKey = "spark.graft.topKPerGroup.groupBudget"
+  val DefaultGroupBudget = 65536
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(group, order, k, child) =>
-      val sortBased = org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(_.conf.get(SortBasedKey, "false").toBoolean)
-      TopKPerGroupExec(group, order, k, planLater(child), sortBased) :: Nil
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession.map(_.conf)
+      val sortBased = conf.exists(_.get(SortBasedKey, "false").toBoolean)
+      val budget = conf.map(_.get(GroupBudgetKey, DefaultGroupBudget.toString).toInt)
+        .getOrElse(DefaultGroupBudget)
+      TopKPerGroupExec(group, order, k, planLater(child), sortBased, budget) :: Nil
     case _ => Nil
   }
 }
 
 /** MEMORY CONTRACT: the default (hash) mode holds at most
-  * k · |distinct groups in the partition| row copies plus one UnsafeRow
-  * key per group — NOT proportional to input rows. That is the right
-  * trade for the engine's group domains (rhythm hashes, day buckets:
-  * ≤ millions of groups ⇒ tens of MB at k≤10). For ultra-high-cardinality
-  * group keys set [[TopKPerGroupStrategy.SortBasedKey]]: the planner then
-  * requires a child sort on the group key (Spark's external sorter spills
-  * it to disk) and this exec streams one group at a time with O(k) memory.
-  */
+  * k · min(|distinct groups in the partition|, groupBudget) row copies
+  * plus one UnsafeRow key per held group — NEVER proportional to input
+  * rows, and since round 4 never proportional to group cardinality
+  * either: when the map exceeds `groupBudget` groups it is flushed to
+  * disk as a run sorted by group-key bytes, and the partition output is a
+  * streaming merge of all runs (exact, because per-span top-k's merge to
+  * the span-union's top-k — top-k is a semigroup). The explicit
+  * [[TopKPerGroupStrategy.SortBasedKey]] mode remains for callers that
+  * prefer Spark's external group-key sort over operator-local spills. */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    sortBased: Boolean = false) extends UnaryExecNode {
+    sortBased: Boolean = false,
+    groupBudget: Int = TopKPerGroupStrategy.DefaultGroupBudget) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -87,6 +97,7 @@ case class TopKPerGroupExec(
     val limit = k
     val childOutput = child.output
     val sorted = sortBased
+    val budget = groupBudget
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val ord = RowOrdering.create(orderE, childOutput)
@@ -118,20 +129,56 @@ case class TopKPerGroupExec(
           override def next(): InternalRow = { advance(); out.next() }
         }
       } else {
-        // group key -> k best rows; bounded at k rows per DISTINCT group
-        // in this partition (see the class-level memory contract)
+        // group key -> k best rows; map bounded at `budget` DISTINCT
+        // groups — past it, the map is flushed as a key-sorted disk run
+        // and the output becomes a streaming merge of runs + the final map
+        // (see the class-level memory contract)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        val spills = new java.util.ArrayList[java.io.File]()
         val buffers = new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
+
+        def spillRun(): Unit = {
+          val entries = buffers.entrySet().asScala.toArray
+            .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+              a.getKey.getBytes, b.getKey.getBytes) < 0)
+          val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+          val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f), 1 << 16))
+          try entries.foreach { e =>
+            val kb = e.getKey.getBytes
+            out.writeInt(kb.length); out.write(kb)
+            out.writeInt(e.getValue.size())
+            e.getValue.asScala.foreach { r =>
+              val bytes = toUnsafe(r).getBytes
+              out.writeInt(bytes.length); out.write(bytes)
+            }
+          } finally out.close()
+          spills.add(f)
+          buffers.clear()
+        }
+
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => spills.asScala.foreach(_.delete())))
+
         while (iter.hasNext) {
           val row = iter.next()
           val key = keyProj(row)
           var buf = buffers.get(key)
           if (buf == null) {
+            if (buffers.size() >= budget) spillRun()
             buf = new java.util.ArrayList[InternalRow](limit)
             buffers.put(key.copy(), buf)
           }
           insert(buf, row, ord, limit)
         }
-        buffers.values().asScala.iterator.flatMap(_.asScala)
+
+        if (spills.isEmpty) {
+          buffers.values().asScala.iterator.flatMap(_.asScala)
+        } else {
+          spillRun() // flush the tail so everything merges uniformly
+          TopKPerGroupExec.mergeRuns(
+            spills.asScala.toSeq, childOutput.length, ord, limit)
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -141,6 +188,71 @@ case class TopKPerGroupExec(
 }
 
 object TopKPerGroupExec {
+
+  /** One key-sorted spill run: a stream of (keyBytes, ≤k rows) records.
+    * Keys are UnsafeRow bytes — byte equality IS value equality for rows
+    * from one projection, so ANY consistent byte order (we use unsigned
+    * lexicographic) makes equal keys adjacent across runs; the order
+    * carries no semantic meaning and needs none. */
+  private final class RunReader(f: java.io.File, numFields: Int) {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+    var curKey: Array[Byte] = _
+    val curRows = new java.util.ArrayList[InternalRow]()
+    def advance(): Boolean = {
+      curRows.clear()
+      val klen =
+        try in.readInt()
+        catch { case _: java.io.EOFException => in.close(); return false }
+      curKey = new Array[Byte](klen); in.readFully(curKey)
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val b = new Array[Byte](len); in.readFully(b)
+        val r = new UnsafeRow(numFields)
+        r.pointTo(b, len)
+        curRows.add(r)
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Streaming merge of key-sorted runs: per group, the ≤k-row partial
+    * buffers from each run insert-merge into one exact top-k (top-k over
+    * a union == top-k of the per-span top-k's). Memory: one record per
+    * run + one k-row output buffer. */
+  private def mergeRuns(files: Seq[java.io.File], numFields: Int,
+      ord: Ordering[InternalRow], limit: Int): Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    val pq = new java.util.PriorityQueue[RunReader](
+      math.max(1, files.size),
+      (a: RunReader, b: RunReader) =>
+        java.util.Arrays.compareUnsigned(a.curKey, b.curKey))
+    files.foreach { f => val r = new RunReader(f, numFields); if (r.advance()) pq.add(r) }
+    new Iterator[InternalRow] {
+      private var out: Iterator[InternalRow] = Iterator.empty
+      private def loadNextGroup(): Unit = {
+        while (!out.hasNext && !pq.isEmpty) {
+          val first = pq.poll()
+          val key = first.curKey
+          val merged = new java.util.ArrayList[InternalRow](limit)
+          first.curRows.asScala.foreach(insert(merged, _, ord, limit))
+          if (first.advance()) pq.add(first)
+          while (!pq.isEmpty && java.util.Arrays.equals(pq.peek().curKey, key)) {
+            val r = pq.poll()
+            r.curRows.asScala.foreach(insert(merged, _, ord, limit))
+            if (r.advance()) pq.add(r)
+          }
+          out = merged.asScala.iterator
+        }
+      }
+      override def hasNext: Boolean = { loadNextGroup(); out.hasNext }
+      override def next(): InternalRow = { loadNextGroup(); out.next() }
+    }
+  }
+
   /** Insert `row` into the bounded best-k buffer (ascending by `ord`).
     * Static so task closures don't capture the exec node. */
   private def insert(buf: java.util.ArrayList[InternalRow], row: InternalRow,

@@ -10,21 +10,34 @@ import org.apache.spark.sql.functions._
   * pure function of `media_id`), decode is the declared deterministic
   * [[graft.multimodal.MediaOps.StubCodec]], and every feature is computed
   * per-row — so the output is bit-reproducible and pinned as a committed
-  * golden parquet ([[Golden]]). The `sfDir` parameter is unused: media
-  * bytes don't scale with SF (the real corpus would be a `binary` column
-  * in parquet, read the same way at any scale).
+  * golden parquet ([[Golden]]). Fixture SIZE scales with the `sfDir`
+  * scale factor (VERDICT r3 item 8) so the bench sees a real multimodal
+  * signal at every SF; the golden stays pinned because the formula yields
+  * exactly [[BaseN]] rows at the driver's sf0.01 verify scale, and rows
+  * are a pure function of `media_id` (a prefix at smaller SF, a superset
+  * at larger).
   */
 object MediaQueries {
 
   def queries: Seq[QueryDef] = Seq(mediaFeatures)
 
-  /** Fixture rows (images/audio/video interleaved by id % 3). */
-  val N = 120
+  /** Fixture rows at sf0.01, the verify/golden scale (images/audio/video
+    * interleaved by id % 3). */
+  val BaseN = 120
+
+  /** sfDir → fixture size: parse the trailing `sf<x>` of the testdata dir
+    * and scale [[BaseN]] linearly (sf0.001→12, sf0.01→120, sf0.1→1200).
+    * Unparseable dirs fall back to the verify size. */
+  def sizeOf(sfDir: String): Int =
+    "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir)
+      .flatMap(m => scala.util.Try((m.group(1).toDouble * 12000).round.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(BaseN)
 
   private val mediaFeatures = QueryDef(
     "media_features",
-    (s, _) => {
-      val media = MediaOps.fixture(s, N)
+    (s, dir) => {
+      val media = MediaOps.fixture(s, sizeOf(dir))
       MediaOps.unitFeatures(media)
         .select(col("media_id"), col("kind"), col("unit_idx"),
           round(col("px_mean").cast("double"), 6).as("px_mean"),

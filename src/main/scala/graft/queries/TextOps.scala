@@ -291,21 +291,27 @@ object TextOps {
     "jaccard_capped",
     (s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val grams = Tables.documents(s, dir)
         .select($"doc_id", explode(graft.GraftFunctions.columnOf(
           graft.functions.WordNgrams(
             graft.GraftFunctions.exprOf($"text"), 4))).as("gram"))
-        .cache()
-      val dfs = grams.groupBy($"gram").agg(count(lit(1)).as("df")).cache()
-      val hot = dfs.filter($"df" > JaccardDfCap).select($"gram")
-      val pruned = grams.join(broadcast(hot), Seq("gram"), "left_anti")
-      val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // ONE pass attaches each gram's document frequency via a
+      // partition-only window: a single shuffle on `gram` replaces the old
+      // dfs-aggregate + anti-join + semi-join re-scans of the exploded
+      // relation. Gram groups are df-bounded after the cap filter, so the
+      // window buffers at most `df` rows per key — and the cache retains
+      // the gram-hash partitioning, which the pair self-join below reuses
+      // with NO further exchange.
+      val withDf = grams
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"gram")))
+        .filter($"df" <= JaccardDfCap)
+        .cache() // two consumers: per-doc sizes + the pair self-join
+      val sizes = withDf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       // pair-forming grams: 2 <= df <= cap (df=1 grams count toward sizes
-      // but cannot form a pair — pre-filtering them off the self-join
-      // changes no result row and removes most of the join shuffle)
-      val joinable = grams.join(
-        dfs.filter($"df".between(2, JaccardDfCap)).select($"gram"),
-        Seq("gram"), "left_semi")
+      // but cannot form a pair — filtering them off the self-join changes
+      // no result row and removes most of the join work)
+      val joinable = withDf.filter($"df" >= 2).select($"doc_id", $"gram")
       val inter = joinable.as("a")
         .join(joinable.as("b"),
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))

@@ -17,6 +17,15 @@ class MediaOpsSpec extends SparkSpec {
     back.collect().foreach(r => assert(r.bytes.toSeq == orig(r.media_id)))
   }
 
+  test("gate fixture size scales with the sfDir scale factor") {
+    import graft.queries.MediaQueries
+    assert(MediaQueries.sizeOf("/root/testdata/sf0.001") == 12)
+    assert(MediaQueries.sizeOf("/root/testdata/sf0.01") == MediaQueries.BaseN)
+    assert(MediaQueries.sizeOf("/root/testdata/sf0.1") == 1200)
+    assert(MediaQueries.sizeOf("/root/testdata/sf0.1/") == 1200)
+    assert(MediaQueries.sizeOf("/weird/dir") == MediaQueries.BaseN)
+  }
+
   test("decode is deterministic and partition-count-invariant") {
     val a = decodeImages(fixture(spark, 9, partitions = 1)).collect()
       .map(d => d.media_id -> d.pixels.toSeq).toMap

@@ -69,6 +69,28 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally spark.conf.unset(TopKPerGroupStrategy.SortBasedKey)
   }
 
+  test("hash mode auto-spills past the group budget and stays exact (no flag)") {
+    import spark.implicits._
+    // 5000 distinct groups vs a budget of 100 forces many spill runs per
+    // partition; result must still be exactly the window-function answer
+    val df = (1 to 20000).map(i =>
+      (s"g${i % 5000}", i.toLong, ((i * 2654435761L) % 1000).toDouble))
+      .toDF("grp", "id", "score")
+      .repartition(3)
+    spark.conf.set(TopKPerGroupStrategy.GroupBudgetKey, "100")
+    try {
+      val got = TopKPerGroup(df, Seq("grp"), Seq(("score", false), ("id", true)), 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      val expected = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"grp").orderBy($"score".desc, $"id")))
+        .filter($"rn" <= 2).drop("rn")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(got.length == expected.length)
+      assert(got.sameElements(expected))
+    } finally spark.conf.unset(TopKPerGroupStrategy.GroupBudgetKey)
+  }
+
   test("works via the SQL-extensions-configured session too") {
     // SparkSpec's session is built with spark.sql.extensions=GraftExtensions,
     // so the strategy is already injected; construction must not depend on
