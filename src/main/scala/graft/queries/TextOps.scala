@@ -179,6 +179,10 @@ object TextOps {
     "jaccard_pairs",
     (s, dir) => {
       import s.implicits._
+      // NOTE: unlike jaccard_capped, this stays hash-aggregate + semi-join.
+      // The single-pass window-df trick only pays off POST-CAP: uncapped,
+      // WindowExec must sort the FULL gram relation (hot grams make large
+      // sort groups), which measured slower than the two hash aggregates.
       // cached: consumed three times (sizes + both self-join sides); at
       // warehouse scale this is a materialized doc→gram feature table
       val grams = Tables.documents(s, dir)
