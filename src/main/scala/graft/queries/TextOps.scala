@@ -303,10 +303,10 @@ object TextOps {
       // ONE pass attaches each gram's document frequency via a
       // partition-only window: a single shuffle on `gram` replaces the old
       // dfs-aggregate + anti-join + semi-join re-scans of the exploded
-      // relation. Gram groups are df-bounded after the cap filter, so the
-      // window buffers at most `df` rows per key — and the cache retains
-      // the gram-hash partitioning, which the pair self-join below reuses
-      // with NO further exchange.
+      // relation, and both downstream consumers (sizes, pair join) read
+      // the df-filtered cache instead of recomputing the explode. The
+      // post-cap gram groups are df-bounded, so the window buffers at most
+      // `cap` rows per key.
       val withDf = grams
         .withColumn("df", count(lit(1)).over(Window.partitionBy($"gram")))
         .filter($"df" <= JaccardDfCap)

@@ -17,6 +17,22 @@ class MediaOpsSpec extends SparkSpec {
     back.collect().foreach(r => assert(r.bytes.toSeq == orig(r.media_id)))
   }
 
+  test("independent pin: StubCodec + feats recomputed outside the JVM") {
+    // Expected values come from an INDEPENDENT Python reimplementation of
+    // the FNV-1a codec math and the float32 feature folds (ADVICE r3:
+    // media rows previously pinned only engine output). The pixel pin is
+    // EXACT (raw bucket bytes / 255f); the feature pins allow 1e-6 for
+    // any residual fold-order ulp.
+    val raw = Seq(91, 32, 55, 160, 213, 60, 143, 176,
+      151, 62, 118, 100, 164, 61, 117, 108)
+    val px = StubCodec.decodeBytes(Array[Byte](1, 2, 3), 4, 4)
+    assert(px.toSeq == raw.map(_ / 255f), "codec bytes drifted vs independent math")
+    val (mean, std, edge) = MediaOps.feats(px)
+    assert(math.abs(mean - 0.44387263f) < 1e-6f, s"mean=$mean")
+    assert(math.abs(std - 0.19578518f) < 1e-6f, s"std=$std")
+    assert(math.abs(edge - 0.22769606f) < 1e-6f, s"edge=$edge")
+  }
+
   test("gate fixture size scales with the sfDir scale factor") {
     import graft.queries.MediaQueries
     assert(MediaQueries.sizeOf("/root/testdata/sf0.001") == 12)
