@@ -22,6 +22,26 @@ class Bm25SparseSpec extends SparkSpec {
     assert(sparseOf("the cat sat on the mat the cat") == ((idx, vals)))
   }
 
+  test("independent pin: buckets and TF weights recomputed outside the JVM") {
+    // Expected values come from an INDEPENDENT Python reimplementation of
+    // the murmur bucketing and the BM25 TF formula (ADVICE r3: sparse
+    // golden rows previously pinned only engine output). Buckets are
+    // exact; weights allow 1e-6 for float32 representation.
+    val (idx, vals) = sparseOf("hello world hello")
+    assert(idx == List(13783, 22937), s"buckets drifted: $idx")
+    // avgdl=256 default: tf=2 -> 1.9043111, tf=1 -> 1.6786885
+    assert(math.abs(vals(0) - 1.9043111f) < 1e-6f, s"vals=$vals")
+    assert(math.abs(vals(1) - 1.6786885f) < 1e-6f, s"vals=$vals")
+    // corpus-avgdl form (Bm25SparseDl semantics): avgdl = dl = 3 collapses
+    // the length normalization -> 1.375 / 1.0 exactly
+    val r = Bm25Sparse.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world hello"), 3.0)
+    val dlVals = (0 until r.getArray(1).numElements())
+      .map(i => r.getArray(1).getFloat(i))
+    assert(math.abs(dlVals(0) - 1.375f) < 1e-6f && math.abs(dlVals(1) - 1.0f) < 1e-6f,
+      s"corpus-avgdl weights drifted: $dlVals")
+  }
+
   test("TF saturation: repeated term weighs more but sub-linearly") {
     def weightOf(text: String, term: String): Float = {
       val h = scala.util.hashing.MurmurHash3.stringHash(term, 0x5bd1e995)
