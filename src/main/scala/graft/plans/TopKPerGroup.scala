@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrde
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** A5 hardening — whole-operator top-k-per-group as a custom Catalyst
   * operator (SURVEY §4 "group-by pushdown into the index" stretch goal):
@@ -77,6 +78,10 @@ case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] = child.output
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "spillBytes" -> SQLMetrics.createSizeMetric(sparkContext, "spill size"),
+    "spillCount" -> SQLMetrics.createMetric(sparkContext, "number of spilled runs"))
+
   /** All rows of one group must land in one partition (the shuffle the
     * planner inserts here is the operator's only exchange). */
   override def requiredChildDistribution: Seq[Distribution] =
@@ -98,6 +103,8 @@ case class TopKPerGroupExec(
     val childOutput = child.output
     val sorted = sortBased
     val budget = groupBudget
+    val spillBytes = longMetric("spillBytes")
+    val spillCount = longMetric("spillCount")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val ord = RowOrdering.create(orderE, childOutput)
@@ -141,7 +148,8 @@ case class TopKPerGroupExec(
           val entries = buffers.entrySet().asScala.toArray
             .sortWith((a, b) => java.util.Arrays.compareUnsigned(
               a.getKey.getBytes, b.getKey.getBytes) < 0)
-          val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+          // spill under spark.local.dir (DiskBlockManager), never /tmp
+          val f = org.apache.spark.graftbridge.SpillFiles.create("graft-topk-spill")
           val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
             new java.io.FileOutputStream(f), 1 << 16))
           try entries.foreach { e =>
@@ -153,6 +161,8 @@ case class TopKPerGroupExec(
               out.writeInt(bytes.length); out.write(bytes)
             }
           } finally out.close()
+          spillBytes.add(f.length())
+          spillCount.add(1)
           spills.add(f)
           buffers.clear()
         }

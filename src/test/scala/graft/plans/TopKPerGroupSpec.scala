@@ -78,9 +78,10 @@ class TopKPerGroupSpec extends SparkSpec {
       .toDF("grp", "id", "score")
       .repartition(3)
     spark.conf.set(TopKPerGroupStrategy.GroupBudgetKey, "100")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep the exec findable
     try {
-      val got = TopKPerGroup(df, Seq("grp"), Seq(("score", false), ("id", true)), 2)
-        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      val topk = TopKPerGroup(df, Seq("grp"), Seq(("score", false), ("id", true)), 2)
+      val got = topk.collect().map(r => (r.getString(0), r.getLong(1))).sorted
       val expected = df
         .withColumn("rn", row_number().over(
           Window.partitionBy($"grp").orderBy($"score".desc, $"id")))
@@ -88,7 +89,16 @@ class TopKPerGroupSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).sorted
       assert(got.length == expected.length)
       assert(got.sameElements(expected))
-    } finally spark.conf.unset(TopKPerGroupStrategy.GroupBudgetKey)
+      // the spill really happened, and it was accounted in SQL metrics
+      val exec = topk.queryExecution.executedPlan.collectFirst {
+        case t: TopKPerGroupExec => t
+      }.getOrElse(fail("TopKPerGroupExec not found in executed plan"))
+      assert(exec.metrics("spillCount").value > 0, "expected spilled runs")
+      assert(exec.metrics("spillBytes").value > 0, "expected spill bytes accounted")
+    } finally {
+      spark.conf.unset(TopKPerGroupStrategy.GroupBudgetKey)
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("works via the SQL-extensions-configured session too") {
