@@ -72,17 +72,29 @@ case class Int8QuantCosine(left: Expression, right: Expression, q: Seq[Double])
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "int8_quant_cosine"
+  // null on dimension mismatch — same contract as CosineSimExpr /
+  // CosineConstExpr, so a mismatched stored vector surfaces as NULL in
+  // every cosine path instead of silently scoring in the int8 one
+  override def nullable: Boolean = true
 
   @transient private lazy val qArr: Array[Double] = q.toArray
 
-  override protected def nullSafeEval(vec: Any, bound: Any): Any =
-    Int8QuantCosine.compute(vec.asInstanceOf[ArrayData],
-      bound.asInstanceOf[Double], qArr)
+  override protected def nullSafeEval(vec: Any, bound: Any): Any = {
+    val vv = vec.asInstanceOf[ArrayData]
+    if (vv.numElements() != qArr.length) null
+    else Int8QuantCosine.compute(vv, bound.asInstanceOf[Double], qArr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("int8Query", qArr, "double[]")
-    defineCodeGen(ctx, ev, (v, b) =>
-      s"graft.functions.Int8QuantCosine.compute($v, $b, $qRef)")
+    nullSafeCodeGen(ctx, ev, (v, b) =>
+      s"""
+         |if ($v.numElements() != $qRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Int8QuantCosine.compute($v, $b, $qRef);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(
@@ -99,17 +111,14 @@ object Int8QuantCosine {
   }
 
   def compute(vec: ArrayData, bound: Double, q: Array[Double]): Double = {
-    // iterate to max(|vec|, |q|), zero-padding the shorter side: BOTH norms
-    // accumulate all their components, matching the DuckDB oracle (which
-    // sums each norm over its full vector) for ANY dimension pair — the
-    // previous min-length loop dropped tail query components from nb
-    val nv = vec.numElements()
-    val n = math.max(nv, q.length)
+    // callers guarantee vec.numElements() == q.length (mismatch → NULL at
+    // the expression layer, same contract as the float cosine kernels)
+    val n = q.length
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
-      val a = if (i < nv) q127(vec.getFloat(i).toDouble, bound) else 0L
-      val b = if (i < q.length) q127(q(i), bound) else 0L
+      val a = q127(vec.getFloat(i).toDouble, bound)
+      val b = q127(q(i), bound)
       dot += a * b; na += a * a; nb += b * b
       i += 1
     }

@@ -304,9 +304,11 @@ object TextOps {
       // partition-only window: a single shuffle on `gram` replaces the old
       // dfs-aggregate + anti-join + semi-join re-scans of the exploded
       // relation, and both downstream consumers (sizes, pair join) read
-      // the df-filtered cache instead of recomputing the explode. The
-      // post-cap gram groups are df-bounded, so the window buffers at most
-      // `cap` rows per key.
+      // the df-filtered cache instead of recomputing the explode. NOTE:
+      // the count runs BEFORE the df<=cap filter, so WindowExec buffers
+      // each gram's FULL group (its buffer is spillable, so this is a
+      // disk/time cost on hot grams, not a correctness or OOM risk); the
+      // cap bounds only the downstream pair-forming work.
       val withDf = grams
         .withColumn("df", count(lit(1)).over(Window.partitionBy($"gram")))
         .filter($"df" <= JaccardDfCap)

@@ -38,6 +38,19 @@ class QuantizeInt8Spec extends SparkSpec {
     assert(z.forall(_ == 0))
   }
 
+  test("int8 corpus kernel returns NULL on dimension mismatch (cosine-kernel parity)") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f)))
+      .toDF("id", "v")
+      .select(col("id"), graft.GraftFunctions.columnOf(
+        Int8QuantCosine(graft.GraftFunctions.exprOf(col("v")),
+          graft.GraftFunctions.exprOf(lit(3.0)),
+          Seq(1.0, 2.0, 3.0))).as("score"))
+    val rows = df.orderBy("id").collect()
+    assert(!rows(0).isNullAt(1), "matching dims must score")
+    assert(rows(1).isNullAt(1), "mismatched dims must be NULL, not zero-padded")
+  }
+
   test("storage footprint: tinyint array round-trips through parquet") {
     import spark.implicits._
     val df = randomVecs(20, 64)
