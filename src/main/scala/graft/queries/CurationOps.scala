@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators — the pipeline steps that sit AFTER
+  * the per-document analyses in [[TextOps]] and turn a scored/deduplicated
+  * corpus into training input:
+  *
+  *  - `dedup_clusters`: connected components over the MinHash-LSH pair
+  *    graph — the dedup *finisher* that turns pairwise candidates into
+  *    per-document cluster assignments (keeper = min doc_id per cluster).
+  *  - `pack_sequences`: deterministic sequence packing — assign documents
+  *    to fixed-token-budget packs, the step that turns a corpus into
+  *    training batches.
+  *  - `sample_stratified`: deterministic hash-based stratified sampling by
+  *    language — corpus rebalancing with reproducible membership.
+  *
+  * All three are deterministic (hash-derived, no RNG state) so the DuckDB
+  * oracle mirrors them exactly.
+  */
+object CurationOps {
+
+  def queries: Seq[QueryDef] = Seq(dedupClusters, packSequences, sampleStratified)
+
+  /** 60-bit positive hash of a salted string key — same md5-prefix trick
+    * as the other oracle-parity hashes (`conv(substr(md5(s),1,15),16,10)`
+    * == DuckDB `('0x'||substr(md5(s),1,15))::BIGINT`). */
+  private def hash60(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  private def hash60Sql(salt: String, idExpr: String): String =
+    s"('0x' || substr(md5('$salt' || CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT"
+
+  // ----------------------------------------------------------------------
+  // dedup_clusters
+  // ----------------------------------------------------------------------
+
+  /** Iteration cap for the label-propagation loop: each round widens every
+    * label's reach by one hop, so the cap bounds the cluster DIAMETER the
+    * operator accepts — near-dup clusters are dense (LSH links most
+    * members directly) and sit far below it. Exceeding the cap throws
+    * rather than returning a not-yet-converged labeling. */
+  val MaxClusterIters = 25
+
+  /** Connected components over the MinHash-LSH candidate-pair graph via
+    * min-label propagation: every document's cluster_id converges to the
+    * smallest doc_id reachable through near-dup pairs (singletons keep
+    * their own id). This is the canonical dedup finisher at warehouse
+    * scale — pairs alone don't say *which* rows to keep; components do
+    * (keep cluster_id == doc_id, or aggregate per cluster).
+    *
+    * Scale shape: one shuffle join edges⋈labels plus one min-aggregate per
+    * iteration, O(diameter) iterations (GraphX's Pregel connected
+    * components runs the same recurrence). `localCheckpoint` after each
+    * round truncates the lineage so plan size stays constant; convergence
+    * is detected by the label-sum fixpoint (labels only ever decrease, so
+    * an unchanged sum == no label moved) — an O(1)-row aggregate per
+    * round, never a collect of the data. */
+  private val dedupClusters = QueryDef(
+    "dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = TextOps.minhashLshPairs(docs)
+      // both directions, materialized once — read by every iteration
+      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+        .localCheckpoint()
+      var labels = docs.select($"doc_id".as("id"), $"doc_id".as("lbl"))
+        .localCheckpoint()
+      var lastSum = labels.agg(sum($"lbl")).head.getLong(0)
+      var converged = false
+      var it = 0
+      while (!converged && it < MaxClusterIters) {
+        val prop = edges.join(labels, $"src" === $"id")
+          .select($"dst".as("id"), $"lbl")
+        val next = labels.union(prop).groupBy($"id")
+          .agg(min($"lbl").as("lbl"))
+          .localCheckpoint()
+        val nextSum = next.agg(sum($"lbl")).head.getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == lastSum
+        lastSum = nextSum
+        it += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"dedup_clusters did not converge in $MaxClusterIters iterations — " +
+          "a component wider than the declared diameter bound")
+      labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${TextOps.minhashLshPairsSql},
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id AS doc_id, min(lbl) AS cluster_id
+      FROM reach
+      GROUP BY id
+      ORDER BY doc_id
+    """))
+
+  // ----------------------------------------------------------------------
+  // pack_sequences
+  // ----------------------------------------------------------------------
+
+  /** Token budget per pack (a training batch's sequence capacity). */
+  val PackBudget = 2048L
+
+  /** Shards packed independently — the parallelism unit. At 100 TB the
+    * shard count scales with the corpus (each training worker packs its
+    * own shard), so no window ever sees more than one shard's rows. */
+  val PackShards = 16L
+
+  /** Deterministic sequence packing: documents are hashed into
+    * [[PackShards]] shards, ordered by doc_id within the shard, and
+    * assigned to packs wherever the running token total crosses a
+    * [[PackBudget]] boundary (a document always lands in the pack its
+    * PRECEDING cumulative total points at — first-fill-then-advance, the
+    * standard streaming packing rule; oversized documents occupy packs
+    * alone).
+    *
+    * Scale shape: one shuffle on the shard key, then a per-shard window
+    * cumsum — the window partitions by shard, so its sort is bounded by
+    * shard size, never the corpus; at scale shard count grows with data
+    * (mirroring per-worker packing in training pipelines) and the whole
+    * operator stays one exchange. */
+  private val packSequences = QueryDef(
+    "pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          (hash60("pack:", $"doc_id") % PackShards).as("shard"),
+          graft.functions.TextFunctions.tokenCountWs($"text")
+            .cast("long").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .select($"doc_id", $"shard", $"n_tok",
+          ($"shard" * 1000000L +
+            floor(($"cum" - $"n_tok").cast("double") / PackBudget.toDouble)
+              .cast("long")).as("pack_id"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          ${hash60Sql("pack:", "doc_id")} % $PackShards AS shard,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tok,
+          SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, shard, n_tok,
+        shard * 1000000 + CAST(floor(CAST(cum - n_tok AS DOUBLE) / $PackBudget.0) AS BIGINT)
+          AS pack_id
+      FROM c
+      ORDER BY doc_id
+    """))
+
+  // ----------------------------------------------------------------------
+  // sample_stratified
+  // ----------------------------------------------------------------------
+
+  /** Per-language keep rates in thousandths: downsample dominant English,
+    * keep the rarest stratum whole — corpus rebalancing. Unlisted
+    * languages drop (rate 0). */
+  val StratRates: Seq[(String, Long)] = Seq(
+    "en" -> 250L, "es" -> 500L, "de" -> 500L, "fr" -> 500L, "zh" -> 1000L)
+
+  /** Deterministic stratified sampling: membership is `hash(doc_id) mod
+    * 1000 < rate(lang)` — reproducible across runs/engines (no RNG state),
+    * the property training-data curation needs for auditable subsets.
+    * Scale shape: pure per-row filter on the scan, no shuffle at all;
+    * rates are a literal CASE (at scale: a broadcast dim table). */
+  private val sampleStratified = QueryDef(
+    "sample_stratified",
+    (s, dir) => {
+      import s.implicits._
+      val rate = StratRates.foldRight(lit(0L): Column) { case ((l, r), acc) =>
+        when($"lang" === l, lit(r)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          (hash60("strat:", $"doc_id") % 1000L).as("bucket"), rate.as("rate"))
+        .filter($"bucket" < $"rate")
+        .select($"doc_id", $"lang", $"bucket")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val cases = StratRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+      s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+          ${hash60Sql("strat:", "doc_id")} % 1000 AS bucket,
+          CASE $cases ELSE 0 END AS rate
+        FROM documents)
+      SELECT doc_id, lang, bucket
+      FROM t
+      WHERE bucket < rate
+      ORDER BY doc_id
+    """
+    })
+}

@@ -18,5 +18,5 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.queries ++ LogOps.queries ++ AnomalyOps.queries ++
       VectorOps.queries ++ TextOps.queries ++ SimhashOps.queries ++
-      StreamOps.queries ++ MediaQueries.queries
+      CurationOps.queries ++ StreamOps.queries ++ MediaQueries.queries
 }

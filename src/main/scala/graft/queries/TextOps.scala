@@ -254,7 +254,7 @@ object TextOps {
 
   /** Base 28-bit hash per distinct 5-shingle (native one-pass kernel —
     * same values as transform(shingles)->md5->conv built-ins). */
-  private def baseHashes(text: Column): Column =
+  private[queries] def baseHashes(text: Column): Column =
     graft.GraftFunctions.columnOf(graft.functions.ShingleHashes(
       graft.GraftFunctions.exprOf(text), 5, 7))
 
@@ -262,15 +262,15 @@ object TextOps {
     * (`graft.functions.AffineMinhash`) — same values as k separate
     * `array_min(transform(...))` HOFs, without the per-element lambda
     * interpretation that dominated the sf0.1 profile. */
-  private def minhashArr(hs: Column): Column =
+  private[queries] def minhashArr(hs: Column): Column =
     graft.GraftFunctions.columnOf(graft.functions.AffineMinhash(
       graft.GraftFunctions.exprOf(hs), permA, permB, P))
 
-  private def bandCol(mh: Column, b: Int): Column =
+  private[queries] def bandCol(mh: Column, b: Int): Column =
     concat_ws("|", (b * BandSize until (b + 1) * BandSize)
       .map(j => element_at(mh, j + 1)): _*)
 
-  private val baseHashesSql =
+  private[queries] val baseHashesSql =
     "list_transform(list_distinct(list_filter(list_transform(" +
       "range(1, greatest(len(norm) - 3, 1)), i -> substr(norm, i, 5)), " +
       "s -> len(s) = 5)), x -> ('0x' || substr(md5(x), 1, 7))::BIGINT)"
@@ -278,7 +278,7 @@ object TextOps {
   private def minhashSql(j: Int): String =
     s"COALESCE(CAST(list_min(list_transform(hs, h -> (${permA(j)} * h + ${permB(j)}) % $P)) AS VARCHAR), '${Long.MaxValue}')"
 
-  private def bandSql(b: Int): String =
+  private[queries] def bandSql(b: Int): String =
     (b * BandSize until (b + 1) * BandSize).map(minhashSql).mkString(" || '|' || ")
 
   /** Document-frequency-capped Jaccard: grams appearing in more than
@@ -385,45 +385,58 @@ object TextOps {
     """
     })
 
-  /** MinHash-LSH candidate pairs: docs sharing any band bucket — explode
-    * bands → shuffle on the bucket key → pair join. The signature relation
-    * is cached before the self-join (at warehouse scale it would be a
-    * materialized signature table) so minhashing runs once, not per side. */
+  /** MinHash-LSH candidate pairs (a_id < b_id, distinct, unordered): docs
+    * sharing any band bucket — explode bands → shuffle on the bucket key →
+    * pair join. The signature relation is cached before the self-join (at
+    * warehouse scale it would be a materialized signature table) so
+    * minhashing runs once, not per side. Shared by the `lsh_pairs` gate
+    * query and the connected-components clustering in [[CurationOps]]. */
+  private[queries] def minhashLshPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val withMh = docs
+      .select($"doc_id", baseHashes($"text").as("hs"))
+      .select($"doc_id", minhashArr($"hs").as("mh"))
+    val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*)
+    val buckets = withMh
+      .select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+      .cache()
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** SQL mirror of [[minhashLshPairs]]: CTEs `h`, `buckets`, `pairs` —
+    * `pairs` holds the distinct (a_id, b_id) candidate set. */
+  private[queries] val minhashLshPairsSql: String = {
+    val bands = (0 until MinhashK / BandSize)
+      .map(b => s"(${b}, ${bandSql(b)})").mkString(", ")
+    s"""h AS (
+        SELECT doc_id, $baseHashesSql AS hs
+        FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+              FROM documents)),
+      buckets AS (SELECT doc_id, unnest([$bands]) AS band FROM h),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.doc_id < b.doc_id)"""
+  }
+
   private val lshPairs = QueryDef(
     "lsh_pairs",
     (s, dir) => {
       import s.implicits._
-      val withMh = Tables.documents(s, dir)
-        .select($"doc_id", baseHashes($"text").as("hs"))
-        .select($"doc_id", minhashArr($"hs").as("mh"))
-      val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*)
-      val buckets = withMh
-        .select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
-        .cache()
-      buckets.as("a")
-        .join(buckets.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-        .orderBy($"a_id", $"b_id")
+      minhashLshPairs(Tables.documents(s, dir)).orderBy($"a_id", $"b_id")
     },
-    Some {
-      val bands = (0 until MinhashK / BandSize)
-        .map(b => s"(${b}, ${bandSql(b)})").mkString(", ")
-      s"""
-      WITH h AS (
-        SELECT doc_id, $baseHashesSql AS hs
-        FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
-              FROM documents)),
-      buckets AS (SELECT doc_id, unnest([$bands]) AS band FROM h)
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.doc_id < b.doc_id
+    Some(s"""
+      WITH $minhashLshPairsSql
+      SELECT a_id, b_id FROM pairs
       ORDER BY a_id, b_id
-    """
-    })
+    """))
 
   /** V4 — BM25 scoring of a fixed query against the corpus, with IDF from
     * corpus stats (two tiny aggregates broadcast back over the scan).
