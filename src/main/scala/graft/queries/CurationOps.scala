@@ -66,13 +66,23 @@ object CurationOps {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val pairs = TextOps.minhashLshPairs(docs)
-      // both directions, materialized once — read by every iteration
-      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      // both directions in ONE pass over the pair relation (a two-branch
+      // union would recompute the LSH self-join once per direction),
+      // materialized once — read by every iteration
+      val edges = pairs.select(explode(array(
+          struct($"a_id".as("src"), $"b_id".as("dst")),
+          struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
         .localCheckpoint()
       var labels = docs.select($"doc_id".as("id"), $"doc_id".as("lbl"))
         .localCheckpoint()
-      var lastSum = labels.agg(sum($"lbl")).head.getLong(0)
+      // fixpoint metric: exact decimal sum of all labels — labels only
+      // ever decrease, so an unchanged sum == converged; decimal(38,0)
+      // because a LONG sum of 64-bit ids overflows past ~1e7 rows
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum($"lbl".cast("decimal(38,0)"))).head
+          .getDecimal(0)
+      var lastSum = labelSum(labels)
       var converged = false
       var it = 0
       while (!converged && it < MaxClusterIters) {
@@ -81,10 +91,10 @@ object CurationOps {
         val next = labels.union(prop).groupBy($"id")
           .agg(min($"lbl").as("lbl"))
           .localCheckpoint()
-        val nextSum = next.agg(sum($"lbl")).head.getLong(0)
+        val nextSum = labelSum(next)
         labels.unpersist()
         labels = next
-        converged = nextSum == lastSum
+        converged = nextSum.compareTo(lastSum) == 0
         lastSum = nextSum
         it += 1
       }
