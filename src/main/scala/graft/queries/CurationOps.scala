@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
-  def queries: Seq[QueryDef] = Seq(dedupClusters, packSequences, sampleStratified)
+  def queries: Seq[QueryDef] =
+    Seq(dedupClusters, packSequences, sampleStratified, sampleTopkStratified)
 
   /** 60-bit positive hash of a salted string key — same md5-prefix trick
     * as the other oracle-parity hashes (`conv(substr(md5(s),1,15),16,10)`
@@ -226,4 +227,39 @@ object CurationOps {
       ORDER BY doc_id
     """
     })
+
+  /** Fixed sample size per stratum. */
+  val StratTopK = 50
+
+  /** Exactly-k-per-stratum sampling: the k documents with the SMALLEST
+    * salted hash per language — a deterministic reservoir ("hash-order
+    * sample"), reproducible across engines and incremental loads (a doc's
+    * rank never changes as unrelated docs arrive). Runs on the custom
+    * [[graft.plans.TopKPerGroup]] operator: one clustering exchange,
+    * bounded k-row buffers per group, no per-group sort — the window
+    * row_number form (what the DuckDB oracle uses) would sort every
+    * stratum at scale. */
+  private val sampleTopkStratified = QueryDef(
+    "sample_topk_stratified",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", hash60("strat:", $"doc_id").as("hk"))
+      graft.plans.TopKPerGroup(base, Seq("lang"),
+          Seq(("hk", true), ("doc_id", true)), StratTopK)
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, ${hash60Sql("strat:", "doc_id")} AS hk
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang, hk,
+          row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        FROM t)
+      SELECT doc_id, lang, hk
+      FROM r
+      WHERE rn <= $StratTopK
+      ORDER BY doc_id
+    """))
 }

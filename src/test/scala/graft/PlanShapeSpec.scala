@@ -105,6 +105,30 @@ class PlanShapeSpec extends SparkSpec {
         s"got ${scan.metrics("numFiles").value} files")
   }
 
+  test("pack_sequences shuffles once on the shard key, window stays per-shard") {
+    val p = plan("pack_sequences")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1,
+      s"exactly one shard exchange expected:\n${p.take(1200)}")
+    assert(p.toLowerCase.contains("windowspecdefinition(shard"),
+      "cumsum window must partition by shard, never run global")
+  }
+
+  test("sample_stratified is a pure scan filter — zero hash exchanges") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"stratified sampling must not shuffle:\n${p.take(1200)}")
+  }
+
+  test("sample_topk_stratified plans through the custom TopKPerGroup operator") {
+    val q = Registry.all.find(_.name == "sample_topk_stratified").get
+    val df = q.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"),
+      s"expected the custom operator, not a window sort:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "row_number window would sort every stratum")
+  }
+
   test("whole-stage codegen covers the scan->project hot path (template_hash)") {
     val q = Registry.all.find(_.name == "template_hash").get
     val p = q.fn(spark, dir).queryExecution.explainString(

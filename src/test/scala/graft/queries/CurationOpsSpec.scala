@@ -79,6 +79,22 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("sample_topk_stratified == smallest-k hashes per lang recomputed in Scala") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, SfDir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs
+      .map { case (id, lang) => (id, lang, hash60("strat:" + id)) }
+      .groupBy(_._2).values
+      .flatMap(_.sortBy(t => (t._3, t._1)).take(CurationOps.StratTopK))
+      .map(_._1).toSet
+    val got = SparkEntry.queries("sample_topk_stratified")(spark, SfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
   test("sample_stratified keeps exactly the hash-selected members per stratum") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, SfDir)
