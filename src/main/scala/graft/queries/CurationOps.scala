@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object CurationOps {
 
   def queries: Seq[QueryDef] =
-    Seq(dedupClusters, packSequences, sampleStratified, sampleTopkStratified)
+    Seq(dedupClusters, packSequences, sampleStratified, sampleTopkStratified,
+      decontaminate, repetitionScore)
 
   /** 60-bit positive hash of a salted string key — same md5-prefix trick
     * as the other oracle-parity hashes (`conv(substr(md5(s),1,15),16,10)`
@@ -260,6 +261,110 @@ object CurationOps {
       SELECT doc_id, lang, hk
       FROM r
       WHERE rn <= $StratTopK
+      ORDER BY doc_id
+    """))
+
+  // ----------------------------------------------------------------------
+  // decontaminate
+  // ----------------------------------------------------------------------
+
+  /** N-gram width for contamination matching (the 8-13 range is the
+    * published convention; 8 here since the synthetic docs are short). */
+  val DecontamN = 8
+
+  /** Every 20th doc_id stands in for the held-out benchmark set. In
+    * production the eval side is a FIXED benchmark suite (size independent
+    * of corpus scale — genuinely broadcastable); the modulo split just
+    * gives the gate a deterministic eval set inside one table. */
+  val DecontamEvalMod = 20L
+
+  /** Test-set decontamination: flag training documents sharing any
+    * [[DecontamN]]-gram with the eval split, with the count of distinct
+    * shared grams as evidence. The standard training-data hygiene pass.
+    *
+    * Scale shape: eval grams are distinct-reduced first (the relation is
+    * benchmark-sized, not corpus-sized), then one equi-join on the gram
+    * key against the training explode — AQE broadcasts the eval side when
+    * it fits, and the training side never shuffles more than (doc, gram)
+    * pairs. No similarity math on the hot path; membership only. */
+  private val decontaminate = QueryDef(
+    "decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      def grams(df: DataFrame) = df.select($"doc_id",
+        explode(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
+          graft.GraftFunctions.exprOf($"text"), DecontamN))).as("gram"))
+      val docs = Tables.documents(s, dir)
+      val evalGrams = grams(docs.filter($"doc_id" % DecontamEvalMod === 0))
+        .select($"gram").distinct()
+      grams(docs.filter($"doc_id" % DecontamEvalMod =!= 0))
+        .join(evalGrams, Seq("gram"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val g = (0 until DecontamN).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(ts) - ${DecontamN - 2}, 1)), i -> $g))) AS gram
+        FROM toks),
+      ev AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % $DecontamEvalMod = 0)
+      SELECT g.doc_id, count(*) AS n_shared
+      FROM grams g JOIN ev ON g.gram = ev.gram
+      WHERE g.doc_id % $DecontamEvalMod <> 0
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id
+    """
+    })
+
+  // ----------------------------------------------------------------------
+  // repetition_score
+  // ----------------------------------------------------------------------
+
+  /** Within-document repetition: 1 − (distinct 3-grams / total 3-gram
+    * windows) — the duplicate-n-gram-fraction quality signal (high =
+    * boilerplate/looping text). Pure per-row arithmetic over the native
+    * [[graft.functions.WordNgrams]] kernel (distinct) and the token count
+    * (total windows = tokens − n + 1); no shuffle at all. */
+  private val repetitionScore = QueryDef(
+    "repetition_score",
+    (s, dir) => {
+      import s.implicits._
+      val nToks = size(graft.GraftFunctions.columnOf(graft.functions.WordTokens(
+        graft.GraftFunctions.exprOf($"text")))).cast("long")
+      val nDistinct = size(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
+        graft.GraftFunctions.exprOf($"text"), 3))).cast("long")
+      Tables.documents(s, dir)
+        .select($"doc_id", nToks.as("n_toks"), nDistinct.as("n_distinct"))
+        .select($"doc_id", $"n_toks", $"n_distinct",
+          when($"n_toks" <= 2, lit(0.0)).otherwise(
+            round(lit(1.0) - $"n_distinct".cast("double") /
+              ($"n_toks" - 2).cast("double"), 6)).as("repetition"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          CAST(len(ts) AS BIGINT) AS n_toks,
+          CAST(len(list_distinct(list_transform(
+            range(1, greatest(len(ts) - 1, 1)),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS BIGINT) AS n_distinct
+        FROM toks)
+      SELECT doc_id, n_toks, n_distinct,
+        CASE WHEN n_toks <= 2 THEN 0.0
+             ELSE round(1.0 - n_distinct::DOUBLE / (n_toks - 2)::DOUBLE, 6)
+        END AS repetition
+      FROM f
       ORDER BY doc_id
     """))
 }

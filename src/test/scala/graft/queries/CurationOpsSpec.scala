@@ -95,6 +95,55 @@ class CurationOpsSpec extends SparkSpec {
       s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
   }
 
+  test("decontaminate == Scala set-intersection of eval/train n-grams") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(CurationOps.DecontamN)
+        .filter(_.length == CurationOps.DecontamN)
+        .map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.filter(_._1 % CurationOps.DecontamEvalMod == 0)
+      .flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % CurationOps.DecontamEvalMod != 0)
+      .map { case (id, t) => (id, grams(t).count(evalGrams.contains).toLong) }
+      .filter(_._2 > 0).toMap
+    val got = SparkEntry.queries("decontaminate")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("repetition_score == Scala sliding-window recompute, and flags repeats") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val total = toks.length - 2
+      val rep = if (toks.length <= 2) 0.0
+        else {
+          val d = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.size
+          BigDecimal(1.0 - d.toDouble / total)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      id -> rep
+    }.toMap
+    val got = SparkEntry.queries("repetition_score")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(got == expected)
+    // sanity on constructed input: a looping doc scores high
+    val loop = spark.createDataFrame(Seq((1L, ("spam ham eggs " * 20).trim)))
+      .toDF("doc_id", "text")
+    val nd = loop.select(org.apache.spark.sql.functions.size(
+      graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
+        graft.GraftFunctions.exprOf($"text"), 3)))).collect().head.getInt(0)
+    assert(nd == 3, "a 3-word loop has exactly 3 distinct 3-grams")
+  }
+
   test("sample_stratified keeps exactly the hash-selected members per stratum") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, SfDir)
