@@ -49,19 +49,25 @@ object CurationOps {
   val MaxClusterIters = 25
 
   /** Connected components over the MinHash-LSH candidate-pair graph via
-    * min-label propagation: every document's cluster_id converges to the
-    * smallest doc_id reachable through near-dup pairs (singletons keep
-    * their own id). This is the canonical dedup finisher at warehouse
-    * scale — pairs alone don't say *which* rows to keep; components do
-    * (keep cluster_id == doc_id, or aggregate per cluster).
+    * min-label propagation WITH pointer jumping: every document's
+    * cluster_id converges to the smallest doc_id reachable through
+    * near-dup pairs (singletons keep their own id). This is the canonical
+    * dedup finisher at warehouse scale — pairs alone don't say *which*
+    * rows to keep; components do (keep cluster_id == doc_id, or aggregate
+    * per cluster).
     *
-    * Scale shape: one shuffle join edges⋈labels plus one min-aggregate per
-    * iteration, O(diameter) iterations (GraphX's Pregel connected
-    * components runs the same recurrence). `localCheckpoint` after each
-    * round truncates the lineage so plan size stays constant; convergence
-    * is detected by the label-sum fixpoint (labels only ever decrease, so
-    * an unchanged sum == no label moved) — an O(1)-row aggregate per
-    * round, never a collect of the data. */
+    * Each round does (1) a neighbor-min step (edges⋈labels + min-agg) and
+    * (2) a shortcut step lbl ← lbl(lbl) (labels⋈labels) — the pointer
+    * jump that doubles every label's effective reach, giving O(log
+    * diameter) rounds instead of O(diameter) (the same reason GraphFrames'
+    * big-graph CC uses star-contraction rounds; plain propagation measured
+    * 10 rounds on the sf0.1 fixture, this form 5). Both steps preserve the
+    * invariant "lbl(x) is reachable from x and ≥ the component minimum",
+    * and labels only ever decrease, so the fixpoint is exactly the
+    * component minimum. `localCheckpoint` after each round truncates the
+    * lineage so plan size stays constant; convergence is detected by the
+    * label-sum fixpoint (an unchanged exact decimal sum == no label moved)
+    * — an O(1)-row aggregate per round, never a collect of the data. */
   private val dedupClusters = QueryDef(
     "dedup_clusters",
     (s, dir) => {
@@ -90,8 +96,14 @@ object CurationOps {
       while (!converged && it < MaxClusterIters) {
         val prop = edges.join(labels, $"src" === $"id")
           .select($"dst".as("id"), $"lbl")
-        val next = labels.union(prop).groupBy($"id")
+        val hopped = labels.union(prop).groupBy($"id")
           .agg(min($"lbl").as("lbl"))
+        // pointer jump: follow the label's own label (every lbl value is a
+        // doc id, so the inner self-join loses no rows)
+        val next = hopped
+          .join(hopped.select($"id".as("lid"), $"lbl".as("llbl")),
+            $"lbl" === $"lid")
+          .select($"id", least($"lbl", $"llbl").as("lbl"))
           .localCheckpoint()
         val nextSum = labelSum(next)
         labels.unpersist()
