@@ -1,0 +1,92 @@
+package graft.api
+
+import graft.functions.TextFunctions
+import graft.queries.CurationOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: compose the engine's curation
+  * operators into the standard corpus-preparation pipeline
+  *
+  * {{{
+  * documents ─ exact dedup ─ near-dup clusters (keep cluster min)
+  *           ─ decontaminate (vs a held-out eval set)
+  *           ─ quality + repetition filters
+  *           ─ stratified sample ─ sequence packing
+  * }}}
+  *
+  * Every stage is deterministic (hash-derived, no RNG), so two runs over
+  * the same corpus produce byte-identical output — the auditability
+  * property curated training sets need. All stages are lazy column plans
+  * except the near-dup clustering, which runs its bounded iterative jobs
+  * when invoked (declared — connected components has no one-shot plan).
+  *
+  * Each stage's math is the corresponding oracle-checked gate query
+  * (`dedup_exact`, `dedup_clusters`, `decontaminate`, `quality_score`,
+  * `repetition_score`, `sample_stratified`, `pack_sequences`) — this
+  * object only composes them.
+  */
+object Curation {
+
+  final case class Config(
+      dedupNear: Boolean = true,
+      minQuality: Double = 0.3,
+      maxRepetition: Double = 0.5,
+      sampleRates: Option[Seq[(String, Long)]] = Some(CurationOps.StratRates),
+      packBudget: Long = CurationOps.PackBudget,
+      packShards: Long = CurationOps.PackShards)
+
+  /** Curate `docs` (schema: doc_id, text, lang, ...) into packed training
+    * rows (doc_id, lang, text, shard, n_tok, pack_id).
+    *
+    * @param evalDocs optional held-out benchmark docs (doc_id, text) —
+    *                 training docs sharing any 8-gram with them are
+    *                 dropped (decontamination)
+    */
+  def curate(docs: DataFrame, evalDocs: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    import docs.sparkSession.implicits._
+
+    // 1. exact dedup: keeper = min doc_id per content fingerprint
+    val keepers = docs
+      .groupBy(TextFunctions.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val exact = docs.join(keepers, Seq("doc_id"), "left_semi")
+
+    // 2. near-dup clusters: keep each cluster's min id (iterative CC)
+    val near =
+      if (!cfg.dedupNear) exact
+      else {
+        val own = CurationOps.connectedComponents(exact)
+          .filter($"doc_id" === $"cluster_id").select($"doc_id")
+        exact.join(own, Seq("doc_id"), "left_semi")
+      }
+
+    // 3. decontamination: drop docs sharing any 8-gram with the eval set
+    val clean = evalDocs.fold(near) { ev =>
+      def grams(df: DataFrame) = df.select($"doc_id",
+        explode(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
+          graft.GraftFunctions.exprOf($"text"), CurationOps.DecontamN)))
+          .as("gram"))
+      val evGrams = grams(ev).select($"gram").distinct()
+      val contaminated = grams(near).join(evGrams, Seq("gram"))
+        .select($"doc_id").distinct()
+      near.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+
+    // 4. per-row quality gates (pure scan filters)
+    val filtered = clean
+      .filter(TextFunctions.qualityScore($"text") >= cfg.minQuality)
+      .filter(CurationOps.repetitionCol($"text") <= cfg.maxRepetition)
+
+    // 5. stratified rebalance (pure scan filter)
+    val sampled = cfg.sampleRates.fold(filtered)(r =>
+      filtered.filter(CurationOps.stratSampleKeep($"doc_id", $"lang", r)))
+
+    // 6. sequence packing
+    CurationOps.packColumns(sampled.select($"doc_id", $"lang", $"text"),
+        budget = cfg.packBudget, shards = cfg.packShards)
+      .select($"doc_id", $"lang", $"text", $"shard", $"n_tok", $"pack_id")
+  }
+}

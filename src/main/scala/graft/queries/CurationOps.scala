@@ -68,55 +68,62 @@ object CurationOps {
     * lineage so plan size stays constant; convergence is detected by the
     * label-sum fixpoint (an unchanged exact decimal sum == no label moved)
     * — an O(1)-row aggregate per round, never a collect of the data. */
+  /** Cluster assignment (doc_id, cluster_id) for every document — the
+    * reusable core of `dedup_clusters`, also composed by
+    * [[graft.api.Curation]]. See the QueryDef scaladoc for the algorithm
+    * and scale contract. */
+  def connectedComponents(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = TextOps.minhashLshPairs(docs)
+    // both directions in ONE pass over the pair relation (a two-branch
+    // union would recompute the LSH self-join once per direction),
+    // materialized once — read by every iteration
+    val edges = pairs.select(explode(array(
+        struct($"a_id".as("src"), $"b_id".as("dst")),
+        struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .localCheckpoint()
+    var labels = docs.select($"doc_id".as("id"), $"doc_id".as("lbl"))
+      .localCheckpoint()
+    // fixpoint metric: exact decimal sum of all labels — labels only
+    // ever decrease, so an unchanged sum == converged; decimal(38,0)
+    // because a LONG sum of 64-bit ids overflows past ~1e7 rows
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"lbl".cast("decimal(38,0)"))).head
+        .getDecimal(0)
+    var lastSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < MaxClusterIters) {
+      val prop = edges.join(labels, $"src" === $"id")
+        .select($"dst".as("id"), $"lbl")
+      val hopped = labels.union(prop).groupBy($"id")
+        .agg(min($"lbl").as("lbl"))
+      // pointer jump: follow the label's own label (every lbl value is a
+      // doc id, so the inner self-join loses no rows)
+      val next = hopped
+        .join(hopped.select($"id".as("lid"), $"lbl".as("llbl")),
+          $"lbl" === $"lid")
+        .select($"id", least($"lbl", $"llbl").as("lbl"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(lastSum) == 0
+      lastSum = nextSum
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dedup_clusters did not converge in $MaxClusterIters iterations — " +
+        "a component wider than the declared diameter bound")
+    labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+  }
+
   private val dedupClusters = QueryDef(
     "dedup_clusters",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val pairs = TextOps.minhashLshPairs(docs)
-      // both directions in ONE pass over the pair relation (a two-branch
-      // union would recompute the LSH self-join once per direction),
-      // materialized once — read by every iteration
-      val edges = pairs.select(explode(array(
-          struct($"a_id".as("src"), $"b_id".as("dst")),
-          struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
-        .select($"e.src".as("src"), $"e.dst".as("dst"))
-        .localCheckpoint()
-      var labels = docs.select($"doc_id".as("id"), $"doc_id".as("lbl"))
-        .localCheckpoint()
-      // fixpoint metric: exact decimal sum of all labels — labels only
-      // ever decrease, so an unchanged sum == converged; decimal(38,0)
-      // because a LONG sum of 64-bit ids overflows past ~1e7 rows
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum($"lbl".cast("decimal(38,0)"))).head
-          .getDecimal(0)
-      var lastSum = labelSum(labels)
-      var converged = false
-      var it = 0
-      while (!converged && it < MaxClusterIters) {
-        val prop = edges.join(labels, $"src" === $"id")
-          .select($"dst".as("id"), $"lbl")
-        val hopped = labels.union(prop).groupBy($"id")
-          .agg(min($"lbl").as("lbl"))
-        // pointer jump: follow the label's own label (every lbl value is a
-        // doc id, so the inner self-join loses no rows)
-        val next = hopped
-          .join(hopped.select($"id".as("lid"), $"lbl".as("llbl")),
-            $"lbl" === $"lid")
-          .select($"id", least($"lbl", $"llbl").as("lbl"))
-          .localCheckpoint()
-        val nextSum = labelSum(next)
-        labels.unpersist()
-        labels = next
-        converged = nextSum.compareTo(lastSum) == 0
-        lastSum = nextSum
-        it += 1
-      }
-      if (!converged) throw new IllegalStateException(
-        s"dedup_clusters did not converge in $MaxClusterIters iterations — " +
-          "a component wider than the declared diameter bound")
-      labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
-        .orderBy($"doc_id")
+      connectedComponents(Tables.documents(s, dir)).orderBy($"doc_id")
     },
     Some(s"""
       WITH RECURSIVE ${TextOps.minhashLshPairsSql},
@@ -163,18 +170,8 @@ object CurationOps {
     "pack_sequences",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"shard").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select($"doc_id",
-          (hash60("pack:", $"doc_id") % PackShards).as("shard"),
-          graft.functions.TextFunctions.tokenCountWs($"text")
-            .cast("long").as("n_tok"))
-        .withColumn("cum", sum($"n_tok").over(w))
-        .select($"doc_id", $"shard", $"n_tok",
-          ($"shard" * 1000000L +
-            floor(($"cum" - $"n_tok").cast("double") / PackBudget.toDouble)
-              .cast("long")).as("pack_id"))
+      packColumns(Tables.documents(s, dir).select($"doc_id", $"text"))
+        .select($"doc_id", $"shard", $"n_tok", $"pack_id")
         .orderBy($"doc_id")
     },
     Some(s"""
@@ -338,6 +335,44 @@ object CurationOps {
   // ----------------------------------------------------------------------
   // repetition_score
   // ----------------------------------------------------------------------
+
+  /** The repetition score as one column expression (math of
+    * `repetition_score`, reused by [[graft.api.Curation]]). */
+  def repetitionCol(text: Column): Column = {
+    val nToks = size(graft.GraftFunctions.columnOf(graft.functions.WordTokens(
+      graft.GraftFunctions.exprOf(text)))).cast("long")
+    val nDistinct = size(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
+      graft.GraftFunctions.exprOf(text), 3))).cast("long")
+    when(nToks <= 2, lit(0.0)).otherwise(
+      round(lit(1.0) - nDistinct.cast("double") / (nToks - 2).cast("double"), 6))
+  }
+
+  /** Membership filter of `sample_stratified` as a boolean column. */
+  def stratSampleKeep(docId: Column, lang: Column,
+      rates: Seq[(String, Long)] = StratRates): Column = {
+    val rate = rates.foldRight(lit(0L): Column) { case ((l, r), acc) =>
+      when(lang === l, lit(r)).otherwise(acc)
+    }
+    (hash60("strat:", docId) % 1000L) < rate
+  }
+
+  /** Shard + token-count + pack-id columns of `pack_sequences`, appended
+    * to any frame with (`idCol`, `textCol`). */
+  def packColumns(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", budget: Long = PackBudget,
+      shards: Long = PackShards): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy($"shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", hash60("pack:", col(idCol)) % shards)
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCountWs(col(textCol)).cast("long"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("pack_id", $"shard" * 1000000L +
+        floor(($"cum" - $"n_tok").cast("double") / budget.toDouble).cast("long"))
+      .drop("cum")
+  }
 
   /** Within-document repetition: 1 − (distinct 3-grams / total 3-gram
     * windows) — the duplicate-n-gram-fraction quality signal (high =

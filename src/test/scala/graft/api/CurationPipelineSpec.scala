@@ -1,0 +1,86 @@
+package graft.api
+
+import graft.{SparkSpec, Tables}
+import graft.queries.CurationOps
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline invariants on the sf0.001 corpus: every
+  * stage's contract must hold on the composed output, and the whole run
+  * must be deterministic. */
+class CurationPipelineSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  test("curated output honors every stage contract") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
+    val eval = docs.filter($"doc_id" % CurationOps.DecontamEvalMod === 0)
+      .select($"doc_id", $"text")
+    val out = Curation.curate(docs, Some(eval)).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty, "pipeline must keep a non-empty corpus")
+
+    // exact dedup: output fingerprints are unique
+    val nFp = out.select(graft.functions.TextFunctions.fingerprint($"text"))
+      .distinct().count()
+    assert(nFp == rows.length, "duplicate content fingerprints survived")
+
+    // near dedup: every kept doc is its own cluster minimum, where
+    // clusters are computed on the exact-deduped corpus (as the pipeline
+    // does — exact twins share text, hence bands, so connectivity is
+    // unaffected by dropping them; only the surviving ids matter)
+    val exactKeepers = docs
+      .groupBy(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val exactDf = docs.join(exactKeepers, Seq("doc_id"), "left_semi")
+    val clusters = CurationOps.connectedComponents(exactDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val keptIds = rows.map(_.getLong(0)).toSet
+    keptIds.foreach { id =>
+      assert(clusters(id) == id,
+        s"doc $id kept but its near-dup cluster min is ${clusters(id)}")
+    }
+
+    // decontamination: no kept doc shares an 8-gram with the eval set
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(CurationOps.DecontamN)
+        .filter(_.length == CurationOps.DecontamN).map(_.mkString(" ")).toSet
+    }
+    val evGrams = eval.collect().flatMap(r => grams(r.getString(1))).toSet
+    rows.foreach { r =>
+      assert(!grams(r.getString(2)).exists(evGrams.contains),
+        s"doc ${r.getLong(0)} is contaminated but survived")
+    }
+
+    // quality/repetition gates
+    val q = out.select($"doc_id",
+      graft.functions.TextFunctions.qualityScore($"text").as("q"),
+      CurationOps.repetitionCol($"text").as("rep")).collect()
+    q.foreach { r =>
+      assert(r.getDouble(1) >= 0.3, s"doc ${r.getLong(0)} below quality floor")
+      assert(r.getDouble(2) <= 0.5, s"doc ${r.getLong(0)} above repetition cap")
+    }
+
+    // packing: pack ids recompute from shard + id-ordered running totals
+    rows.groupBy(_.getLong(3)).foreach { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(_.getLong(0)).foreach { r =>
+        val expected = shard * 1000000L + cum / CurationOps.PackBudget
+        assert(r.getLong(5) == expected,
+          s"doc ${r.getLong(0)}: pack ${r.getLong(5)} != $expected")
+        cum += r.getLong(4)
+      }
+    }
+    out.unpersist()
+  }
+
+  test("the pipeline is deterministic end to end") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
+    def run() = Curation.curate(docs)
+      .select($"doc_id", $"pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(run().sameElements(run()), "two runs must be byte-identical")
+  }
+}
