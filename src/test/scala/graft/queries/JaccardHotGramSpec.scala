@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** jaccard_capped under hot grams: a stop-phrase present in EVERY document
+  * must be excluded from pair formation by the df-cap (the 100 TB skew
+  * guard), and the remaining pair scores must equal a brute-force capped
+  * Jaccard recomputed in plain Scala. The gram-count window buffers hot
+  * groups spillably (see the query's NOTE) — this spec pins the SEMANTICS
+  * under that load shape. */
+class JaccardHotGramSpec extends SparkSpec {
+
+  test("df-cap drops the universal stop-phrase; scores match brute force") {
+    import spark.implicits._
+    val hot = "alpha beta gamma delta epsilon"   // in every doc → df = 60
+    // 60 docs: every one carries the hot phrase; each trio (i/3) shares a
+    // phrase with df = 3 <= cap, the only legitimate pair evidence
+    val docs = (0 until 60).map { i =>
+      val g = i / 3
+      val rare = s"shared$g phrase$g tokens$g joint$g here$g"
+      val filler = s"filler$i token$i word$i extra$i more$i"
+      (i.toLong, s"$hot $rare $filler", "en", "synth", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("hotgram").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("jaccard_capped")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // brute force: distinct 4-grams per doc, drop df > cap, exact jaccard
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t, _, _, _) => id -> grams(t) }
+    val df = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val kept = all.map { case (id, gs) =>
+      id -> gs.filter(g => df(g) <= TextOps.JaccardDfCap)
+    }.toMap
+    // the hot phrase's grams must be df=60, hence dropped everywhere
+    grams(hot).foreach(g => assert(df(g) == 60 && kept.values.forall(!_.contains(g))))
+    val expected = (for {
+      (a, ga) <- kept.toSeq; (b, gb) <- kept.toSeq if a < b
+      i = (ga & gb).size if i > 0
+    } yield (a, b, BigDecimal(i.toDouble / (ga.size + gb.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (a, b, j) => (-j, a, b) }.take(50)
+
+    assert(got.length == expected.length, s"${got.length} vs ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    // and the hot phrase really formed no pair: every surviving pair is
+    // within one trio (rare-phrase evidence), never across trios (which
+    // share ONLY the capped hot phrase)
+    assert(got.nonEmpty, "trio pairs must survive the cap")
+    assert(got.forall { case (a, b, _) => a / 3 == b / 3 })
+  }
+}
