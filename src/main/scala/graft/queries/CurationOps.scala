@@ -67,11 +67,10 @@ object CurationOps {
     * component minimum. `localCheckpoint` after each round truncates the
     * lineage so plan size stays constant; convergence is detected by the
     * label-sum fixpoint (an unchanged exact decimal sum == no label moved)
-    * — an O(1)-row aggregate per round, never a collect of the data. */
-  /** Cluster assignment (doc_id, cluster_id) for every document — the
-    * reusable core of `dedup_clusters`, also composed by
-    * [[graft.api.Curation]]. See the QueryDef scaladoc for the algorithm
-    * and scale contract. */
+    * — an O(1)-row aggregate per round, never a collect of the data.
+    *
+    * Reusable core of the `dedup_clusters` gate query, also composed by
+    * [[graft.api.Curation]]. */
   def connectedComponents(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val pairs = TextOps.minhashLshPairs(docs)
@@ -148,6 +147,11 @@ object CurationOps {
   /** Token budget per pack (a training batch's sequence capacity). */
   val PackBudget = 2048L
 
+  /** pack_id = shard * PackIdBase + within-shard bin: 2^40 bins per shard
+    * before collision — ≈2.3 petatokens per shard at the default budget
+    * (the old 10^6 base collided at ~2 gigatokens/shard, real at 100 TB). */
+  val PackIdBase: Long = 1L << 40
+
   /** Shards packed independently — the parallelism unit. At 100 TB the
     * shard count scales with the corpus (each training worker packs its
     * own shard), so no window ever sees more than one shard's rows. */
@@ -187,7 +191,7 @@ object CurationOps {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t)
       SELECT doc_id, shard, n_tok,
-        shard * 1000000 + CAST(floor(CAST(cum - n_tok AS DOUBLE) / $PackBudget.0) AS BIGINT)
+        shard * ${PackIdBase}::BIGINT + CAST(floor(CAST(cum - n_tok AS DOUBLE) / $PackBudget.0) AS BIGINT)
           AS pack_id
       FROM c
       ORDER BY doc_id
@@ -369,7 +373,7 @@ object CurationOps {
       .withColumn("n_tok",
         graft.functions.TextFunctions.tokenCountWs(col(textCol)).cast("long"))
       .withColumn("cum", sum($"n_tok").over(w))
-      .withColumn("pack_id", $"shard" * 1000000L +
+      .withColumn("pack_id", $"shard" * PackIdBase +
         floor(($"cum" - $"n_tok").cast("double") / budget.toDouble).cast("long"))
       .drop("cum")
   }

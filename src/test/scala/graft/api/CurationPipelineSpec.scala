@@ -66,7 +66,7 @@ class CurationPipelineSpec extends SparkSpec {
     rows.groupBy(_.getLong(3)).foreach { case (shard, ds) =>
       var cum = 0L
       ds.sortBy(_.getLong(0)).foreach { r =>
-        val expected = shard * 1000000L + cum / CurationOps.PackBudget
+        val expected = shard * CurationOps.PackIdBase + cum / CurationOps.PackBudget
         assert(r.getLong(5) == expected,
           s"doc ${r.getLong(0)}: pack ${r.getLong(5)} != $expected")
         cum += r.getLong(4)

@@ -63,7 +63,7 @@ class CurationOpsSpec extends SparkSpec {
     rows.groupBy(_._2).foreach { case (shard, docs) =>
       var cum = 0L
       docs.sortBy(_._1).foreach { case (id, _, nTok, packId) =>
-        val expected = shard * 1000000L + cum / CurationOps.PackBudget
+        val expected = shard * CurationOps.PackIdBase + cum / CurationOps.PackBudget
         assert(packId == expected, s"doc $id: pack $packId, expected $expected")
         cum += nTok
       }
