@@ -88,7 +88,7 @@ object CurationOps {
     // ever decrease, so an unchanged sum == converged; decimal(38,0)
     // because a LONG sum of 64-bit ids overflows past ~1e7 rows
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"lbl".cast("decimal(38,0)"))).head
+      df.agg(sum($"lbl".cast("decimal(38,0)"))).head()
         .getDecimal(0)
     var lastSum = labelSum(labels)
     var converged = false

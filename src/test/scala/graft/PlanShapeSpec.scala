@@ -129,6 +129,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "row_number window would sort every stratum")
   }
 
+  test("decontaminate joins on the gram key, never a nested loop") {
+    val q = Registry.all.find(_.name == "decontaminate").get
+    val df = q.fn(spark, dir)
+    df.collect() // let AQE finalize join strategy from real sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[gram".r
+        .findFirstIn(p).isDefined,
+      s"expected an equi-join keyed on gram:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "membership must never degrade to a product join")
+  }
+
   test("whole-stage codegen covers the scan->project hot path (template_hash)") {
     val q = Registry.all.find(_.name == "template_hash").get
     val p = q.fn(spark, dir).queryExecution.explainString(
