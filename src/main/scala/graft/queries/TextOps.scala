@@ -18,7 +18,87 @@ object TextOps {
 
   def queries: Seq[QueryDef] = Seq(
     dedupExact, rollingFp, tokenCount, qualityScoreQ, langId, jaccardPairs,
-    jaccardCapped, minhashSig, lshPairs, bm25Score)
+    jaccardCapped, minhashSig, lshPairs, bm25Score, piiScrub, keywordsTfidf)
+
+  /** PII patterns shared verbatim by Spark (Java regex) and the oracle
+    * (RE2) — kept inside the common syntax subset of both engines. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\d{3}[-.]\\d{3,4}[-.]\\d{4}"
+
+  /** PII scrubbing: redact emails/phone-shaped spans with typed
+    * placeholders, reporting match counts as evidence — the masking pass a
+    * corpus takes before training. Pure per-row regex work on the scan
+    * (codegen'd built-ins, no shuffle); the gate fixture contains no PII,
+    * so its row additionally proves the patterns raise NO false positives
+    * on ordinary text (the redaction itself is spec-driven on synthetic
+    * PII, PiiScrubSpec). */
+  private val piiScrub = QueryDef(
+    "pii_scrub",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit(EmailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all($"text", lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          regexp_replace(regexp_replace($"text", EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("scrubbed"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone,
+        regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** Keyword extraction: top-3 TF-IDF terms per document (tf · ln((N+1)/
+    * (df+1)), ties broken by term) — corpus-level term weighting as a
+    * per-doc summary. One token shuffle builds (doc, term) frequencies
+    * map-side-combined, the document-frequency relation joins back on the
+    * term key, N broadcasts as a scalar, and the per-doc top-3 runs on the
+    * custom [[graft.plans.TopKPerGroup]] operator (bounded buffers — the
+    * row_number window the oracle uses would sort every document's terms). */
+  private val keywordsTfidf = QueryDef(
+    "keywords_tfidf",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(wordTokens($"text")).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+      val scored = tf.join(dfc, Seq("tok")).crossJoin(broadcast(n))
+        .select($"doc_id", $"tok",
+          round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 6).as("score"))
+      graft.plans.TopKPerGroup(scored, Seq("doc_id"),
+          Seq(("score", false), ("tok", true)), 3)
+        .orderBy($"doc_id", $"score".desc, $"tok")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0)) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, t.tok, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+        FROM tf t JOIN dfc USING (tok) CROSS JOIN n),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        FROM scored)
+      SELECT doc_id, tok, score
+      FROM r
+      WHERE rn <= 3
+      ORDER BY doc_id, score DESC, tok
+    """))
 
   /** Document fingerprinting, rolling-hash form (training-pipeline op):
     * order-sensitive polynomial hash over word tokens — the incremental/
