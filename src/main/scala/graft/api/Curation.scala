@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * documents ─ exact dedup ─ near-dup clusters (keep cluster min)
   *           ─ decontaminate (vs a held-out eval set)
-  *           ─ quality + repetition filters
+  *           ─ quality + repetition filters ─ PII scrub
   *           ─ stratified sample ─ sequence packing
   * }}}
   *
@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   *
   * Each stage's math is the corresponding oracle-checked gate query
   * (`dedup_exact`, `dedup_clusters`, `decontaminate`, `quality_score`,
-  * `repetition_score`, `sample_stratified`, `pack_sequences`) — this
-  * object only composes them.
+  * `repetition_score`, `pii_scrub`, `sample_stratified`,
+  * `pack_sequences`) — this object only composes them.
   */
 object Curation {
 
@@ -32,6 +32,7 @@ object Curation {
       dedupNear: Boolean = true,
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
+      scrubPii: Boolean = true,
       sampleRates: Option[Seq[(String, Long)]] = Some(CurationOps.StratRates),
       packBudget: Long = CurationOps.PackBudget,
       packShards: Long = CurationOps.PackShards)
@@ -80,11 +81,20 @@ object Curation {
       .filter(TextFunctions.qualityScore($"text") >= cfg.minQuality)
       .filter(CurationOps.repetitionCol($"text") <= cfg.maxRepetition)
 
-    // 5. stratified rebalance (pure scan filter)
-    val sampled = cfg.sampleRates.fold(filtered)(r =>
-      filtered.filter(CurationOps.stratSampleKeep($"doc_id", $"lang", r)))
+    // 5. PII masking (per-row regex, after the filters so quality scores
+    // judged the original text; placeholders count as tokens downstream)
+    val scrubbed =
+      if (!cfg.scrubPii) filtered
+      else filtered.withColumn("text",
+        regexp_replace(regexp_replace($"text",
+          graft.queries.TextOps.EmailRe, "<EMAIL>"),
+          graft.queries.TextOps.PhoneRe, "<PHONE>"))
 
-    // 6. sequence packing
+    // 6. stratified rebalance (pure scan filter)
+    val sampled = cfg.sampleRates.fold(scrubbed)(r =>
+      scrubbed.filter(CurationOps.stratSampleKeep($"doc_id", $"lang", r)))
+
+    // 7. sequence packing
     CurationOps.packColumns(sampled.select($"doc_id", $"lang", $"text"),
         budget = cfg.packBudget, shards = cfg.packShards)
       .select($"doc_id", $"lang", $"text", $"shard", $"n_tok", $"pack_id")
