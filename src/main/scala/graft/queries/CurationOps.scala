@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   *  - `pack_sequences`: deterministic sequence packing — assign documents
   *    to fixed-token-budget packs, the step that turns a corpus into
   *    training batches.
-  *  - `sample_stratified`: deterministic hash-based stratified sampling by
-  *    language — corpus rebalancing with reproducible membership.
+  *  - `sample_stratified` / `sample_topk_stratified`: deterministic
+  *    hash-based stratified sampling (rate-based and exactly-k) — corpus
+  *    rebalancing with reproducible membership.
+  *  - `decontaminate`: flag training docs sharing n-grams with a held-out
+  *    eval split — test-set hygiene.
+  *  - `repetition_score`: duplicate-n-gram-fraction quality signal.
   *
-  * All three are deterministic (hash-derived, no RNG state) so the DuckDB
-  * oracle mirrors them exactly.
+  * All deterministic (hash-derived, no RNG state) so the DuckDB oracle
+  * mirrors them exactly; [[graft.api.Curation]] composes the same column
+  * helpers into the end-to-end pipeline.
   */
 object CurationOps {
 
@@ -61,7 +66,7 @@ object CurationOps {
     * jump that doubles every label's effective reach, giving O(log
     * diameter) rounds instead of O(diameter) (the same reason GraphFrames'
     * big-graph CC uses star-contraction rounds; plain propagation measured
-    * 10 rounds on the sf0.1 fixture, this form 5). Both steps preserve the
+    * 10 rounds on the sf0.1 fixture, this form 7). Both steps preserve the
     * invariant "lbl(x) is reachable from x and ≥ the component minimum",
     * and labels only ever decrease, so the fixpoint is exactly the
     * component minimum. `localCheckpoint` after each round truncates the
