@@ -1,0 +1,61 @@
+package graft.search
+
+import graft.functions.VectorFunctions.{cosine, cosineToConst}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the production "build once, probe many" shape of
+  * the inline `ann_ivf` gate query: vector→centroid assignment is computed
+  * once and written PARTITIONED BY CENTROID, so a probe reads only the
+  * `nprobe` nearest partitions (real partition pruning, ≈ nprobe/nlist of
+  * the corpus scanned) instead of re-assigning the whole corpus per query.
+  *
+  * Scale shape: the build is one broadcast-centroids pass + a
+  * repartition-by-centroid write (one file per centroid partition, no
+  * small-files churn); a probe collects only the `nprobe` winning centroid
+  * ids (index METADATA, bounded by nlist — never corpus data) so the cid
+  * filter is literal and prunes partitions at file-listing time.
+  * IvfIndexSpec proves probe == inline ann_ivf AND that the probe scan
+  * lists exactly nprobe files.
+  */
+object IvfIndex {
+
+  /** Assign every vector to its nearest centroid (argmax cosine, tie →
+    * min cid — same rule as `ann_ivf`) and persist index + centroids. */
+  def build(embeddings: DataFrame, path: String,
+      centroidIds: Seq[Long] = graft.queries.VectorOps.IvfCentroids): Unit = {
+    import embeddings.sparkSession.implicits._
+    val cents = embeddings.filter($"vec_id".isin(centroidIds: _*))
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val assigned = embeddings.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(cents))
+      .withColumn("cs", cosine($"embedding", $"cvec"))
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"cid"), struct($"cs", -$"cid")).getField("cid").as("cid"))
+    embeddings.join(assigned, "vec_id")
+      .repartition($"cid") // one task → one file per centroid partition
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k by cosine to `q` over the `nprobe` nearest centroid partitions
+    * of a built index. */
+  def probe(spark: SparkSession, path: String,
+      q: Seq[Double] = graft.queries.VectorOps.Q,
+      k: Int = graft.queries.VectorOps.IvfK,
+      nprobe: Int = graft.queries.VectorOps.IvfNprobe): DataFrame = {
+    import spark.implicits._
+    // index metadata read: nprobe winning cids (≤ nlist rows, never data)
+    val probeIds = spark.read.parquet(s"$path/centroids")
+      .select($"cid", cosineToConst($"cvec", q).as("qs"))
+      .orderBy($"qs".desc, $"cid")
+      .limit(nprobe)
+      .select($"cid").as[Long].collect()
+    spark.read.parquet(s"$path/index")
+      .filter($"cid".isin(probeIds: _*)) // literal predicate → partition pruning
+      .select($"vec_id", $"label",
+        round(cosineToConst($"embedding", q), 6).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(k)
+  }
+}
