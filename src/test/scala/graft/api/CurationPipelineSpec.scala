@@ -75,6 +75,25 @@ class CurationPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("config toggles: no near-dedup, no sampling, no scrub") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
+    val all = Curation.curate(docs, cfg = Curation.Config(
+      dedupNear = false, scrubPii = false, sampleRates = None)).collect()
+    val sampled = Curation.curate(docs).collect()
+    // disabling near-dedup and sampling must strictly widen the output
+    assert(all.length > sampled.length,
+      s"${all.length} vs ${sampled.length}")
+    // cluster minima are exact-dedup keepers, so the strict pipeline's
+    // survivors must all exist in the widest config's output
+    val allIds = all.map(_.getLong(0)).toSet
+    assert(sampled.map(_.getLong(0)).toSet.subsetOf(allIds))
+    // exact dedup still applies on the widest config
+    val nFp = all.map(_.getString(2)).map(t =>
+      t.toLowerCase.replaceAll("[^a-z0-9]", "")).distinct.length
+    assert(nFp == all.length, "exact duplicates must still be dropped")
+  }
+
   test("the pipeline is deterministic end to end") {
     import spark.implicits._
     val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
