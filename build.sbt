@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen JIT-compiles one or more generated classes per
+  // stage; a full 49-query bench run churns through far more compiled
+  // code than the JVM's 240 MB default code cache. When it fills, the
+  // JIT disables itself ("CodeCache is full. Compiler has been
+  // disabled.") and every later query runs interpreted — the
+  // late-run-order 3-7x bench degradation. Size it so a whole bench run
+  // stays JIT-compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

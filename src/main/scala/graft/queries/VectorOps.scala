@@ -279,23 +279,25 @@ object VectorOps {
       val qNorm = math.sqrt(qQuant.map(v => v.toDouble * v).sum)
       s"""
       WITH sc AS (
-        SELECT vec_id, label, embedding,
+        SELECT vec_id, label, embedding, len(embedding) AS ne,
           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
         FROM embeddings),
       qz AS (
-        SELECT vec_id, label,
+        SELECT vec_id, label, ne,
           list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
             ELSE CAST(round(x::DOUBLE * 127.0 / s) AS BIGINT) END) AS qv
         FROM sc),
       d AS (
-        SELECT vec_id, label,
+        SELECT vec_id, label, ne,
           list_sum(list_transform(range(1, 65), i -> qv[i] * ($qLit)[i]))::DOUBLE AS dd,
           sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS nq
         FROM qz)
       SELECT vec_id, label,
-        round(CASE WHEN nq * $qNorm = 0 THEN 0.0 ELSE dd / (nq * $qNorm) END, 6) AS score
+        CASE WHEN ne <> 64 THEN NULL
+          ELSE round(CASE WHEN nq * $qNorm = 0 THEN 0.0 ELSE dd / (nq * $qNorm) END, 6)
+        END AS score
       FROM d
-      ORDER BY score DESC, vec_id
+      ORDER BY score DESC NULLS LAST, vec_id
       LIMIT 20
     """
     })
@@ -333,22 +335,24 @@ object VectorOps {
         SELECT round(quantile_cont(abs(x::DOUBLE), 0.99), 6) AS b
         FROM (SELECT unnest(embedding) AS x FROM embeddings)),
       qz AS (
-        SELECT vec_id, label,
+        SELECT vec_id, label, len(embedding) AS ne,
           list_transform(embedding, x ->
             greatest(least(round(x::DOUBLE * 127.0 / b), 127.0), -127.0)::BIGINT) AS qv,
           list_transform($QSql, x ->
             greatest(least(round(x * 127.0 / b), 127.0), -127.0)::BIGINT) AS qq
         FROM embeddings, bound),
       d AS (
-        SELECT vec_id, label,
+        SELECT vec_id, label, ne,
           list_sum(list_transform(range(1, 65), i -> qv[i] * qq[i]))::DOUBLE AS dd,
           sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS nv,
           sqrt(list_sum(list_transform(qq, x -> x * x))::DOUBLE) AS nq
         FROM qz)
       SELECT vec_id, label,
-        round(CASE WHEN nv * nq = 0 THEN 0.0 ELSE dd / (nv * nq) END, 6) AS score
+        CASE WHEN ne <> 64 THEN NULL
+          ELSE round(CASE WHEN nv * nq = 0 THEN 0.0 ELSE dd / (nv * nq) END, 6)
+        END AS score
       FROM d
-      ORDER BY score DESC, vec_id
+      ORDER BY score DESC NULLS LAST, vec_id
       LIMIT 20
     """))
 

@@ -15,15 +15,18 @@ object SpillFiles {
   /** A fresh temp file under the executor's configured local dirs (via
     * `DiskBlockManager.createTempLocalBlock`), falling back to
     * `java.io.tmpdir` only when no `SparkEnv` exists (plain-JVM unit
-    * tests). `deleteOnExit` backstops the caller's task-completion-listener
-    * cleanup in case the JVM dies mid-task.
+    * tests). No `deleteOnExit` on the Spark path: each call would add one
+    * immutable entry to the JVM-global DeleteOnExitHook set — unbounded
+    * growth on a long-lived executor that spills many runs — and the
+    * caller's task-completion listener plus DiskBlockManager's own
+    * shutdown cleanup of `spark.local.dir` already cover crash exits.
+    * Only the plain-JVM fallback (bounded unit-test use) keeps it.
     */
-  def create(prefix: String): File = {
-    val f = Option(SparkEnv.get) match {
-      case Some(env) => env.blockManager.diskBlockManager.createTempLocalBlock()._2
-      case None => File.createTempFile(prefix, ".bin")
-    }
-    f.deleteOnExit()
-    f
+  def create(prefix: String): File = Option(SparkEnv.get) match {
+    case Some(env) => env.blockManager.diskBlockManager.createTempLocalBlock()._2
+    case None =>
+      val f = File.createTempFile(prefix, ".bin")
+      f.deleteOnExit()
+      f
   }
 }
