@@ -28,12 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** @param sampleRates per-language keep rates out of 1000 for the
+    *        stratified-rebalance stage, `None` = no sampling. Languages
+    *        NOT listed keep `sampleDefaultRate` out of 1000 — the default
+    *        1000 keeps them ALL, so the default pipeline is lossless for
+    *        languages outside the rate table (set 0 to drop unlisted
+    *        strata, the `sample_stratified` gate query's semantics).
+    */
   final case class Config(
       dedupNear: Boolean = true,
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
       scrubPii: Boolean = true,
       sampleRates: Option[Seq[(String, Long)]] = Some(CurationOps.StratRates),
+      sampleDefaultRate: Long = 1000L,
       packBudget: Long = CurationOps.PackBudget,
       packShards: Long = CurationOps.PackShards)
 
@@ -90,9 +98,11 @@ object Curation {
           graft.queries.TextOps.EmailRe, "<EMAIL>"),
           graft.queries.TextOps.PhoneRe, "<PHONE>"))
 
-    // 6. stratified rebalance (pure scan filter)
+    // 6. stratified rebalance (pure scan filter); unlisted languages keep
+    // cfg.sampleDefaultRate/1000 — lossless by default (see Config)
     val sampled = cfg.sampleRates.fold(scrubbed)(r =>
-      scrubbed.filter(CurationOps.stratSampleKeep($"doc_id", $"lang", r)))
+      scrubbed.filter(CurationOps.stratSampleKeep($"doc_id", $"lang", r,
+        cfg.sampleDefaultRate)))
 
     // 7. sequence packing
     CurationOps.packColumns(sampled.select($"doc_id", $"lang", $"text"),

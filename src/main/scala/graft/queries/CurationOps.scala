@@ -78,7 +78,8 @@ object CurationOps {
     * [[graft.api.Curation]]. */
   def connectedComponents(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val pairs = TextOps.minhashLshPairs(docs)
+    val buckets = TextOps.minhashBuckets(docs)
+    val pairs = TextOps.pairsFromBuckets(buckets)
     // both directions in ONE pass over the pair relation (a two-branch
     // union would recompute the LSH self-join once per direction),
     // materialized once — read by every iteration
@@ -87,6 +88,11 @@ object CurationOps {
         struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
       .localCheckpoint()
+    // localCheckpoint is eager: the pair join has materialized into the
+    // edge blocks, so the LSH bucket cache is dead weight from here —
+    // release it now rather than leaking one cached relation per call in
+    // a long-lived session (this is a reusable library entry point)
+    buckets.unpersist()
     var labels = docs.select($"doc_id".as("id"), $"doc_id".as("lbl"))
       .localCheckpoint()
     // fixpoint metric: exact decimal sum of all labels — labels only
@@ -117,6 +123,12 @@ object CurationOps {
       lastSum = nextSum
       it += 1
     }
+    // the fixpoint loop is done with the edge blocks — release them. The
+    // FINAL labels checkpoint is deliberately retained: the returned frame
+    // reads from it (localCheckpoint truncates lineage, so unpersisting
+    // would break the result); one labels-sized block set per call is the
+    // documented cost of calling connectedComponents.
+    edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"dedup_clusters did not converge in $MaxClusterIters iterations — " +
         "a component wider than the declared diameter bound")
@@ -356,10 +368,15 @@ object CurationOps {
       round(lit(1.0) - nDistinct.cast("double") / (nToks - 2).cast("double"), 6))
   }
 
-  /** Membership filter of `sample_stratified` as a boolean column. */
+  /** Membership filter of `sample_stratified` as a boolean column.
+    * `defaultRate` (per-1000) applies to languages absent from `rates`:
+    * 0 = drop unlisted strata (the gate query's semantics), 1000 =
+    * keep-all (the lossless library default in
+    * [[graft.api.Curation.Config]]). */
   def stratSampleKeep(docId: Column, lang: Column,
-      rates: Seq[(String, Long)] = StratRates): Column = {
-    val rate = rates.foldRight(lit(0L): Column) { case ((l, r), acc) =>
+      rates: Seq[(String, Long)] = StratRates,
+      defaultRate: Long = 0L): Column = {
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((l, r), acc) =>
       when(lang === l, lit(r)).otherwise(acc)
     }
     (hash60("strat:", docId) % 1000L) < rate

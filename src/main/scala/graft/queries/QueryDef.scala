@@ -18,5 +18,6 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.queries ++ LogOps.queries ++ AnomalyOps.queries ++
       VectorOps.queries ++ TextOps.queries ++ SimhashOps.queries ++
-      CurationOps.queries ++ StreamOps.queries ++ MediaQueries.queries
+      CurationOps.queries ++ StreamOps.queries ++ MediaQueries.queries ++
+      SessionOps.queries
 }

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` stream: gap-based sessionization
+  * and the as-of join — the two time-series shapes every log/clickstream
+  * warehouse query surface needs beyond plain range predicates (SURVEY
+  * §2.2 P8 is the range predicate; these are its stateful/ordered
+  * cousins).
+  *
+  * Precision contract: the parquet `ts` is TIMESTAMP(NANOS); DuckDB reads
+  * it truncated to microseconds, so every cross-engine comparison here
+  * works at MICROsecond precision (`ts div 1000` ≡ `epoch_us(ts)`), at
+  * which (user_id, ts_us) is unique in the fixtures — order within a user
+  * is total, making both operators deterministic.
+  *
+  * Scale shape (both operators): ONE shuffle on `user_id` and one
+  * per-partition sort — no joins, no pair formation. Per-user event
+  * volume bounds the window buffer (the sessionization invariant at
+  * 100 TB: key by the entity whose timeline you session, never a global
+  * sort). Monetary sums go through exact integer cents — a DOUBLE sum's
+  * result depends on addition order, which a distributed engine does not
+  * guarantee.
+  */
+object SessionOps {
+
+  def queries: Seq[QueryDef] = Seq(sessionize, asofJoin)
+
+  /** Session gap: a new session starts after >10 min of inactivity. */
+  val SessionGapSec = 600L
+
+  private val SecSql = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+  /** Gap-based sessionization: per-user ordinal session ids from the
+    * classic lag-then-cumulative-sum pair (both windows share one
+    * (partition, order) spec, so Catalyst plans a single exchange + single
+    * sort), rolled up to one row per session. */
+  private val sessionize = QueryDef(
+    "sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag($"ts_sec", 1).over(w)
+      Tables.events(s, dir)
+        // integer div, not `/`: double division loses precision on epoch
+        // nanos (~1.7e18 > 2^53), same contract as Tables.events.ts_sec
+        .select($"user_id", expr("ts div 1000").as("ts_us"),
+          $"ts_sec",
+          round($"value" * 100).cast("long").as("cents"))
+        .withColumn("brk",
+          when(prev.isNull || $"ts_sec" - prev > SessionGapSec, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum($"brk").over(cum))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts_sec").as("start_sec"),
+          max($"ts_sec").as("end_sec"),
+          round(sum($"cents") / 100.0, 2).as("sum_value"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, $SecSql AS ts_sec,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      m AS (
+        SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+            OR ts_sec - lag(ts_sec) OVER w > $SessionGapSec
+          THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      s AS (
+        SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM m)
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+        round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_value
+      FROM s
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """))
+
+  /** As-of join, expressed Spark-first: "for each click, the time since
+    * the same user's most recent error at-or-before it". NOT a join at
+    * all — both streams union into one per-user timeline and a running
+    * `last(..., ignoreNulls)` carries the latest error timestamp forward,
+    * so the plan is one shuffle + one sort, linear in the input, immune to
+    * the pair blow-up a between-join would risk on busy users. The DuckDB
+    * oracle states the same semantics with its native ASOF LEFT JOIN.
+    * NULL gap = no prior error (left as-of). */
+  private val asofJoin = QueryDef(
+    "asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter($"event_type".isin("click", "error"))
+        .select($"event_id", $"user_id",
+          expr("ts div 1000").as("ts_us"),
+          ($"event_type" === "error").as("is_err"))
+        .withColumn("last_err_us",
+          last(when($"is_err", $"ts_us"), ignoreNulls = true).over(w))
+        .filter(!$"is_err")
+        .select($"event_id", $"user_id",
+          ($"ts_us" - $"last_err_us").as("gap_us"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+        WHERE event_type IN ('click', 'error')),
+      clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+      errors AS (SELECT * FROM e WHERE event_type = 'error')
+      SELECT c.event_id, c.user_id, c.ts_us - er.ts_us AS gap_us
+      FROM clicks c ASOF LEFT JOIN errors er
+        ON c.user_id = er.user_id AND c.ts_us >= er.ts_us
+      ORDER BY c.event_id
+    """))
+}

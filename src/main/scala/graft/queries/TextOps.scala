@@ -18,7 +18,8 @@ object TextOps {
 
   def queries: Seq[QueryDef] = Seq(
     dedupExact, rollingFp, tokenCount, qualityScoreQ, langId, jaccardPairs,
-    jaccardCapped, minhashSig, lshPairs, bm25Score, piiScrub, keywordsTfidf)
+    jaccardCapped, minhashSig, lshPairs, bm25Score, piiScrub, keywordsTfidf,
+    lmScore)
 
   /** PII patterns shared verbatim by Spark (Java regex) and the oracle
     * (RE2) — kept inside the common syntax subset of both engines. */
@@ -98,6 +99,53 @@ object TextOps {
       FROM r
       WHERE rn <= 3
       ORDER BY doc_id, score DESC, tok
+    """))
+
+  /** Corpus unigram LM score: per-document mean negative log-likelihood
+    * of its tokens under the corpus unigram distribution — the
+    * CCNet/Gopher-style statistical quality signal (a doc of rare or
+    * garbled tokens scores high surprisal; boilerplate scores low) that
+    * complements the rule-based `quality_score`.
+    *
+    * Plan: one token explode feeds both the vocabulary aggregate
+    * (map-side-combined) and the scoring join on the token key; the
+    * corpus total is an exact integer broadcast scalar. The join key is
+    * heavy-tailed (stop words) but the vocabulary side is one row per
+    * token, so AQE's skew-join split handles oversized probe partitions —
+    * no salting needed when the build side is 1-row-per-key.
+    *
+    * Determinism: token counts are exact integers; each token's surprisal
+    * `-ln(cnt/total)` is a pure function of them, rounded to 6 dp BEFORE
+    * the per-doc sum so a last-ulp `ln` difference between engines cannot
+    * propagate; the final mean is rounded at 4 dp, coarser than any
+    * accumulated summation-order error (~1e-12). */
+  private val lmScore = QueryDef(
+    "lm_score",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(wordTokens($"text")).as("tok"))
+      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+      toks.join(uni, Seq("tok")).crossJoin(broadcast(tot))
+        .select($"doc_id", round(-log($"cnt" / $"n"), 6).as("surp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum($"surp") / count(lit(1)), 4).as("avg_nll"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0)) AS tok
+        FROM documents),
+      uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      tot AS (SELECT count(*)::DOUBLE AS n FROM toks)
+      SELECT doc_id, count(*) AS n_tok,
+        round(sum(round(-ln(cnt / n), 6)) / count(*), 4) AS avg_nll
+      FROM toks JOIN uni USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+      ORDER BY doc_id
     """))
 
   /** Document fingerprinting, rolling-hash form (training-pipeline op):
@@ -465,22 +513,28 @@ object TextOps {
     """
     })
 
-  /** MinHash-LSH candidate pairs (a_id < b_id, distinct, unordered): docs
-    * sharing any band bucket — explode bands → shuffle on the bucket key →
-    * pair join. The signature relation is cached before the self-join (at
-    * warehouse scale it would be a materialized signature table) so
-    * minhashing runs once, not per side. Shared by the `lsh_pairs` gate
-    * query and the connected-components clustering in [[CurationOps]]. */
-  private[queries] def minhashLshPairs(
+  /** The cached (doc_id, band_idx, band_hash) bucket relation behind
+    * [[minhashLshPairs]]. Callers that materialize the pair join should
+    * `unpersist()` the returned frame afterwards (see
+    * [[graft.queries.CurationOps.connectedComponents]]) — the cache exists
+    * so minhashing runs once across the self-join's two sides, not to
+    * outlive the query. */
+  private[queries] def minhashBuckets(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     val withMh = docs
       .select($"doc_id", baseHashes($"text").as("hs"))
       .select($"doc_id", minhashArr($"hs").as("mh"))
     val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*)
-    val buckets = withMh
+    withMh
       .select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
       .cache()
+  }
+
+  /** The bucket self-join of [[minhashBuckets]]: distinct unordered
+    * candidate pairs (a_id < b_id). */
+  private[queries] def pairsFromBuckets(
+      buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -488,7 +542,20 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-  }
+
+  /** MinHash-LSH candidate pairs (a_id < b_id, distinct, unordered): docs
+    * sharing any band bucket — explode bands → shuffle on the bucket key →
+    * pair join. The signature relation is cached before the self-join (at
+    * warehouse scale it would be a materialized signature table) so
+    * minhashing runs once, not per side. Shared by the `lsh_pairs` gate
+    * query and the connected-components clustering in [[CurationOps]].
+    * NOTE: the internal bucket cache stays registered until the session's
+    * CacheManager drops it — a caller that wants deterministic release
+    * should use [[minhashBuckets]]/[[pairsFromBuckets]] directly and
+    * unpersist after materializing. */
+  private[queries] def minhashLshPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pairsFromBuckets(minhashBuckets(docs))
 
   /** SQL mirror of [[minhashLshPairs]]: CTEs `h`, `buckets`, `pairs` —
     * `pairs` holds the distinct (a_id, b_id) candidate set. */

@@ -147,4 +147,32 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen"), p.take(400))
   }
+
+  test("asof_join is a single user_id shuffle — no join operator at all") {
+    val p = plan("asof_join")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"exactly one user_id exchange expected:\n${p.take(1200)}")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the as-of must be the union+running-last shape, never a pair join:\n${p.take(1200)}")
+  }
+
+  test("sessionize windows stay per-user (lag + cumsum share one sort)") {
+    val p = plan("sessionize")
+    assert(p.toLowerCase.contains("windowspecdefinition(user_id"),
+      "session windows must partition by user_id, never run global")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"lag and cumsum must reuse ONE user_id exchange:\n${p.take(1200)}")
+  }
+
+  test("lm_score broadcasts the corpus total, joins on the token key") {
+    val q = Registry.all.find(_.name == "lm_score").get
+    val df = q.fn(spark, dir)
+    df.collect() // let AQE finalize join strategies from real sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[tok".r
+        .findFirstIn(p).isDefined,
+      s"expected an equi-join keyed on tok:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "corpus total must broadcast, never a product over rows")
+  }
 }

@@ -94,6 +94,31 @@ class CurationPipelineSpec extends SparkSpec {
     assert(nFp == all.length, "exact duplicates must still be dropped")
   }
 
+  test("unlisted languages survive the default sampling config") {
+    import spark.implicits._
+    // a language outside StratRates: default sampleDefaultRate=1000 keeps
+    // every row (lossless default), while defaultRate=0 drops them all
+    // (the sample_stratified gate semantics)
+    val docs = (1L to 50L).map(i => (i, s"text $i", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val kept = docs.filter(
+      CurationOps.stratSampleKeep($"doc_id", $"lang",
+        CurationOps.StratRates, 1000L)).count()
+    val dropped = docs.filter(
+      CurationOps.stratSampleKeep($"doc_id", $"lang",
+        CurationOps.StratRates, 0L)).count()
+    assert(kept == 50L, s"lossless default kept $kept/50")
+    assert(dropped == 0L, s"gate semantics kept $dropped/50")
+    // listed languages are unaffected by the default rate
+    val en = (1L to 50L).map(i => (i, s"text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val enDefault = en.filter(CurationOps.stratSampleKeep($"doc_id", $"lang",
+      CurationOps.StratRates, 1000L)).count()
+    val enGate = en.filter(CurationOps.stratSampleKeep($"doc_id", $"lang",
+      CurationOps.StratRates, 0L)).count()
+    assert(enDefault == enGate, "defaultRate must not change listed strata")
+  }
+
   test("the pipeline is deterministic end to end") {
     import spark.implicits._
     val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
