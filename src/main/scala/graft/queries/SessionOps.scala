@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object SessionOps {
 
-  def queries: Seq[QueryDef] = Seq(sessionize, asofJoin)
+  def queries: Seq[QueryDef] = Seq(sessionize, asofJoin, rangeJoin)
 
   /** Session gap: a new session starts after >10 min of inactivity. */
   val SessionGapSec = 600L
@@ -81,6 +81,59 @@ object SessionOps {
       FROM s
       GROUP BY user_id, session_id
       ORDER BY user_id, session_id
+    """))
+
+  /** Range-join band width: neighbors within ±1 h count as context. */
+  val RangeBandSec = 3600L
+
+  /** Banded range join: per error event, how many of the same user's
+    * OTHER events fall within ±[[RangeBandSec]] — "activity context
+    * around each error". The scale form of an interval join: a raw
+    * `|a.ts − b.ts| <= W` predicate has no equi-key, so engines fall back
+    * to a per-user cross product; bucketing both sides by `ts div W` and
+    * fanning each probe out to its 3 candidate buckets turns it into a
+    * plain equi-join on (user_id, bucket) whose candidate set is bounded
+    * by band occupancy. Each neighbor lives in exactly ONE bucket, so no
+    * post-join dedup is needed. Zero-neighbor errors survive via the
+    * final left join (coalesce 0). */
+  private val rangeJoin = QueryDef(
+    "range_join",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"ts_sec", $"event_type")
+      val err = e.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts_sec")
+      val oth = e.filter($"event_type" =!= "error")
+        .select($"user_id".as("o_uid"), $"ts_sec".as("o_sec"),
+          expr(s"ts_sec div $RangeBandSec").as("o_bucket"))
+      val probes = err.select($"event_id", $"user_id", $"ts_sec",
+        explode(array(
+          expr(s"ts_sec div $RangeBandSec - 1"),
+          expr(s"ts_sec div $RangeBandSec"),
+          expr(s"ts_sec div $RangeBandSec + 1"))).as("bucket"))
+      val matched = probes
+        .join(oth, $"user_id" === $"o_uid" && $"bucket" === $"o_bucket")
+        .filter(abs($"o_sec" - $"ts_sec") <= RangeBandSec)
+        .groupBy($"event_id").agg(count(lit(1)).as("n"))
+      err.join(matched, Seq("event_id"), "left")
+        .select($"event_id", $"user_id",
+          coalesce($"n", lit(0L)).as("n_nearby"))
+        .orderBy($"event_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_id, user_id, $SecSql AS ts_sec, event_type
+        FROM events),
+      err AS (SELECT * FROM e WHERE event_type = 'error'),
+      oth AS (SELECT * FROM e WHERE event_type <> 'error')
+      SELECT err.event_id, err.user_id,
+        count(oth.event_id) AS n_nearby
+      FROM err LEFT JOIN oth
+        ON err.user_id = oth.user_id
+        AND abs(err.ts_sec - oth.ts_sec) <= $RangeBandSec
+      GROUP BY err.event_id, err.user_id
+      ORDER BY err.event_id
     """))
 
   /** As-of join, expressed Spark-first: "for each click, the time since

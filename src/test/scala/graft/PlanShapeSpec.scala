@@ -164,6 +164,15 @@ class PlanShapeSpec extends SparkSpec {
       s"lag and cumsum must reuse ONE user_id exchange:\n${p.take(1200)}")
   }
 
+  test("range_join stays an equi-join on (user, bucket) — never a product") {
+    val q = Registry.all.find(_.name == "range_join").get
+    val df = q.fn(spark, dir)
+    df.collect() // let AQE finalize join strategies from real sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the band bucketing must keep the interval join equi-keyed:\n${p.take(1200)}")
+  }
+
   test("lm_score broadcasts the corpus total, joins on the token key") {
     val q = Registry.all.find(_.name == "lm_score").get
     val df = q.fn(spark, dir)

@@ -81,6 +81,26 @@ class SessionOpsSpec extends SparkSpec {
       "fixture should contain clicks with no prior error (NULL gap)")
   }
 
+  test("range_join matches a brute-force neighborhood count") {
+    val events = rawEvents()
+    val errs = events.filter(_._5 == "error")
+    val oth = events.filter(_._5 != "error").groupBy(_._2)
+    val expected = errs.map { e =>
+      val n = oth.getOrElse(e._2, Array.empty).count(o =>
+        math.abs(o._4 - e._4) <= SessionOps.RangeBandSec)
+      e._1 -> n.toLong
+    }.toMap
+    val got = SparkEntryQueries("range_join").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, n) =>
+      assert(got(id) == n, s"error $id: n_nearby ${got(id)} != $n")
+    }
+    // the banding must not lose far-band neighbors: some count must be > 0
+    // and zero-neighbor errors must survive the left join
+    assert(got.values.exists(_ > 0) && got.values.exists(_ == 0))
+  }
+
   test("lm_score matches an exact-count surprisal recompute") {
     val docs = Tables.documents(spark, SfDir)
       .selectExpr("doc_id", "text").collect()
