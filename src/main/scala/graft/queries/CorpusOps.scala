@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.GraftFunctions.{columnOf, exprOf}
+import graft.Tables
+import graft.functions.{CountInSet, WordTokens}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators over `documents`: duplicated-substring span
+  * detection (the suffix-dedup family) and the published statistical
+  * quality-rule battery — the two passes a training-data pipeline runs
+  * between exact/near dedup and tokenization.
+  */
+object CorpusOps {
+
+  def queries: Seq[QueryDef] = Seq(dupSpans, gopherQuality)
+
+  // ----------------------------------------------------------------------
+  // dup_spans
+  // ----------------------------------------------------------------------
+
+  /** Duplicated-window width in tokens. Published substring-dedup uses a
+    * 50-token threshold on web corpora; 8 here because the synthetic docs
+    * are tens of tokens long. */
+  val SpanW = 8
+
+  /** Substring-level duplication: maximal per-document spans every one of
+    * whose [[SpanW]]-token windows also appears in ANOTHER document.
+    * Detection half of suffix-array substring dedup, re-expressed
+    * relationally: positional windows → corpus census of windows seen in
+    * >1 distinct doc → gaps-and-islands merge of adjacent duplicated
+    * start positions (`pos − row_number()` constant within a run), so a
+    * run of duplicated windows reports once as `[span_start,
+    * span_start+span_len)`.
+    *
+    * Scale shape: both heavy steps key on the window text — the census
+    * group-by and the membership join — so one Exchange partitioning
+    * serves both sides and nothing ever pairs documents. The island merge
+    * shuffles only the (doc, pos) survivors on doc_id. At warehouse scale
+    * the window key would be a 128-bit fingerprint (the [[SpanW]]-gram
+    * rolling-hash form of `rolling_fp`) rather than the string itself —
+    * same plan, narrower shuffle; the gate keys on the string so the
+    * oracle compares raw values, not hash choices. */
+  private val dupSpans = QueryDef(
+    "dup_spans",
+    (s, dir) => {
+      import s.implicits._
+      val wins = Tables.documents(s, dir)
+        .select($"doc_id", columnOf(WordTokens(exprOf($"text"))).as("ts"))
+        .filter(size($"ts") >= SpanW)
+        .select($"doc_id", posexplode(expr(
+          s"""transform(sequence(1, size(ts) - ${SpanW - 1}),
+              i -> array_join(slice(ts, i, $SpanW), ' '))""")))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("gram"))
+      val dupGrams = wins.groupBy($"gram")
+        .agg(count_distinct($"doc_id").as("nd"))
+        .filter($"nd" > 1)
+        .select($"gram")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      wins.join(dupGrams, Seq("gram"))
+        .withColumn("island", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").cast("long").as("span_start"),
+          (max($"pos") - min($"pos") + SpanW).cast("long").as("span_len"))
+        .select($"doc_id", $"span_start", $"span_len")
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some {
+      val g = (0 until SpanW).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      wins AS (
+        SELECT doc_id, i AS pos, $g AS gram
+        FROM toks, unnest(range(1, greatest(len(ts) - ${SpanW - 2}, 1))) AS u(i)),
+      dupg AS (
+        SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+      duppos AS (
+        SELECT w.doc_id, w.pos,
+          w.pos - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS island
+        FROM wins w JOIN dupg USING (gram))
+      SELECT doc_id, min(pos) AS span_start,
+        CAST(max(pos) - min(pos) + $SpanW AS BIGINT) AS span_len
+      FROM duppos GROUP BY doc_id, island
+      ORDER BY doc_id, span_start
+    """
+    })
+
+  // ----------------------------------------------------------------------
+  // gopher_quality
+  // ----------------------------------------------------------------------
+
+  /** Word-count band, mean-word-length band, alphabetic-word floor and
+    * stopword floor — the document-level statistical rules of the
+    * published Gopher/C4 filtering battery that apply to the synthetic
+    * corpus (the line-based rules need line structure the fixture lacks).
+    * Word-count floor is 20 here vs the published 50 because the fixture
+    * docs are short; the lever, not the constant, is the operator. */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100000L
+  val GopherStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  /** Per-document quality signals + the composed keep verdict, all pure
+    * column arithmetic over the one native tokenize pass: scan-parallel,
+    * shuffle-free, whole-stage-codegen end to end. */
+  private val gopherQuality = QueryDef(
+    "gopher_quality",
+    (s, dir) => {
+      import s.implicits._
+      val ts: Column = columnOf(WordTokens(exprOf($"text")))
+      Tables.documents(s, dir)
+        .select($"doc_id", ts.as("ts"))
+        .select($"doc_id",
+          size($"ts").cast("long").as("n_words"),
+          expr("aggregate(ts, 0L, (acc, t) -> acc + length(t))").as("chars"),
+          size(expr("filter(ts, t -> t rlike '^[a-z]+$')")).cast("long")
+            .as("n_alpha"),
+          columnOf(CountInSet(exprOf($"ts"), GopherStopwords)).as("n_stop"))
+        .select($"doc_id", $"n_words",
+          round($"chars".cast("double") / $"n_words", 4).as("mean_wlen"),
+          round($"n_alpha".cast("double") / $"n_words", 4).as("alpha_frac"),
+          $"n_stop")
+        .withColumn("keep",
+          $"n_words".between(GopherMinWords, GopherMaxWords) &&
+            $"mean_wlen".between(3.0, 10.0) &&
+            $"alpha_frac" >= 0.7 && $"n_stop" >= 2)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val stops = GopherStopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(ts) AS BIGINT) AS n_words,
+          CAST(coalesce(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT) AS chars,
+          CAST(len(list_filter(ts, t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS n_alpha,
+          CAST(len(list_filter(ts, t -> list_contains([$stops], t))) AS BIGINT) AS n_stop
+        FROM toks)
+      SELECT doc_id, n_words,
+        round(CAST(chars AS DOUBLE) / n_words, 4) AS mean_wlen,
+        round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS alpha_frac,
+        n_stop,
+        (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+          AND round(CAST(chars AS DOUBLE) / n_words, 4) BETWEEN 3.0 AND 10.0
+          AND round(CAST(n_alpha AS DOUBLE) / n_words, 4) >= 0.7
+          AND n_stop >= 2) AS keep
+      FROM m
+      ORDER BY doc_id
+    """
+    })
+}

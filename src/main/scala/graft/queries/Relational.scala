@@ -18,7 +18,7 @@ object Relational {
 
   /** All money/avg outputs rounded so Spark-vs-DuckDB double summation
     * order cannot flip the hash compare. */
-  def queries: Seq[QueryDef] = Seq(q1Agg, q3Topk, q5Join)
+  def queries: Seq[QueryDef] = Seq(q1Agg, q3Topk, q5Join, rollupPricing)
 
   /** Exact, order-independent money accumulation WITHOUT decimal boxing:
     * each per-row amount becomes integer MICROS and the sum runs over
@@ -167,5 +167,35 @@ object Relational {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name
+    """))
+
+  /** Grouping-sets coverage: the q1 pricing aggregate at every ROLLUP
+    * level of (returnflag, linestatus) — detail rows, per-flag subtotals
+    * and the grand total in one pass. Catalyst plans ROLLUP as a single
+    * Expand + hash-aggregate, so the fact table is still scanned ONCE and
+    * shuffled once (on the expanded grouping keys) — the same cost class
+    * as q1, not one pass per level. Money goes through the exact
+    * integer-micros accumulation above; quantity is integral-valued so
+    * its double sum is order-exact as-is. NULL grouping placeholders sort
+    * first on both engines (explicit NULLS FIRST in the oracle — DuckDB
+    * defaults NULLS LAST). */
+  private val rollupPricing = QueryDef(
+    "rollup_pricing",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"l_quantity").as("sum_qty"),
+          cents(microsSum($"l_extendedprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        sum(l_quantity) AS sum_qty,
+        floor(CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) + 5000 AS DOUBLE) / 10000.0) / 100.0 AS sum_price
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """))
 }

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object SessionOps {
 
-  def queries: Seq[QueryDef] = Seq(sessionize, asofJoin, rangeJoin)
+  def queries: Seq[QueryDef] = Seq(sessionize, asofJoin, rangeJoin, runningTotals)
 
   /** Session gap: a new session starts after >10 min of inactivity. */
   val SessionGapSec = 600L
@@ -173,5 +173,43 @@ object SessionOps {
       FROM clicks c ASOF LEFT JOIN errors er
         ON c.user_id = er.user_id AND c.ts_us >= er.ts_us
       ORDER BY c.event_id
+    """))
+
+  /** Running window aggregates: per-user cumulative spend and the 3-event
+    * trailing moving average at every event — the frame-bounded window
+    * family (`ROWS BETWEEN`) the other event-time operators don't touch.
+    * Same scale contract as `sessionize`: both frames share ONE
+    * (partition, order) spec → a single user_id exchange + one sort, then
+    * two linear frame scans; monetary values ride exact integer cents so
+    * the running sums are order-independent, and the 3-row average is
+    * `(sum of ≤3 exact longs) / count` — one double division, identical
+    * on both engines. */
+  private val runningTotals = QueryDef(
+    "running_totals",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+          round($"value" * 100).cast("long").as("cents"))
+        .select($"event_id", $"user_id",
+          round(sum($"cents").over(cum) / 100.0, 2).as("cum_value"),
+          round(avg($"cents").over(last3) / 100.0, 4).as("ma3"))
+        .orderBy($"event_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT event_id, user_id,
+        round(CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0, 2) AS cum_value,
+        round(avg(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 4) AS ma3
+      FROM e
+      ORDER BY event_id
     """))
 }

@@ -17,7 +17,7 @@ object VectorOps {
 
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
-      int8Topk, int8CorpusTopk, embedTextQ)
+      int8Topk, int8CorpusTopk, embedTextQ, semdedup)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -450,4 +450,83 @@ object VectorOps {
       ORDER BY cos_sim DESC, a_id, b_id
       LIMIT 50
     """))
+
+  /** Semantic dedup (the SemDeDup recipe): cluster the embedding space,
+    * then drop any vector with a same-cluster mate above [[SemdedupTau]]
+    * cosine, keeping the lowest vec_id of each similar group. Complements
+    * `neardup_cosine` — cluster-blocked (semantic neighborhoods) where
+    * that one is hash-blocked (exact sign agreement), so it catches
+    * paraphrase-grade duplicates whose sign bits differ.
+    *
+    * The [[SemCentroids]] seed vectors stand in for trained k-means
+    * centroids (same device as `ann_ivf`; training is an offline batch
+    * job, the dedup operator consumes whatever centroid set it is given).
+    * Scale shape: centroids broadcast (nlist rows), assignment is one
+    * scan-parallel pass, and the only shuffle keys on cid. The pair join
+    * inside a cluster is quadratic in cluster size, so the production
+    * levers are nlist (the paper's corpus-scale runs use ~100k clusters,
+    * bounding members per cluster) plus [[SemClusterCap]] — the
+    * `JaccardDfCap` guard: clusters past the cap skip pair formation
+    * entirely (reported kept=true) instead of melting an executor. */
+  val SemCentroids: Seq[Long] = (0 until 16).map(_ * 13L + 1)
+  val SemdedupTau = 0.35
+  val SemClusterCap = 10000
+
+  private val semdedup = QueryDef(
+    "semdedup",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter($"vec_id".isin(SemCentroids: _*))
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val assigned = e.select($"vec_id", $"embedding")
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", cosine($"embedding", $"cvec"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cid"), struct($"cs", -$"cid")).getField("cid").as("cid"))
+      val member = e.join(assigned, "vec_id")
+      // cluster census: at most nlist rows — always broadcast-able
+      val small = member.groupBy($"cid").agg(count(lit(1)).as("cn"))
+        .filter($"cn" <= SemClusterCap).select($"cid")
+      val paired = member.join(broadcast(small), "cid")
+      val a = paired.select($"cid", $"vec_id".as("a_id"), $"embedding".as("ea"))
+      val b = paired.select($"cid".as("cb"), $"vec_id".as("b_id"), $"embedding".as("eb"))
+      val dropped = a.join(b, $"cid" === $"cb" && $"a_id" < $"b_id")
+        .filter(round(cosine($"ea", $"eb"), 6) >= SemdedupTau)
+        .select($"b_id").distinct()
+      member.join(dropped, $"vec_id" === $"b_id", "left")
+        .select($"vec_id", $"cid", $"b_id".isNull.as("kept"))
+        .orderBy($"vec_id")
+    },
+    Some {
+      val cos = (a: String, b: String, na: String, nb: String) =>
+        s"""CASE WHEN $na * $nb = 0 THEN 0.0
+            ELSE list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / ($na * $nb) END"""
+      s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nc
+        FROM embeddings WHERE vec_id IN (${SemCentroids.mkString(", ")})),
+      ev AS (
+        SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+        FROM embeddings),
+      assigned AS (
+        SELECT e.vec_id, e.embedding, e.nv,
+          (list(cid ORDER BY ${cos("e.embedding", "c.cvec", "e.nv", "c.nc")} DESC, cid ASC))[1] AS cid
+        FROM ev e, cents c GROUP BY e.vec_id, e.embedding, e.nv),
+      small AS (
+        SELECT cid FROM assigned GROUP BY cid
+        HAVING count(*) <= $SemClusterCap),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE a.cid IN (SELECT cid FROM small)
+          AND round(${cos("a.embedding", "b.embedding", "a.nv", "b.nv")}, 6) >= $SemdedupTau)
+      SELECT m.vec_id, m.cid, d.vec_id IS NULL AS kept
+      FROM assigned m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+      ORDER BY m.vec_id
+    """
+    })
 }

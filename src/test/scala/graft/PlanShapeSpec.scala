@@ -173,6 +173,52 @@ class PlanShapeSpec extends SparkSpec {
       s"the band bucketing must keep the interval join equi-keyed:\n${p.take(1200)}")
   }
 
+  test("rollup_pricing is one Expand + one aggregate pass, not one scan per level") {
+    val p = plan("rollup_pricing")
+    assert(p.contains("Expand"), s"ROLLUP must plan via Expand:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"all grouping levels must share ONE aggregate exchange:\n${p.take(1200)}")
+  }
+
+  test("dup_spans joins on the window text, islands stay per-doc") {
+    val q = Registry.all.find(_.name == "dup_spans").get
+    val df = q.fn(spark, dir)
+    df.collect() // let AQE finalize join strategies from real sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[gram".r
+        .findFirstIn(p).isDefined,
+      s"census membership must be an equi-join on the window key:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span detection must never pair documents")
+    assert(p.toLowerCase.contains("windowspecdefinition(doc_id"),
+      "island merge must partition by doc_id, never run global")
+  }
+
+  test("running_totals: both frames share one user_id exchange") {
+    val p = plan("running_totals")
+    assert(p.toLowerCase.contains("windowspecdefinition(user_id"),
+      "running frames must partition by user_id, never run global")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"cumsum and ma3 must reuse ONE user_id exchange:\n${p.take(1200)}")
+  }
+
+  test("semdedup broadcasts centroids + census; pair join keys on cid") {
+    val q = Registry.all.find(_.name == "semdedup").get
+    val df = q.fn(spark, dir)
+    df.collect() // let AQE finalize join strategies from real sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"centroid/census sides must broadcast, never shuffle the vectors:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "the only product is the broadcasted nlist-row centroid table")
+  }
+
+  test("gopher_quality is shuffle-free scan arithmetic") {
+    val p = plan("gopher_quality")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quality rules are per-row — no shuffle is justified:\n${p.take(1200)}")
+  }
+
   test("lm_score broadcasts the corpus total, joins on the token key") {
     val q = Registry.all.find(_.name == "lm_score").get
     val df = q.fn(spark, dir)

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+
+/** Independent recomputes of the grouping-sets and running-window
+  * operators: plain Scala folds over collected rows (every rollup level
+  * rebuilt by hand, every frame walked sequentially), so a frame or
+  * grouping-level mistake cannot pass by matching itself. */
+class WindowRollupSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  private def query(name: String) =
+    Registry.all.find(_.name == name).get.fn(spark, SfDir)
+
+  private def money2(micros: Long): Double =
+    math.floor((micros + 5000L).toDouble / 10000.0) / 100.0
+
+  test("rollup_pricing rebuilds all three grouping levels by hand") {
+    val rows = Tables.lineitem(spark, SfDir)
+      .selectExpr("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    def agg(grp: Array[(String, String, Double, Double)]) = (
+      grp.length.toLong,
+      grp.map(_._3).sum,
+      money2(grp.map(x => math.floor(x._4 * 1000000.0 + 0.5).toLong).sum))
+    val detail = rows.groupBy(r => (Option(r._1), Option(r._2)))
+      .map { case (k, g) => k -> agg(g) }
+    val flag = rows.groupBy(r => (Option(r._1), Option.empty[String]))
+      .map { case (k, g) => k -> agg(g) }
+    val total = Map((Option.empty[String], Option.empty[String]) -> agg(rows))
+    val expected = detail ++ flag ++ total
+    val got = query("rollup_pricing").collect().map { r =>
+      (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    }.toMap
+    assert(got.size == expected.size,
+      s"rollup level count ${got.size} != ${expected.size}")
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"group $k: ${got(k)} != $v")
+    }
+  }
+
+  test("running_totals matches a sequential per-user frame walk") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val events = Tables.events(spark, SfDir)
+      .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us", "value")
+      .collect()
+      .map(e => (e.getLong(0), e.getLong(1), e.getLong(2), e.getDouble(3)))
+    val expected = events.groupBy(_._2).values.flatMap { evs =>
+      val tl = evs.sortBy(_._3)
+      var cum = 0L
+      tl.zipWithIndex.map { case (e, i) =>
+        val cents = math.round(e._4 * 100)
+        cum += cents
+        val frame = tl.slice(math.max(0, i - 2), i + 1)
+          .map(x => math.round(x._4 * 100))
+        e._1 -> ((r(cum / 100.0, 2),
+          r(frame.sum.toDouble / frame.length / 100.0, 4)))
+      }
+    }.toMap
+    val got = query("running_totals").collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getDouble(3)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, v) =>
+      assert(math.abs(got(id)._1 - v._1) < 1e-9 &&
+        math.abs(got(id)._2 - v._2) < 1e-9,
+        s"event $id: ${got(id)} != $v")
+    }
+  }
+}
