@@ -18,7 +18,8 @@ object Relational {
 
   /** All money/avg outputs rounded so Spark-vs-DuckDB double summation
     * order cannot flip the hash compare. */
-  def queries: Seq[QueryDef] = Seq(q1Agg, q3Topk, q5Join, rollupPricing)
+  def queries: Seq[QueryDef] =
+    Seq(q1Agg, q3Topk, q5Join, rollupPricing, percentileStats)
 
   /** Exact, order-independent money accumulation WITHOUT decimal boxing:
     * each per-row amount becomes integer MICROS and the sum runs over
@@ -197,5 +198,45 @@ object Relational {
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """))
+
+  /** Exact distribution statistics: continuous (interpolated) and discrete
+    * p50/p90/p99 of the price per return flag. Inputs ride the exact
+    * integer-cents representation, so the only floating arithmetic is the
+    * single `lower + (upper−lower)·frac` interpolation step — the same
+    * IEEE expression on both engines (rounded to 4 anyway). Exact
+    * percentile is a sort-based aggregate (per-group sorted buffer); the
+    * 100 TB variant is `approx_percentile` (t-digest-family sketch, fixed
+    * memory, mergeable partials) — approximate results are
+    * engine-specific, so the oracle-gated form is the exact one and the
+    * sketch is the documented production lever. */
+  private val percentileStats = QueryDef(
+    "percentile_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_returnflag",
+          round($"l_extendedprice" * 100).cast("long").as("cents"))
+        .groupBy($"l_returnflag")
+        .agg(
+          round(percentile($"cents", lit(0.5)), 4).as("p50"),
+          round(percentile($"cents", lit(0.9)), 4).as("p90"),
+          round(percentile($"cents", lit(0.99)), 4).as("p99"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("d50"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem)
+      SELECT l_returnflag,
+        round(quantile_cont(cents, 0.5), 4) AS p50,
+        round(quantile_cont(cents, 0.9), 4) AS p90,
+        round(quantile_cont(cents, 0.99), 4) AS p99,
+        CAST(quantile_disc(cents, 0.5) AS BIGINT) AS d50
+      FROM c
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
     """))
 }

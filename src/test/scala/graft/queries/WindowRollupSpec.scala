@@ -42,6 +42,38 @@ class WindowRollupSpec extends SparkSpec {
     }
   }
 
+  test("percentile_stats matches a hand-sorted interpolation") {
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.lineitem(spark, SfDir)
+      .selectExpr("l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def contP(sorted: Array[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == sorted.length - 1) sorted(lo).toDouble
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+    }
+    def discP(sorted: Array[Long], p: Double): Long =
+      // SQL-standard: smallest value whose cume_dist >= p
+      sorted(math.ceil(p * sorted.length).toInt - 1)
+    val expected = rows.groupBy(_._1).map { case (flag, g) =>
+      val s = g.map(_._2).sorted
+      flag -> ((r4(contP(s, 0.5)), r4(contP(s, 0.9)), r4(contP(s, 0.99)),
+        discP(s, 0.5)))
+    }
+    val got = query("percentile_stats").collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (flag, (p50, p90, p99, d50)) =>
+      val (g50, g90, g99, gd) = got(flag)
+      assert(math.abs(g50 - p50) < 1e-6 && math.abs(g90 - p90) < 1e-6 &&
+        math.abs(g99 - p99) < 1e-6 && gd == d50,
+        s"flag $flag: ${got(flag)} != ${(p50, p90, p99, d50)}")
+    }
+  }
+
   test("running_totals matches a sequential per-user frame walk") {
     def r(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
