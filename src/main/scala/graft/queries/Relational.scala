@@ -19,7 +19,7 @@ object Relational {
   /** All money/avg outputs rounded so Spark-vs-DuckDB double summation
     * order cannot flip the hash compare. */
   def queries: Seq[QueryDef] =
-    Seq(q1Agg, q3Topk, q5Join, rollupPricing, percentileStats)
+    Seq(q1Agg, q3Topk, q5Join, q7Flow, rollupPricing, percentileStats)
 
   /** Exact, order-independent money accumulation WITHOUT decimal boxing:
     * each per-row amount becomes integer MICROS and the sum runs over
@@ -168,6 +168,64 @@ object Relational {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name
+    """))
+
+  /** Directed trade-flow volume (the TPC-H Q7 shape): supplier nation →
+    * customer nation revenue per ship-year for a fixed nation set, both
+    * directions. The hardest join ordering in the relational set — TWO
+    * independent nation dimensions constrain the fact table from opposite
+    * ends (via supplier and via customer/orders). Scale notes: the nation
+    * filters are pushed into each dimension BEFORE its fact join, so the
+    * supplier and customer sides shrink first (selective dims cut the
+    * orders⋈lineitem shuffle early); nation itself is fixed-size. The
+    * cross-nation inequality is a post-join filter on two small joined-in
+    * columns, never a join condition that could degrade to a product. */
+  val Q7Nations: Seq[String] = Seq("NATION_3", "NATION_7", "NATION_12")
+
+  private val q7Flow = QueryDef(
+    "q7_flow",
+    (s, dir) => {
+      import s.implicits._
+      val supp = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir).filter($"n_name".isin(Q7Nations: _*)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir).filter($"n_name".isin(Q7Nations: _*)),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(cents(microsSum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+    Some(s"""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) + 5000 AS DOUBLE) / 10000.0) / 100.0 AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name IN (${Q7Nations.map(n => s"'$n'").mkString(", ")})
+        AND cn.n_name IN (${Q7Nations.map(n => s"'$n'").mkString(", ")})
+        AND sn.n_name <> cn.n_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year
     """))
 
   /** Grouping-sets coverage: the q1 pricing aggregate at every ROLLUP

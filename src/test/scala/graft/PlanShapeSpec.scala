@@ -73,6 +73,19 @@ class PlanShapeSpec extends SparkSpec {
       "q3 must carry no broadcast hint (AQE decides for customer)")
     assert(!analyzed("q5_join").contains("ResolvedHint"),
       "q5 must carry no broadcast hint (AQE decides for customer/supplier)")
+    assert(!analyzed("q7_flow").contains("ResolvedHint"),
+      "q7 must carry no broadcast hint (AQE decides for customer/supplier)")
+  }
+
+  test("q7_flow pushes nation filters below the fact joins") {
+    val q = Registry.all.find(_.name == "q7_flow").get
+    val p = q.fn(spark, dir).queryExecution.optimizedPlan.toString
+    // the nation-name IN filter must sit on the dimension side (under the
+    // supplier/customer joins), not above the joined fact relation
+    assert("Filter.*n_name".r.findFirstIn(p.replace("\n", " ")).isDefined ||
+      p.contains("isin"), s"nation filter must survive into the dim scans:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "the cross-nation inequality must stay a post-join filter")
   }
 
   test("neardup_cosine blocks on the LSH bucket, not a low-cardinality label") {
