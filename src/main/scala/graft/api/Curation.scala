@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * {{{
   * documents ─ exact dedup ─ near-dup clusters (keep cluster min)
   *           ─ decontaminate (vs a held-out eval set)
-  *           ─ quality + repetition filters ─ PII scrub
+  *           ─ quality + repetition filters ─ Gopher rules (opt-in)
+  *           ─ LM surprisal gate (opt-in) ─ PII scrub
   *           ─ stratified sample ─ sequence packing
   * }}}
   *
@@ -23,8 +24,9 @@ import org.apache.spark.sql.functions._
   *
   * Each stage's math is the corresponding oracle-checked gate query
   * (`dedup_exact`, `dedup_clusters`, `decontaminate`, `quality_score`,
-  * `repetition_score`, `pii_scrub`, `sample_stratified`,
-  * `pack_sequences`) — this object only composes them.
+  * `repetition_score`, `gopher_quality`, `lm_score`, `pii_scrub`,
+  * `sample_stratified`, `pack_sequences`) — this object only composes
+  * them.
   */
 object Curation {
 
@@ -39,6 +41,8 @@ object Curation {
       dedupNear: Boolean = true,
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
+      gopherRules: Boolean = false,
+      maxSurprisal: Option[Double] = None,
       scrubPii: Boolean = true,
       sampleRates: Option[Seq[(String, Long)]] = Some(CurationOps.StratRates),
       sampleDefaultRate: Long = 1000L,
@@ -84,10 +88,24 @@ object Curation {
       near.join(contaminated, Seq("doc_id"), "left_anti")
     }
 
-    // 4. per-row quality gates (pure scan filters)
-    val filtered = clean
+    // 4. per-row quality gates (pure scan filters); the Gopher rule
+    // battery is opt-in because its constants are corpus-tuned
+    val ruleFiltered = clean
       .filter(TextFunctions.qualityScore($"text") >= cfg.minQuality)
       .filter(CurationOps.repetitionCol($"text") <= cfg.maxRepetition)
+    val gated =
+      if (!cfg.gopherRules) ruleFiltered
+      else ruleFiltered.filter(graft.queries.CorpusOps.gopherKeepCol($"text"))
+
+    // 4b. optional corpus-statistical gate: unigram LM surprisal (one
+    // extra vocabulary aggregate + token-keyed join over the survivors —
+    // the model is fit on the gated corpus itself, CCNet-style)
+    val filtered = cfg.maxSurprisal.fold(gated) { maxNll =>
+      val ok = graft.queries.TextOps
+        .lmScores(gated.select($"doc_id", $"text"))
+        .filter($"avg_nll" <= maxNll).select($"doc_id")
+      gated.join(ok, Seq("doc_id"), "left_semi")
+    }
 
     // 5. PII masking (per-row regex, after the filters so quality scores
     // judged the original text; placeholders count as tokens downstream)

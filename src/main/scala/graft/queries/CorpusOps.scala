@@ -104,6 +104,28 @@ object CorpusOps {
   val GopherStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
 
+  /** The four Gopher signals over a token-array column, as reusable
+    * column arithmetic (identical trees collapse via codegen
+    * subexpression elimination, so stacking them costs one tokenize). */
+  def gopherNWords(ts: Column): Column = size(ts).cast("long")
+  def gopherMeanWlen(ts: Column): Column =
+    round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      gopherNWords(ts), 4)
+  def gopherAlphaFrac(ts: Column): Column =
+    round(size(filter(ts, t => t.rlike("^[a-z]+$"))).cast("double") /
+      gopherNWords(ts), 4)
+  def gopherNStop(ts: Column): Column =
+    columnOf(CountInSet(exprOf(ts), GopherStopwords))
+
+  /** The composed Gopher keep verdict over a raw text column (math of
+    * `gopher_quality`, reused by [[graft.api.Curation]]). */
+  def gopherKeepCol(text: Column): Column = {
+    val ts = columnOf(WordTokens(exprOf(text)))
+    gopherNWords(ts).between(GopherMinWords, GopherMaxWords) &&
+      gopherMeanWlen(ts).between(3.0, 10.0) &&
+      gopherAlphaFrac(ts) >= 0.7 && gopherNStop(ts) >= 2
+  }
+
   /** Per-document quality signals + the composed keep verdict, all pure
     * column arithmetic over the one native tokenize pass: scan-parallel,
     * shuffle-free, whole-stage-codegen end to end. */
@@ -113,21 +135,13 @@ object CorpusOps {
       import s.implicits._
       val ts: Column = columnOf(WordTokens(exprOf($"text")))
       Tables.documents(s, dir)
-        .select($"doc_id", ts.as("ts"))
+        .select($"doc_id", $"text", ts.as("ts"))
         .select($"doc_id",
-          size($"ts").cast("long").as("n_words"),
-          expr("aggregate(ts, 0L, (acc, t) -> acc + length(t))").as("chars"),
-          size(expr("filter(ts, t -> t rlike '^[a-z]+$')")).cast("long")
-            .as("n_alpha"),
-          columnOf(CountInSet(exprOf($"ts"), GopherStopwords)).as("n_stop"))
-        .select($"doc_id", $"n_words",
-          round($"chars".cast("double") / $"n_words", 4).as("mean_wlen"),
-          round($"n_alpha".cast("double") / $"n_words", 4).as("alpha_frac"),
-          $"n_stop")
-        .withColumn("keep",
-          $"n_words".between(GopherMinWords, GopherMaxWords) &&
-            $"mean_wlen".between(3.0, 10.0) &&
-            $"alpha_frac" >= 0.7 && $"n_stop" >= 2)
+          gopherNWords($"ts").as("n_words"),
+          gopherMeanWlen($"ts").as("mean_wlen"),
+          gopherAlphaFrac($"ts").as("alpha_frac"),
+          gopherNStop($"ts").as("n_stop"),
+          gopherKeepCol($"text").as("keep"))
         .orderBy($"doc_id")
     },
     Some {

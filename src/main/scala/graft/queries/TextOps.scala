@@ -119,19 +119,25 @@ object TextOps {
     * the per-doc sum so a last-ulp `ln` difference between engines cannot
     * propagate; the final mean is rounded at 4 dp, coarser than any
     * accumulated summation-order error (~1e-12). */
+  /** Per-doc (n_tok, avg_nll) under the corpus unigram model (math of
+    * `lm_score`, reused by [[graft.api.Curation]]'s surprisal gate). */
+  def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id", explode(wordTokens($"text")).as("tok"))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+    toks.join(uni, Seq("tok")).crossJoin(broadcast(tot))
+      .select($"doc_id", round(-log($"cnt" / $"n"), 6).as("surp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum($"surp") / count(lit(1)), 4).as("avg_nll"))
+  }
+
   private val lmScore = QueryDef(
     "lm_score",
     (s, dir) => {
       import s.implicits._
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id", explode(wordTokens($"text")).as("tok"))
-      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      val tot = toks.agg(count(lit(1)).cast("double").as("n"))
-      toks.join(uni, Seq("tok")).crossJoin(broadcast(tot))
-        .select($"doc_id", round(-log($"cnt" / $"n"), 6).as("surp"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(sum($"surp") / count(lit(1)), 4).as("avg_nll"))
+      lmScores(Tables.documents(s, dir).select($"doc_id", $"text"))
         .orderBy($"doc_id")
     },
     Some("""

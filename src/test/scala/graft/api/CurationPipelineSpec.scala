@@ -94,6 +94,42 @@ class CurationPipelineSpec extends SparkSpec {
     assert(nFp == all.length, "exact duplicates must still be dropped")
   }
 
+  test("gopher + surprisal gates drop exactly the gate-query rejects") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
+    val base = Curation.curate(docs, cfg = Curation.Config(
+      dedupNear = false, scrubPii = false, sampleRates = None))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    // gopher rules: survivors of the gated run = base ∩ gopher-keep
+    val gophered = Curation.curate(docs, cfg = Curation.Config(
+      dedupNear = false, scrubPii = false, sampleRates = None,
+      gopherRules = true))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val keepByRule = docs
+      .filter(graft.queries.CorpusOps.gopherKeepCol($"text"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(gophered == (base intersect keepByRule),
+      s"gopher gate mismatch: ${gophered.size} vs ${(base intersect keepByRule).size}")
+    assert(gophered.size < base.size, "the rule battery must actually reject docs")
+
+    // surprisal gate: model is fit on the gate's INPUT corpus (post-rule
+    // survivors of this config = base set), threshold at the median keeps
+    // roughly half
+    val nlls = graft.queries.TextOps
+      .lmScores(docs.filter($"doc_id".isInCollection(base)).select($"doc_id", $"text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = nlls.values.toSeq.sorted.apply(nlls.size / 2)
+    val lmed = Curation.curate(docs, cfg = Curation.Config(
+      dedupNear = false, scrubPii = false, sampleRates = None,
+      maxSurprisal = Some(cut)))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expected = base.filter(id => nlls(id) <= cut)
+    assert(lmed == expected,
+      s"surprisal gate mismatch: ${lmed.size} vs ${expected.size}")
+    assert(lmed.size < base.size && lmed.nonEmpty)
+  }
+
   test("unlisted languages survive the default sampling config") {
     import spark.implicits._
     // a language outside StratRates: default sampleDefaultRate=1000 keeps
