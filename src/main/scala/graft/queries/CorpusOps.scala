@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  def queries: Seq[QueryDef] = Seq(dupSpans, gopherQuality)
+  def queries: Seq[QueryDef] = Seq(dupSpans, dropSpans, gopherQuality)
 
   // ----------------------------------------------------------------------
   // dup_spans
@@ -42,17 +42,23 @@ object CorpusOps {
     * rolling-hash form of `rolling_fp`) rather than the string itself —
     * same plan, narrower shuffle; the gate keys on the string so the
     * oracle compares raw values, not hash choices. */
+  /** (doc_id, ts) with the tokenized text — shared scan shape. */
+  private def tokenized(df: org.apache.spark.sql.DataFrame) =
+    df.select(df("doc_id"), columnOf(WordTokens(exprOf(df("text")))).as("ts"))
+
+  /** Positional [[SpanW]]-token windows: (doc_id, pos [1-based], gram). */
+  private def windows(toks: org.apache.spark.sql.DataFrame) =
+    toks.filter(size(toks("ts")) >= SpanW)
+      .select(toks("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(ts) - ${SpanW - 1}),
+            i -> array_join(slice(ts, i, $SpanW), ' '))""")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+
   private val dupSpans = QueryDef(
     "dup_spans",
     (s, dir) => {
       import s.implicits._
-      val wins = Tables.documents(s, dir)
-        .select($"doc_id", columnOf(WordTokens(exprOf($"text"))).as("ts"))
-        .filter(size($"ts") >= SpanW)
-        .select($"doc_id", posexplode(expr(
-          s"""transform(sequence(1, size(ts) - ${SpanW - 1}),
-              i -> array_join(slice(ts, i, $SpanW), ' '))""")))
-        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("gram"))
+      val wins = windows(tokenized(Tables.documents(s, dir)))
       val dupGrams = wins.groupBy($"gram")
         .agg(count_distinct($"doc_id").as("nd"))
         .filter($"nd" > 1)
@@ -86,6 +92,84 @@ object CorpusOps {
         CAST(max(pos) - min(pos) + $SpanW AS BIGINT) AS span_len
       FROM duppos GROUP BY doc_id, island
       ORDER BY doc_id, span_start
+    """
+    })
+
+  // ----------------------------------------------------------------------
+  // drop_spans
+  // ----------------------------------------------------------------------
+
+  /** The removal half of substring dedup: every duplicated [[SpanW]]-token
+    * window occurrence is deleted from its document EXCEPT the global
+    * first occurrence (owner = lexicographic min (doc_id, pos), encoded
+    * as `doc_id·10^6 + pos` because the DuckDB oracle's `arg_min` takes
+    * no struct key; the encoding is exact while docs stay under 10^6
+    * tokens — at warehouse scale the owner key is the struct `min_by`).
+    * Output is the rewritten token stream per document — the transform
+    * the `dup_spans` detector feeds in the published substring-dedup
+    * recipe (dedup once globally, keep one copy of every boilerplate
+    * run).
+    *
+    * Scale shape: census and ownership ride the SAME gram-keyed aggregate
+    * as `dup_spans` (min and distinct-count in one pass); the only new
+    * shuffle is the per-doc removal-set aggregate, whose size is bounded
+    * by document length. The rewrite itself is scan-parallel list
+    * arithmetic — no sort, no window. */
+  private val dropSpans = QueryDef(
+    "drop_spans",
+    (s, dir) => {
+      import s.implicits._
+      val toks = tokenized(Tables.documents(s, dir))
+      val wins = windows(toks)
+      val dup = wins.groupBy($"gram")
+        .agg(count_distinct($"doc_id").as("nd"),
+          min($"doc_id" * 1000000L + $"pos").as("owner"))
+        .filter($"nd" > 1)
+        .select($"gram", $"owner")
+      val remPos = wins.join(dup, Seq("gram"))
+        .filter($"doc_id" * 1000000L + $"pos" =!= $"owner")
+        .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanW - 1))).as("tpos"))
+      val remList = remPos.groupBy($"doc_id")
+        .agg(collect_set($"tpos").as("rem"))
+      toks.join(remList, Seq("doc_id"), "left")
+        .select($"doc_id", expr(
+          """filter(transform(sequence(1, size(ts)),
+              i -> IF(rem IS NULL OR NOT array_contains(rem, i),
+                      element_at(ts, i), NULL)),
+             x -> x IS NOT NULL)""").as("kt"))
+        .select($"doc_id",
+          array_join($"kt", " ").as("clean_text"),
+          size($"kt").cast("long").as("n_kept"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val g = (0 until SpanW).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      wins AS (
+        SELECT doc_id, i AS pos, $g AS gram
+        FROM toks, unnest(range(1, greatest(len(ts) - ${SpanW - 2}, 1))) AS u(i)),
+      dup AS (
+        SELECT gram, min(doc_id * 1000000 + pos) AS owner
+        FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+      rempos AS (
+        SELECT DISTINCT w.doc_id, w.pos + o AS tpos
+        FROM wins w JOIN dup d USING (gram), unnest(range(${SpanW})) AS u(o)
+        WHERE w.doc_id * 1000000 + w.pos <> d.owner),
+      remlist AS (SELECT doc_id, list(tpos) AS rem FROM rempos GROUP BY doc_id),
+      kept AS (
+        SELECT t.doc_id,
+          list_filter(list_transform(range(1, len(t.ts) + 1), i ->
+            CASE WHEN r.rem IS NULL OR NOT list_contains(r.rem, i)
+              THEN t.ts[i] END), x -> x IS NOT NULL) AS kt
+        FROM toks t LEFT JOIN remlist r USING (doc_id))
+      SELECT doc_id, coalesce(array_to_string(kt, ' '), '') AS clean_text,
+        CAST(len(kt) AS BIGINT) AS n_kept
+      FROM kept
+      ORDER BY doc_id
     """
     })
 

@@ -71,6 +71,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.forall(_._3 == w), s"each island is exactly one window wide: $got")
   }
 
+  test("drop_spans keeps exactly the globally-first occurrence of each window") {
+    val w = CorpusOps.SpanW
+    val docs = Tables.documents(spark, SfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = docs.flatMap { case (id, t) =>
+      val ts = toks(t)
+      (0 to ts.length - w).map(i => (id, i + 1, ts.slice(i, i + w).mkString(" ")))
+    }
+    val byGram = wins.groupBy(_._3)
+    val owners = byGram.collect {
+      case (g, ws) if ws.map(_._1).distinct.size > 1 =>
+        g -> ws.map(x => (x._1, x._2)).min
+    }
+    val removedPos: Map[Long, Set[Int]] = wins
+      .filter(x => owners.get(x._3).exists(_ != ((x._1, x._2))))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(x => x._2 until x._2 + w).toSet).toMap
+    val expected = docs.map { case (id, t) =>
+      val ts = toks(t)
+      val rem = removedPos.getOrElse(id, Set.empty)
+      val kept = ts.zipWithIndex.collect { case (tok, i) if !rem(i + 1) => tok }
+      id -> ((kept.mkString(" "), kept.length.toLong))
+    }.toMap
+    val got = query("drop_spans").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, v) =>
+      assert(got(id) == v, s"doc $id:\n got=${got(id)}\n exp=$v")
+    }
+    // the transform must both remove something and keep every owner intact
+    val origLen = docs.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    assert(got.exists { case (id, (_, n)) => n < origLen(id) },
+      "fixture must contain removable duplicated spans")
+    assert(got.exists { case (id, (_, n)) => n == origLen(id) && n > 0 },
+      "owner documents must survive untouched")
+  }
+
   test("gopher_quality matches a per-document rule recompute") {
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
