@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * documents ─ exact dedup ─ near-dup clusters (keep cluster min)
+  *           ─ substring dedup (opt-in span rewrite)
   *           ─ decontaminate (vs a held-out eval set)
   *           ─ quality + repetition filters ─ Gopher rules (opt-in)
   *           ─ LM surprisal gate (opt-in) ─ PII scrub
@@ -39,6 +40,7 @@ object Curation {
     */
   final case class Config(
       dedupNear: Boolean = true,
+      dropDupSpans: Boolean = false,
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
       gopherRules: Boolean = false,
@@ -76,16 +78,27 @@ object Curation {
         exact.join(own, Seq("doc_id"), "left_semi")
       }
 
+    // 2b. optional substring dedup: rewrite every doc with duplicated
+    // 8-token spans removed (global first occurrence kept), dropping docs
+    // the rewrite empties — the doc-level dedups above can't catch
+    // boilerplate runs shared between otherwise-distinct docs
+    val despanned =
+      if (!cfg.dropDupSpans) near
+      else near.drop("text")
+        .join(graft.queries.CorpusOps.dropSpanRewrite(near)
+          .filter($"n_kept" > 0)
+          .select($"doc_id", $"clean_text".as("text")), Seq("doc_id"))
+
     // 3. decontamination: drop docs sharing any 8-gram with the eval set
-    val clean = evalDocs.fold(near) { ev =>
+    val clean = evalDocs.fold(despanned) { ev =>
       def grams(df: DataFrame) = df.select($"doc_id",
         explode(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
           graft.GraftFunctions.exprOf($"text"), CurationOps.DecontamN)))
           .as("gram"))
       val evGrams = grams(ev).select($"gram").distinct()
-      val contaminated = grams(near).join(evGrams, Seq("gram"))
+      val contaminated = grams(despanned).join(evGrams, Seq("gram"))
         .select($"doc_id").distinct()
-      near.join(contaminated, Seq("doc_id"), "left_anti")
+      despanned.join(contaminated, Seq("doc_id"), "left_anti")
     }
 
     // 4. per-row quality gates (pure scan filters); the Gopher rule

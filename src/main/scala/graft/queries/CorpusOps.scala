@@ -115,32 +115,38 @@ object CorpusOps {
     * shuffle is the per-doc removal-set aggregate, whose size is bounded
     * by document length. The rewrite itself is scan-parallel list
     * arithmetic — no sort, no window. */
+  /** (doc_id, clean_text, n_kept) — the rewrite of `drop_spans`, reused
+    * by [[graft.api.Curation]]'s substring-dedup stage. */
+  def dropSpanRewrite(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = tokenized(docs)
+    val wins = windows(toks)
+    val dup = wins.groupBy($"gram")
+      .agg(count_distinct($"doc_id").as("nd"),
+        min($"doc_id" * 1000000L + $"pos").as("owner"))
+      .filter($"nd" > 1)
+      .select($"gram", $"owner")
+    val remPos = wins.join(dup, Seq("gram"))
+      .filter($"doc_id" * 1000000L + $"pos" =!= $"owner")
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanW - 1))).as("tpos"))
+    val remList = remPos.groupBy($"doc_id")
+      .agg(collect_set($"tpos").as("rem"))
+    toks.join(remList, Seq("doc_id"), "left")
+      .select($"doc_id", expr(
+        """filter(transform(sequence(1, size(ts)),
+            i -> IF(rem IS NULL OR NOT array_contains(rem, i),
+                    element_at(ts, i), NULL)),
+           x -> x IS NOT NULL)""").as("kt"))
+      .select($"doc_id",
+        array_join($"kt", " ").as("clean_text"),
+        size($"kt").cast("long").as("n_kept"))
+  }
+
   private val dropSpans = QueryDef(
     "drop_spans",
     (s, dir) => {
       import s.implicits._
-      val toks = tokenized(Tables.documents(s, dir))
-      val wins = windows(toks)
-      val dup = wins.groupBy($"gram")
-        .agg(count_distinct($"doc_id").as("nd"),
-          min($"doc_id" * 1000000L + $"pos").as("owner"))
-        .filter($"nd" > 1)
-        .select($"gram", $"owner")
-      val remPos = wins.join(dup, Seq("gram"))
-        .filter($"doc_id" * 1000000L + $"pos" =!= $"owner")
-        .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanW - 1))).as("tpos"))
-      val remList = remPos.groupBy($"doc_id")
-        .agg(collect_set($"tpos").as("rem"))
-      toks.join(remList, Seq("doc_id"), "left")
-        .select($"doc_id", expr(
-          """filter(transform(sequence(1, size(ts)),
-              i -> IF(rem IS NULL OR NOT array_contains(rem, i),
-                      element_at(ts, i), NULL)),
-             x -> x IS NOT NULL)""").as("kt"))
-        .select($"doc_id",
-          array_join($"kt", " ").as("clean_text"),
-          size($"kt").cast("long").as("n_kept"))
-        .orderBy($"doc_id")
+      dropSpanRewrite(Tables.documents(s, dir)).orderBy($"doc_id")
     },
     Some {
       val g = (0 until SpanW).map(j => s"ts[i+$j]").mkString(" || ' ' || ")

@@ -94,6 +94,54 @@ class CurationPipelineSpec extends SparkSpec {
     assert(nFp == all.length, "exact duplicates must still be dropped")
   }
 
+  test("substring-dedup stage rewrites survivors with spans removed") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
+    val base = Curation.curate(docs, cfg = Curation.Config(
+      dedupNear = false, scrubPii = false, sampleRates = None))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val despanned = Curation.curate(docs, cfg = Curation.Config(
+      dedupNear = false, scrubPii = false, sampleRates = None,
+      dropDupSpans = true))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the stage input is the exact-dedup survivor set (near-dedup off),
+    // so every rewrite must match the standalone operator on that input
+    val keepers = docs
+      .groupBy(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val rewritten = graft.queries.CorpusOps
+      .dropSpanRewrite(docs.join(keepers, Seq("doc_id"), "left_semi"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    despanned.foreach { case (id, text) =>
+      assert(text == rewritten(id)._1, s"doc $id rewrite mismatch")
+    }
+    assert(base.nonEmpty && despanned.nonEmpty)
+
+    // on the sf fixture the planted dups are exact copies, so exact dedup
+    // already removes every duplicated span — prove the REWRITE itself on
+    // a synthetic corpus with partial boilerplate overlap
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val synth = Seq(
+      (0L, s"$boiler unique zero content words here now", "en"),
+      (1L, s"$boiler other one body tokens text stream", "en"),
+      (2L, boiler, "en"), // nothing but boilerplate: empties and drops
+      (3L, "fully unique document with its own words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.curate(synth, cfg = Curation.Config(
+      dedupNear = false, scrubPii = false, sampleRates = None,
+      minQuality = 0.0, maxRepetition = 1.0, dropDupSpans = true))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == s"$boiler unique zero content words here now",
+      "the global first occurrence keeps its boilerplate")
+    assert(out(1L) == "other one body tokens text stream",
+      s"later occurrences lose the span: '${out(1L)}'")
+    assert(!out.contains(2L), "a doc that is all boilerplate empties and drops")
+    assert(out(3L) == "fully unique document with its own words")
+  }
+
   test("gopher + surprisal gates drop exactly the gate-query rejects") {
     import spark.implicits._
     val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
