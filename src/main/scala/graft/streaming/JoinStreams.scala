@@ -31,11 +31,18 @@ object JoinStreams {
   /** Stream–stream interval self-join over an event stream with columns
     * (`event_id` LONG, `user_id` LONG, `ts` TIMESTAMP, `event_type`
     * STRING): pairs each error with the same user's non-error events
-    * within ±`bandSec`. Inner-join semantics (zero-context errors don't
-    * emit — the batch `range_join` is the backfill that reports those
-    * with n_nearby = 0). */
+    * within ±`bandSec`.
+    *
+    * `joinType = "inner"` (default) emits only errors with context;
+    * `"leftOuter"` also emits each zero-context error ONCE with a NULL
+    * `oth_id` — but only after the context side's watermark passes the
+    * error's band end, i.e. when absence is proven, not merely unseen
+    * so far. That deferred NULL is what makes the outer form the exact
+    * streaming analogue of the batch `range_join`'s `n_nearby = 0`
+    * rows. */
   def errorContext(events: DataFrame, bandSec: Long = SessionOps.RangeBandSec,
-      watermarkDelay: String = "2 minutes"): DataFrame = {
+      watermarkDelay: String = "2 minutes",
+      joinType: String = "inner"): DataFrame = {
     val err = events.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id").as("err_uid"),
         col("ts").as("err_ts"))
@@ -47,7 +54,7 @@ object JoinStreams {
     err.join(oth, expr(
       s"""err_uid = oth_uid AND
           oth_ts >= err_ts - INTERVAL $bandSec SECONDS AND
-          oth_ts <= err_ts + INTERVAL $bandSec SECONDS"""))
+          oth_ts <= err_ts + INTERVAL $bandSec SECONDS"""), joinType)
       .select(col("err_id"), col("oth_id"))
   }
 }

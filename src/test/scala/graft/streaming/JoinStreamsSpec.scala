@@ -51,6 +51,51 @@ class JoinStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("leftOuter interval join emits zero-context errors after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.events(s, SfDir)
+      .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._3)
+    val maxUs = rows.map(_._3).max
+
+    val input = MemoryStream[(Long, Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val q = JoinStreams.errorContext(events, watermarkDelay = "1 second",
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("errctx_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.map(r => (r._1, r._2, tsOf(r._3), r._4)).toSeq)
+      q.processAllAvailable()
+      // sentinel rows on BOTH watermarked sides (error + non-error),
+      // far enough ahead to close every real error's band; watermark
+      // updates at end of batch, so run one more batch with it
+      val farUs = maxUs + 48L * 3600 * 1000000
+      input.addData(Seq((9999991L, 999999L, tsOf(farUs), "error"),
+        (9999992L, 999999L, tsOf(farUs), "click")))
+      q.processAllAvailable()
+      input.addData(Seq((9999993L, 999999L, tsOf(farUs + 1000000L), "error"),
+        (9999994L, 999999L, tsOf(farUs + 1000000L), "click")))
+      q.processAllAvailable()
+
+      val got = s.sql(
+        """SELECT err_id, count(oth_id) AS n FROM errctx_outer
+           WHERE err_id < 9999991 GROUP BY err_id""")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.queries.Registry.all.find(_.name == "range_join").get
+        .fn(s, SfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == batch,
+        s"outer streamed ${got.size} errors vs batch ${batch.size}")
+      assert(batch.values.exists(_ == 0),
+        "fixture must contain zero-context errors for the outer case to prove")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dim into each batch") {
     val s = spark
     import s.implicits._
