@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** TPC-H-style relational sanity set (SURVEY §2.8 #14): proves the
@@ -272,16 +273,44 @@ object Relational {
     "percentile_stats",
     (s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir)
+      // Exact percentiles WITHOUT buffering the column: count-histogram →
+      // per-group cumulative rank ranges → conditional-agg rank lookup.
+      // Spark's `percentile` aggregate merges a per-partition value map
+      // (O(distinct) per partial, 30× DuckDB here); this plan is two
+      // codegen'd hash aggregates + one small window over DISTINCT values
+      // with counts — the distributed-exact form. Interpolation uses
+      // DuckDB's own `v_lo + (v_hi − v_lo)·frac` over exact integer cents.
+      val hist = Tables.lineitem(s, dir)
         .select($"l_returnflag",
           round($"l_extendedprice" * 100).cast("long").as("cents"))
-        .groupBy($"l_returnflag")
+        .groupBy($"l_returnflag", $"cents").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"cents")
+      val marks = hist
+        .withColumn("hi", sum($"cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("lo", $"hi" - $"cnt" + 1)
+        .withColumn("n", max($"hi").over(
+          Window.partitionBy($"l_returnflag")))
+      def rankOf(p: Double) = floor(($"n" - 1) * p) + 1
+      def valAt(rank: org.apache.spark.sql.Column) =
+        max(when(rank.between($"lo", $"hi"), $"cents"))
+      def interp(p: Double, vlo: org.apache.spark.sql.Column,
+          vhi: org.apache.spark.sql.Column) = {
+        val frac = ($"n" - 1) * p - floor(($"n" - 1) * p)
+        round(vlo + (vhi - vlo) * frac, 4)
+      }
+      marks.groupBy($"l_returnflag")
         .agg(
-          round(percentile($"cents", lit(0.5)), 4).as("p50"),
-          round(percentile($"cents", lit(0.9)), 4).as("p90"),
-          round(percentile($"cents", lit(0.99)), 4).as("p99"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
-            .cast("long").as("d50"))
+          max($"n").as("n"),
+          valAt(rankOf(0.5)).as("lo50"), valAt(rankOf(0.5) + 1).as("hi50"),
+          valAt(rankOf(0.9)).as("lo90"), valAt(rankOf(0.9) + 1).as("hi90"),
+          valAt(rankOf(0.99)).as("lo99"), valAt(rankOf(0.99) + 1).as("hi99"),
+          valAt(ceil($"n" * 0.5)).as("d50"))
+        .select($"l_returnflag",
+          interp(0.5, $"lo50", coalesce($"hi50", $"lo50")).as("p50"),
+          interp(0.9, $"lo90", coalesce($"hi90", $"lo90")).as("p90"),
+          interp(0.99, $"lo99", coalesce($"hi99", $"lo99")).as("p99"),
+          $"d50")
         .orderBy($"l_returnflag")
     },
     Some("""
