@@ -17,7 +17,7 @@ object VectorOps {
 
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
-      int8Topk, int8CorpusTopk, embedTextQ, semdedup)
+      int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -527,6 +527,86 @@ object VectorOps {
       SELECT m.vec_id, m.cid, d.vec_id IS NULL AS kept
       FROM assigned m LEFT JOIN dropped d ON m.vec_id = d.vec_id
       ORDER BY m.vec_id
+    """
+    })
+
+  /** Product quantization + ADC top-k — the third leg of the compression
+    * family (binary sign bits, INT8 scalar, PQ): the 64-d vector splits
+    * into [[PqM]] subspaces, each encoded as the id of its nearest
+    * sub-centroid (L2², tie → min cid), so a vector stores as m small
+    * codes; a query scores vectors WITHOUT touching them — one per-
+    * (subspace, centroid) distance table (m·k entries, broadcast) and the
+    * approximate distance is the sum of m table lookups.
+    *
+    * The [[SemCentroids]] seed rows double as the codebook source (PQ
+    * codebooks are trained per-subspace k-means offline; the operator
+    * consumes whatever codebook it is given). Scale shape: the codebook
+    * and query table broadcast (m·k rows); codes are computed at WRITE
+    * time at warehouse scale (an INT column, 4×4 bits here) — the gate
+    * computes them inline for self-containment, shuffling only (vec, j,
+    * code) argmin partials. Determinism: per-subspace distances are
+    * sequential left folds of identical doubles on both engines, rounded
+    * at 6 dp before the m-way sum, final distance rounded coarser (4 dp).
+    */
+  val PqM = 4
+  val PqSub = 16 // dims per subspace
+
+  private val pqTopk = QueryDef(
+    "pq_topk",
+    (s, dir) => {
+      import s.implicits._
+      val qArr = "array(" + Q.mkString(", ") + ")"
+      def l2 = "(acc, i) -> acc + (CAST(element_at(svec, i) AS DOUBLE) - CAST(element_at(cvec, i) AS DOUBLE)) * (CAST(element_at(svec, i) AS DOUBLE) - CAST(element_at(cvec, i) AS DOUBLE))"
+      val e = Tables.embeddings(s, dir)
+      val subCents = e.filter($"vec_id".isin(SemCentroids: _*))
+        .select($"vec_id".as("cid"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), j -> struct(j AS j, slice(embedding, j*$PqSub+1, $PqSub) AS cvec))")).as("s"))
+        .select($"cid", $"s.j".as("j"), $"s.cvec".as("cvec"))
+      val ev = e.select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> struct(j AS j, slice(embedding, j*$PqSub+1, $PqSub) AS svec))")).as("s"))
+        .select($"vec_id", $"s.j".as("j"), $"s.svec".as("svec"))
+      val codes = ev.join(broadcast(subCents), Seq("j"))
+        .withColumn("dist", expr(s"aggregate(sequence(1, $PqSub), 0D, $l2)"))
+        .groupBy($"vec_id", $"j")
+        .agg(min_by($"cid", struct($"dist", $"cid")).as("code"))
+      val qTab = subCents.withColumn("qd", round(expr(
+        s"""aggregate(sequence(1, $PqSub), 0D,
+            (acc, i) -> acc + (element_at($qArr, j*$PqSub+i) - CAST(element_at(cvec, i) AS DOUBLE)) * (element_at($qArr, j*$PqSub+i) - CAST(element_at(cvec, i) AS DOUBLE)))"""), 6))
+        .select($"cid", $"j".as("qj"), $"qd")
+      codes.join(broadcast(qTab), $"j" === $"qj" && $"code" === $"cid")
+        .groupBy($"vec_id")
+        .agg(round(sum($"qd"), 4).as("adist"))
+        .orderBy($"adist".asc, $"vec_id")
+        .limit(10)
+    },
+    Some {
+      val sq = (a: String, b: String) => s"($a - $b) * ($a - $b)"
+      s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding FROM embeddings
+        WHERE vec_id IN (${SemCentroids.mkString(", ")})),
+      sub AS (
+        SELECT cid, j, list_slice(embedding, j*$PqSub+1, j*$PqSub+$PqSub) AS cvec
+        FROM cents, unnest(range($PqM)) AS u(j)),
+      ev AS (
+        SELECT vec_id, j, list_slice(embedding, j*$PqSub+1, j*$PqSub+$PqSub) AS svec
+        FROM embeddings, unnest(range($PqM)) AS u(j)),
+      codes AS (
+        SELECT e.vec_id, e.j,
+          (list(s.cid ORDER BY list_sum(list_transform(range(1, ${PqSub + 1}),
+             i -> ${sq("e.svec[i]::DOUBLE", "s.cvec[i]::DOUBLE")})) ASC, s.cid ASC))[1] AS code
+        FROM ev e JOIN sub s ON e.j = s.j
+        GROUP BY e.vec_id, e.j),
+      qtab AS (
+        SELECT s.cid, s.j,
+          round(list_sum(list_transform(range(1, ${PqSub + 1}),
+            i -> ${sq(s"($QSql)[s.j*$PqSub+i]", "s.cvec[i]::DOUBLE")})), 6) AS qd
+        FROM sub s)
+      SELECT c.vec_id, round(sum(q.qd), 4) AS adist
+      FROM codes c JOIN qtab q ON c.j = q.j AND c.code = q.cid
+      GROUP BY c.vec_id
+      ORDER BY adist ASC, c.vec_id
+      LIMIT 10
     """
     })
 }

@@ -24,6 +24,41 @@ class SemdedupSpec extends SparkSpec {
   private def r6(x: Double) =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("pq_topk matches a plain product-quantization + ADC recompute") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.embeddings(spark, SfDir)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).toArray))
+    val cents = rows.filter(x => VectorOps.SemCentroids.contains(x._1))
+    def sub(v: Array[Float], j: Int): Array[Float] =
+      v.slice(j * VectorOps.PqSub, (j + 1) * VectorOps.PqSub)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val q = VectorOps.Q.toArray
+    // encode: per (vector, subspace) the nearest sub-centroid (tie: min cid)
+    // ADC: query distance table per (subspace, cid), rounded pre-sum
+    val scored = rows.map { case (id, v) =>
+      val adist = (0 until VectorOps.PqM).map { j =>
+        val sv = sub(v, j).map(_.toDouble)
+        val code = cents.map { case (cid, cv) =>
+          (l2(sv, sub(cv, j).map(_.toDouble)), cid)
+        }.min._2
+        val cv = sub(cents.find(_._1 == code).get._2, j).map(_.toDouble)
+        val qv = q.slice(j * VectorOps.PqSub, (j + 1) * VectorOps.PqSub)
+        r(l2(qv, cv), 6)
+      }.sum
+      (id, r(adist, 4))
+    }
+    val expected = scored.sortBy(x => (x._2, x._1)).take(10).toSeq
+    val got = Registry.all.find(_.name == "pq_topk").get.fn(spark, SfDir)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+  }
+
   test("semdedup matches a plain cosine recompute of assign + drop") {
     val rows = Tables.embeddings(spark, SfDir)
       .selectExpr("vec_id", "embedding").collect()
