@@ -226,6 +226,17 @@ class PlanShapeSpec extends SparkSpec {
       "the only product is the broadcasted nlist-row centroid table")
   }
 
+  test("pq_topk broadcasts codebook + query table; final ranking is top-k") {
+    val q = Registry.all.find(_.name == "pq_topk").get
+    val df = q.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"the (subspace, centroid) relations must broadcast:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ADC ranking must stay a single-pass top-k, never a global sort")
+  }
+
   test("gopher_quality is shuffle-free scan arithmetic") {
     val p = plan("gopher_quality")
     assert(!p.contains("Exchange hashpartitioning"),
