@@ -20,7 +20,8 @@ object Relational {
   /** All money/avg outputs rounded so Spark-vs-DuckDB double summation
     * order cannot flip the hash compare. */
   def queries: Seq[QueryDef] =
-    Seq(q1Agg, q3Topk, q5Join, q7Flow, rollupPricing, percentileStats)
+    Seq(q1Agg, q3Topk, q5Join, q7Flow, rollupPricing, percentileStats,
+      aboveAvgOrders)
 
   /** Exact, order-independent money accumulation WITHOUT decimal boxing:
     * each per-row amount becomes integer MICROS and the sum runs over
@@ -227,6 +228,58 @@ object Relational {
         AND l_shipdate < TIMESTAMP '1998-01-01'
       GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
       ORDER BY supp_nation, cust_nation, l_year
+    """))
+
+  /** Correlated scalar subquery, run through `spark.sql` ON PURPOSE: the
+    * classic "orders above their customer's average" decorrelation
+    * exercise. Catalyst must rewrite the per-row correlated aggregate
+    * into ONE grouped aggregate + an equi-join (asserted in
+    * PlanShapeSpec) — the rewrite that makes the shape viable at all at
+    * scale, since a literal per-row re-scan is quadratic. Arithmetic
+    * stays in exact integer cents: `margin = n·cents − Σcents` (the
+    * above-average test scaled by the customer's order count), so the
+    * filter, ordering and output hash-compare exactly — no double
+    * average anywhere. */
+  private val aboveAvgOrders = QueryDef(
+    "above_avg_orders",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        WITH oc AS (
+          SELECT o_orderkey, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders_v)
+        SELECT o_orderkey, o_custkey,
+          cents / 100.0D AS price, margin
+        FROM (
+          SELECT o.*,
+            (SELECT count(*) FROM oc i WHERE i.o_custkey = o.o_custkey)
+              * o.cents
+            - (SELECT sum(cents) FROM oc i WHERE i.o_custkey = o.o_custkey)
+              AS margin
+          FROM oc o)
+        WHERE margin > 0
+        ORDER BY margin DESC, o_orderkey
+        LIMIT 50
+      """)
+    },
+    Some("""
+      WITH oc AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_orderkey, o_custkey,
+        cents / 100.0 AS price, margin
+      FROM (
+        SELECT o.*,
+          CAST((SELECT count(*) FROM oc i WHERE i.o_custkey = o.o_custkey)
+            * o.cents
+          - (SELECT sum(cents) FROM oc i WHERE i.o_custkey = o.o_custkey)
+            AS BIGINT) AS margin
+        FROM oc o)
+      WHERE margin > 0
+      ORDER BY margin DESC, o_orderkey
+      LIMIT 50
     """))
 
   /** Grouping-sets coverage: the q1 pricing aggregate at every ROLLUP

@@ -186,6 +186,20 @@ class PlanShapeSpec extends SparkSpec {
       s"the band bucketing must keep the interval join equi-keyed:\n${p.take(1200)}")
   }
 
+  test("above_avg_orders decorrelates: subqueries become one aggregate + join") {
+    val q = Registry.all.find(_.name == "above_avg_orders").get
+    val df = q.fn(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("scalar-subquery"),
+      "the query must genuinely enter Catalyst as a correlated subquery")
+    assert(!optimized.contains("scalar-subquery"),
+      s"decorrelation must eliminate the per-row subquery:\n${optimized.take(1200)}")
+    assert(optimized.contains("Join"),
+      "the rewrite is a grouped aggregate joined back on the key")
+    assert(!optimized.contains("CartesianProduct"))
+  }
+
   test("rollup_pricing is one Expand + one aggregate pass, not one scan per level") {
     val p = plan("rollup_pricing")
     assert(p.contains("Expand"), s"ROLLUP must plan via Expand:\n${p.take(1200)}")

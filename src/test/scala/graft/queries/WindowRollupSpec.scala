@@ -74,6 +74,23 @@ class WindowRollupSpec extends SparkSpec {
     }
   }
 
+  test("above_avg_orders matches a per-customer margin recompute") {
+    val rows = Tables.orders(spark, SfDir)
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCust = rows.groupBy(_._2)
+    val expected = rows.flatMap { case (ok, ck, c) =>
+      val grp = byCust(ck)
+      val margin = grp.length * c - grp.map(_._3).sum
+      if (margin > 0) Some((ok, ck, c / 100.0, margin)) else None
+    }.sortBy(x => (-x._4, x._1)).take(50).toSeq
+    val got = query("above_avg_orders").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == expected, s"\n got=${got.take(5)}\n exp=${expected.take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("running_totals matches a sequential per-user frame walk") {
     def r(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
