@@ -218,6 +218,53 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL word n-grams in document order (duplicates kept — index i is the
+  * window starting at token i): the positional counterpart of
+  * [[WordNgrams]], feeding the substring-dedup window relation where the
+  * start position carries meaning. Identical construction (lowercase,
+  * split on non-alphanumerics, single-space joins); one native pass
+  * replaces the interpreted transform/slice/array_join HOF chain. */
+case class AllWordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"all_word_ngrams requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "all_word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AllWordNgrams.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AllWordNgrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): AllWordNgrams =
+    copy(child = newChild)
+}
+
+object AllWordNgrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(input: UTF8String, n: Int): GenericArrayData = {
+    val toks = input.toString.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object WordNgrams {
   import org.apache.spark.unsafe.types.UTF8String
 

@@ -46,22 +46,26 @@ object CorpusOps {
   private def tokenized(df: org.apache.spark.sql.DataFrame) =
     df.select(df("doc_id"), columnOf(WordTokens(exprOf(df("text")))).as("ts"))
 
-  /** Positional [[SpanW]]-token windows: (doc_id, pos [1-based], gram). */
-  private def windows(toks: org.apache.spark.sql.DataFrame) =
-    toks.filter(size(toks("ts")) >= SpanW)
-      .select(toks("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(ts) - ${SpanW - 1}),
-            i -> array_join(slice(ts, i, $SpanW), ' '))""")))
+  /** Positional [[SpanW]]-token windows: (doc_id, pos [1-based], gram) —
+    * one native [[graft.functions.AllWordNgrams]] pass per document (the
+    * interpreted transform/slice/array_join HOF chain dominated the
+    * profile); documents shorter than the window emit nothing. */
+  private def windows(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(docs("doc_id"), posexplode(columnOf(
+        graft.functions.AllWordNgrams(exprOf(docs("text")), SpanW))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
 
   private val dupSpans = QueryDef(
     "dup_spans",
     (s, dir) => {
       import s.implicits._
-      val wins = windows(tokenized(Tables.documents(s, dir)))
+      val wins = windows(Tables.documents(s, dir))
+      // "seen in >1 distinct doc" ⟺ min(doc) ≠ max(doc): O(1) aggregate
+      // state with full map-side combine, where an exact distinct-count
+      // would shuffle doc ids per gram
       val dupGrams = wins.groupBy($"gram")
-        .agg(count_distinct($"doc_id").as("nd"))
-        .filter($"nd" > 1)
+        .agg((min($"doc_id") =!= max($"doc_id")).as("multi"))
+        .filter($"multi")
         .select($"gram")
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
       wins.join(dupGrams, Seq("gram"))
@@ -83,7 +87,7 @@ object CorpusOps {
         SELECT doc_id, i AS pos, $g AS gram
         FROM toks, unnest(range(1, greatest(len(ts) - ${SpanW - 2}, 1))) AS u(i)),
       dupg AS (
-        SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        SELECT gram FROM wins GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
       duppos AS (
         SELECT w.doc_id, w.pos,
           w.pos - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS island
@@ -111,7 +115,8 @@ object CorpusOps {
     * run).
     *
     * Scale shape: census and ownership ride the SAME gram-keyed aggregate
-    * as `dup_spans` (min and distinct-count in one pass); the only new
+    * as `dup_spans` (the multi-doc flag and min-owner in one pass, both
+    * O(1) state with map-side combine); the only new
     * shuffle is the per-doc removal-set aggregate, whose size is bounded
     * by document length. The rewrite itself is scan-parallel list
     * arithmetic — no sort, no window. */
@@ -120,11 +125,11 @@ object CorpusOps {
   def dropSpanRewrite(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     val toks = tokenized(docs)
-    val wins = windows(toks)
+    val wins = windows(docs)
     val dup = wins.groupBy($"gram")
-      .agg(count_distinct($"doc_id").as("nd"),
+      .agg((min($"doc_id") =!= max($"doc_id")).as("multi"),
         min($"doc_id" * 1000000L + $"pos").as("owner"))
-      .filter($"nd" > 1)
+      .filter($"multi")
       .select($"gram", $"owner")
     val remPos = wins.join(dup, Seq("gram"))
       .filter($"doc_id" * 1000000L + $"pos" =!= $"owner")
@@ -160,7 +165,7 @@ object CorpusOps {
         FROM toks, unnest(range(1, greatest(len(ts) - ${SpanW - 2}, 1))) AS u(i)),
       dup AS (
         SELECT gram, min(doc_id * 1000000 + pos) AS owner
-        FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        FROM wins GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
       rempos AS (
         SELECT DISTINCT w.doc_id, w.pos + o AS tpos
         FROM wins w JOIN dup d USING (gram), unnest(range(${SpanW})) AS u(o)

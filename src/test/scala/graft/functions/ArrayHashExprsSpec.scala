@@ -93,4 +93,27 @@ class ArrayHashExprsSpec extends SparkSpec {
     val short = texts.filter(size(ts) < n)
     assert(collectSeqs[String](short, native).forall(_.isEmpty))
   }
+
+  test("AllWordNgrams == transform(sequence)->array_join pipeline, positions kept") {
+    val ts = wordTokens(col("text"))
+    val n = 4
+    val hof = transform(sequence(lit(1), size(ts) - (n - 1)),
+      i => array_join(slice(ts, i, lit(n)), " "))
+    val native = GraftFunctions.columnOf(
+      AllWordNgrams(GraftFunctions.exprOf(col("text")), n))
+    val longEnough = texts.filter(size(ts) >= n)
+    assert(collectSeqs[String](longEnough, hof) ==
+      collectSeqs[String](longEnough, native))
+    val short = texts.filter(size(ts) < n)
+    assert(collectSeqs[String](short, native).forall(_.isEmpty))
+    // sanity: index i IS the window at token position i (duplicates kept)
+    val grams = collectSeqs[String](longEnough, native)
+    val toks = collectSeqs[String](longEnough, ts)
+    grams.zip(toks).foreach { case (gs, tk) =>
+      assert(gs.length == tk.length - n + 1)
+      gs.zipWithIndex.foreach { case (g, i) =>
+        assert(g == tk.slice(i, i + n).mkString(" "))
+      }
+    }
+  }
 }
