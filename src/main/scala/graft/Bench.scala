@@ -24,7 +24,10 @@ object Bench {
         .selectExpr("size(split(lower(text), '[^a-z0-9]+')) AS n").collect()
     } catch { case _: Throwable => }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_ONLY="a,b" times just the named queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val results = selected.map { case (name, fn) =>
       // noop sink: materializes EVERY output column (a bare count() would
       // let Catalyst prune the projections and under-report pure-projection
       // queries). Best of two runs per query: first run pays one-time JIT/
