@@ -61,18 +61,29 @@ object CurationOps {
     * rows to keep; components do (keep cluster_id == doc_id, or aggregate
     * per cluster).
     *
-    * Each round does (1) a neighbor-min step (edges⋈labels + min-agg) and
-    * (2) a shortcut step lbl ← lbl(lbl) (labels⋈labels) — the pointer
-    * jump that doubles every label's effective reach, giving O(log
-    * diameter) rounds instead of O(diameter) (the same reason GraphFrames'
-    * big-graph CC uses star-contraction rounds; plain propagation measured
-    * 10 rounds on the sf0.1 fixture, this form 7). Both steps preserve the
-    * invariant "lbl(x) is reachable from x and ≥ the component minimum",
-    * and labels only ever decrease, so the fixpoint is exactly the
-    * component minimum. `localCheckpoint` after each round truncates the
-    * lineage so plan size stays constant; convergence is detected by the
-    * label-sum fixpoint (an unchanged exact decimal sum == no label moved)
-    * — an O(1)-row aggregate per round, never a collect of the data.
+    * The fixpoint loop iterates ONLY over nodes that appear in the edge
+    * relation. A document with no candidate pair can never change label,
+    * and in a real corpus singletons are the overwhelming majority — so
+    * the iterated table scales with the near-dup GRAPH, not the corpus;
+    * singletons rejoin at the end as `lbl = id` via one anti-join against
+    * the converged node set. The seed already performs the first
+    * neighbor-min round as a single aggregate over the edges (both edge
+    * directions are materialized, so `groupBy(dst)` covers every graph
+    * node), and each loop round does (1) a neighbor-min step
+    * (edges⋈labels + min-agg) and (2) TWO shortcut steps lbl ← lbl(lbl)
+    * (labels⋈labels) — pointer jumps that each double every label's
+    * effective reach, giving O(log diameter) rounds instead of
+    * O(diameter) (plain propagation measured 10 rounds on the sf0.1
+    * fixture, single-jump 7, this form 3). Every step preserves the
+    * invariant "lbl(x) is reachable from x and ≥ the component minimum"
+    * (each lbl value is itself a graph-node id, and each jump's right
+    * side is keyed by the unique `id`, so the inner self-join neither
+    * loses nor duplicates rows), and labels only ever decrease, so the
+    * fixpoint is exactly the component minimum. `localCheckpoint` after
+    * each round truncates the lineage so plan size stays constant;
+    * convergence is detected by the label-sum fixpoint (an unchanged
+    * exact decimal sum == no label moved) — an O(1)-row aggregate per
+    * round, never a collect of the data.
     *
     * Reusable core of the `dedup_clusters` gate query, also composed by
     * [[graft.api.Curation]]. */
@@ -93,15 +104,23 @@ object CurationOps {
     // release it now rather than leaking one cached relation per call in
     // a long-lived session (this is a reusable library entry point)
     buckets.unpersist()
-    var labels = docs.select($"doc_id".as("id"), $"doc_id".as("lbl"))
+    // seed = round 1 fused: lbl0(x) = min(x, min neighbor(x)), one
+    // aggregate over the edge relation, graph nodes only
+    var labels = edges.groupBy($"dst".as("id"))
+      .agg(min($"src").as("nmin"))
+      .select($"id", least($"id", $"nmin").as("lbl"))
       .localCheckpoint()
     // fixpoint metric: exact decimal sum of all labels — labels only
     // ever decrease, so an unchanged sum == converged; decimal(38,0)
-    // because a LONG sum of 64-bit ids overflows past ~1e7 rows
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"lbl".cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-    var lastSum = labelSum(labels)
+    // because a LONG sum of 64-bit ids overflows past ~1e7 rows. The sum
+    // rides the SAME job that materializes the round's checkpoint
+    // (Dataset.observe → accumulator-backed metric), so each round is ONE
+    // Spark job, not a materialize + a re-read aggregate.
+    def jump(df: DataFrame): DataFrame = df
+      .join(df.select($"id".as("lid"), $"lbl".as("llbl")), $"lbl" === $"lid")
+      .select($"id", least($"lbl", $"llbl").as("lbl"))
+    val sumCol = sum($"lbl".cast("decimal(38,0)")).as("label_sum")
+    var lastSum = labels.agg(sumCol).head().getDecimal(0)
     var converged = false
     var it = 0
     while (!converged && it < MaxClusterIters) {
@@ -109,30 +128,33 @@ object CurationOps {
         .select($"dst".as("id"), $"lbl")
       val hopped = labels.union(prop).groupBy($"id")
         .agg(min($"lbl").as("lbl"))
-      // pointer jump: follow the label's own label (every lbl value is a
-      // doc id, so the inner self-join loses no rows)
-      val next = hopped
-        .join(hopped.select($"id".as("lid"), $"lbl".as("llbl")),
-          $"lbl" === $"lid")
-        .select($"id", least($"lbl", $"llbl").as("lbl"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val obs = org.apache.spark.sql.Observation()
+      val next = jump(jump(hopped)).observe(obs, sumCol).localCheckpoint()
+      val nextSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
       labels.unpersist()
       labels = next
       converged = nextSum.compareTo(lastSum) == 0
       lastSum = nextSum
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $it labelSum=$nextSum converged=$converged")
     }
     // the fixpoint loop is done with the edge blocks — release them. The
     // FINAL labels checkpoint is deliberately retained: the returned frame
     // reads from it (localCheckpoint truncates lineage, so unpersisting
     // would break the result); one labels-sized block set per call is the
-    // documented cost of calling connectedComponents.
+    // documented cost of calling connectedComponents. Singletons anti-join
+    // against that SAME retained checkpoint (its id set == the graph node
+    // set, constant across rounds) — never against the released edges.
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"dedup_clusters did not converge in $MaxClusterIters iterations — " +
         "a component wider than the declared diameter bound")
-    labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+    val singletons = docs.select($"doc_id".as("id"))
+      .join(labels, Seq("id"), "left_anti")
+      .select($"id", $"id".as("lbl"))
+    labels.union(singletons)
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"))
   }
 
   private val dedupClusters = QueryDef(
