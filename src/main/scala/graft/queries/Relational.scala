@@ -326,40 +326,80 @@ object Relational {
     "percentile_stats",
     (s, dir) => {
       import s.implicits._
-      // Exact percentiles WITHOUT buffering the column: count-histogram →
-      // per-group cumulative rank ranges → conditional-agg rank lookup.
-      // Spark's `percentile` aggregate merges a per-partition value map
-      // (O(distinct) per partial, 30× DuckDB here); this plan is two
-      // codegen'd hash aggregates + one small window over DISTINCT values
-      // with counts — the distributed-exact form. Interpolation uses
-      // DuckDB's own `v_lo + (v_hi − v_lo)·frac` over exact integer cents.
-      val hist = Tables.lineitem(s, dir)
+      // Exact percentiles via TWO-PHASE SELECTION (histogram refinement):
+      // phase 1 aggregates COARSE buckets (cents >> 12, ~41-cent ranges) —
+      // a shuffle of O(#buckets) rows regardless of corpus size — and a
+      // per-group cumulative sum over that tiny relation locates the
+      // bucket containing each target rank; phase 2 re-scans the fact
+      // filtered to ONLY those buckets (a broadcast semi-join; a handful
+      // of buckets per group) and row_numbers within them to pick the
+      // exact values. Both phases live in ONE lazy DAG — no driver
+      // materialization between them. This replaces the one-level
+      // count-histogram plan whose aggregate carried O(distinct values)
+      // groups (nearly one per row for continuous money values — the
+      // hash-agg itself was the measured bottleneck, not the window).
+      // Spark's own `percentile` aggregate is worse still (per-partition
+      // value-map merge, 30× DuckDB here). Interpolation uses DuckDB's
+      // own `v_lo + (v_hi − v_lo)·frac` over exact integer cents.
+      val cents = Tables.lineitem(s, dir)
         .select($"l_returnflag",
           round($"l_extendedprice" * 100).cast("long").as("cents"))
-        .groupBy($"l_returnflag", $"cents").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy($"l_returnflag").orderBy($"cents")
-      val marks = hist
-        .withColumn("hi", sum($"cnt").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("lo", $"hi" - $"cnt" + 1)
-        .withColumn("n", max($"hi").over(
-          Window.partitionBy($"l_returnflag")))
-      def rankOf(p: Double) = floor(($"n" - 1) * p) + 1
-      def valAt(rank: org.apache.spark.sql.Column) =
-        max(when(rank.between($"lo", $"hi"), $"cents"))
+        .withColumn("bucket", shiftright($"cents", 12))
+      val bhist = cents.groupBy($"l_returnflag", $"bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val wb = Window.partitionBy($"l_returnflag").orderBy($"bucket")
+      // cached: FOUR plan branches read it (n-per-group, rank targets,
+      // bucket filter, final join) and would otherwise each re-run the
+      // scan+aggregate; the relation is O(#buckets) rows — cache cost nil
+      val bcum = bhist
+        .withColumn("hi_b", sum($"cnt").over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("lo_b", $"hi_b" - $"cnt" + 1)
+        .cache()
+      val nPer = bcum.groupBy($"l_returnflag").agg(max($"hi_b").as("n"))
+      def rnk(p: Double) = (floor(($"n" - 1) * p) + 1).cast("long")
+      val targets = nPer.select($"l_returnflag", $"n", explode(array(
+          struct(lit("lo50").as("lab"), rnk(0.5).as("rank")),
+          struct(lit("hi50").as("lab"), (rnk(0.5) + 1).as("rank")),
+          struct(lit("lo90").as("lab"), rnk(0.9).as("rank")),
+          struct(lit("hi90").as("lab"), (rnk(0.9) + 1).as("rank")),
+          struct(lit("lo99").as("lab"), rnk(0.99).as("rank")),
+          struct(lit("hi99").as("lab"), (rnk(0.99) + 1).as("rank")),
+          struct(lit("d50").as("lab"), ceil($"n" * 0.5).cast("long").as("rank")))).as("t"))
+        .select($"l_returnflag", $"n", $"t.lab".as("lab"), $"t.rank".as("rank"))
+        .filter($"rank" <= $"n")
+        .select($"l_returnflag", $"lab", $"rank")
+      // bucket containing each target rank + the offset within it
+      val located = targets.join(bcum,
+          targets("l_returnflag") === bcum("l_returnflag") &&
+            $"rank".between($"lo_b", $"hi_b"))
+        .select(targets("l_returnflag").as("flag"), $"lab",
+          $"bucket".as("bkt"), ($"rank" - $"lo_b" + 1).as("off"))
+      val needed = located.select($"flag".as("l_returnflag"), $"bkt".as("bucket"))
+        .distinct()
+      val picked = cents
+        .join(broadcast(needed), Seq("l_returnflag", "bucket"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"l_returnflag", $"bucket").orderBy($"cents")))
+        .join(broadcast(located),
+          $"l_returnflag" === $"flag" && $"bucket" === $"bkt" && $"rn" === $"off")
+        .select($"l_returnflag", $"lab", $"cents".as("v"))
+      val vals = picked.groupBy($"l_returnflag")
+        .agg(
+          max(when($"lab" === "lo50", $"v")).as("lo50"),
+          max(when($"lab" === "hi50", $"v")).as("hi50"),
+          max(when($"lab" === "lo90", $"v")).as("lo90"),
+          max(when($"lab" === "hi90", $"v")).as("hi90"),
+          max(when($"lab" === "lo99", $"v")).as("lo99"),
+          max(when($"lab" === "hi99", $"v")).as("hi99"),
+          max(when($"lab" === "d50", $"v")).as("d50"))
+        .join(broadcast(nPer), Seq("l_returnflag"))
       def interp(p: Double, vlo: org.apache.spark.sql.Column,
           vhi: org.apache.spark.sql.Column) = {
         val frac = ($"n" - 1) * p - floor(($"n" - 1) * p)
         round(vlo + (vhi - vlo) * frac, 4)
       }
-      marks.groupBy($"l_returnflag")
-        .agg(
-          max($"n").as("n"),
-          valAt(rankOf(0.5)).as("lo50"), valAt(rankOf(0.5) + 1).as("hi50"),
-          valAt(rankOf(0.9)).as("lo90"), valAt(rankOf(0.9) + 1).as("hi90"),
-          valAt(rankOf(0.99)).as("lo99"), valAt(rankOf(0.99) + 1).as("hi99"),
-          valAt(ceil($"n" * 0.5)).as("d50"))
-        .select($"l_returnflag",
+      vals.select($"l_returnflag",
           interp(0.5, $"lo50", coalesce($"hi50", $"lo50")).as("p50"),
           interp(0.9, $"lo90", coalesce($"hi90", $"lo90")).as("p90"),
           interp(0.99, $"lo99", coalesce($"hi99", $"lo99")).as("p99"),
