@@ -76,6 +76,14 @@ object VectorFunctions {
     * the shuffle carries one dim-length row per partition, not the data. */
   def avgVector(v: Column, dim: Int): Column =
     array((1 to dim).map(i => avg(element_at(v, i).cast("double"))): _*)
+
+  /** Dense matrix·vector against a CONSTANT matrix (native kernel,
+    * [[MatVecExpr]]): y_j = Σ_i rows(j)(i)·v(i), each row summed in
+    * ascending index order so a `list_sum(list_transform(range...))`
+    * oracle folds the identical sequence. NULL on dimension mismatch. */
+  def matVec(v: Column, rows: Seq[Seq[Double]]): Column =
+    graft.GraftFunctions.columnOf(MatVecExpr(
+      graft.GraftFunctions.exprOf(v), rows))
 }
 
 /** Shared element accessor: float or double arrays score identically
@@ -242,5 +250,75 @@ object PackSignBitsExpr {
       i += 1
     }
     out
+  }
+}
+
+/** Native matrix·vector against a constant row-major matrix — the
+  * Johnson–Lindenstrauss projection kernel. Each output element is a
+  * sequential ascending-index fold over the input (so the DuckDB
+  * `list_sum(list_transform(range(...)))` mirror folds the identical
+  * sequence); NULL when the input dimension differs from the matrix
+  * width, matching the library's mismatch contract. */
+case class MatVecExpr(child: Expression, rows: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(rows.nonEmpty && rows.forall(_.length == rows.head.length),
+    "matVec requires a non-empty rectangular matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecElems.isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mat_vec requires array<float|double>, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+  override def nullable: Boolean = true
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    rows.map(_.toArray).toArray
+  private lazy val vFloat = VecElems.isFloat(child.dataType)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    if (vv.numElements() != mat(0).length) null
+    else MatVecExpr.compute(vv, vFloat, mat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matVecM", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($v.numElements() != $mRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.MatVecExpr.compute($v, $vFloat, $mRef);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
+    copy(child = newChild)
+}
+
+object MatVecExpr {
+  def compute(v: ArrayData, vFloat: Boolean,
+      mat: Array[Array[Double]]): ArrayData = {
+    val m = mat.length
+    val n = mat(0).length
+    val out = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val row = mat(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += row(i) * x
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 }

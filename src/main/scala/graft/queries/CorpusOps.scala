@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  def queries: Seq[QueryDef] = Seq(dupSpans, dropSpans, gopherQuality)
+  def queries: Seq[QueryDef] = Seq(dupSpans, dropSpans, gopherQuality, chunkDocs)
 
   // ----------------------------------------------------------------------
   // dup_spans
@@ -265,4 +265,59 @@ object CorpusOps {
       ORDER BY doc_id
     """
     })
+
+  // ----------------------------------------------------------------------
+  // chunk_docs
+  // ----------------------------------------------------------------------
+
+  /** Tokens per chunk (a context-window budget) and the stride between
+    * chunk starts; C − S = 8 tokens of overlap so no token-boundary
+    * context is lost between adjacent chunks. */
+  val ChunkC = 32
+  val ChunkS = 24
+
+  /** Context-window chunking with overlap: each document's token stream
+    * is cut into [[ChunkC]]-token chunks whose starts advance by
+    * [[ChunkS]] (overlap C−S), the transform that fits a corpus to a
+    * model's context length before packing. Chunk starts are every
+    * 1+k·S ≤ n_tok, so the trailing chunk may be short — the declared,
+    * oracle-mirrored rule (deterministic; chunk_id is pure arithmetic on
+    * the start, no window/ordering involved). Entirely scan-parallel:
+    * one tokenize, a `sequence` of starts exploded per document, and a
+    * `slice` per start — zero shuffles at any corpus size; output order
+    * is the only sort and belongs to the gate, not the operator. */
+  private val chunkDocs = QueryDef(
+    "chunk_docs",
+    (s, dir) => {
+      import s.implicits._
+      tokenized(Tables.documents(s, dir))
+        .filter(size($"ts") > 0)
+        .select($"doc_id", $"ts",
+          explode(sequence(lit(1), size($"ts"), lit(ChunkS))).as("start"))
+        .select($"doc_id",
+          ((($"start" - 1) / ChunkS) + 1).cast("long").as("chunk_id"),
+          $"start".cast("long").as("chunk_start"),
+          slice($"ts", $"start", lit(ChunkC)).as("chunk"))
+        .select($"doc_id", $"chunk_id", $"chunk_start",
+          size($"chunk").cast("long").as("n_chunk_tok"),
+          array_join($"chunk", " ").as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      st AS (
+        SELECT doc_id, ts, i
+        FROM toks, unnest(range(1, len(ts) + 1, $ChunkS)) AS u(i)
+        WHERE len(ts) > 0)
+      SELECT doc_id,
+        CAST((i - 1) // $ChunkS + 1 AS BIGINT) AS chunk_id,
+        CAST(i AS BIGINT) AS chunk_start,
+        CAST(len(list_slice(ts, i, i + ${ChunkC - 1})) AS BIGINT) AS n_chunk_tok,
+        array_to_string(list_slice(ts, i, i + ${ChunkC - 1}), ' ') AS chunk_text
+      FROM st
+      ORDER BY doc_id, chunk_id
+    """))
 }

@@ -19,7 +19,7 @@ object TextOps {
   def queries: Seq[QueryDef] = Seq(
     dedupExact, rollingFp, tokenCount, qualityScoreQ, langId, jaccardPairs,
     jaccardCapped, minhashSig, lshPairs, bm25Score, piiScrub, keywordsTfidf,
-    lmScore)
+    lmScore, bigramSurprisal)
 
   /** PII patterns shared verbatim by Spark (Java regex) and the oracle
     * (RE2) — kept inside the common syntax subset of both engines. */
@@ -150,6 +150,80 @@ object TextOps {
       SELECT doc_id, count(*) AS n_tok,
         round(sum(round(-ln(cnt / n), 6)) / count(*), 4) AS avg_nll
       FROM toks JOIN uni USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
+  /** Interpolation weight of the conditional bigram term; the remaining
+    * mass backs off to the corpus unigram distribution (Jelinek–Mercer
+    * smoothing — the λ·P(w₂|w₁) + (1−λ)·P(w₂) fixed-weight form). */
+  val BigramLambda = 0.7
+
+  /** Corpus bigram LM surprisal: per-document mean negative log-likelihood
+    * of its ADJACENT TOKEN PAIRS under a Jelinek–Mercer-interpolated
+    * bigram model fit on the corpus itself — one LM order up from
+    * `lm_score`, which a curation stack runs when unigram stats stop
+    * separating fluent text from shuffled-token soup (unigram NLL is
+    * permutation-invariant; bigram NLL is exactly what drops when word
+    * ORDER is natural).
+    *
+    * Plan: one pass builds positional pairs as a zipped slice (scan-
+    * parallel, no shuffle), then three token-keyed joins attach the
+    * bigram census and both unigram counts — every build side is
+    * 1-row-per-key, so AQE's skew split covers the stop-word tail the
+    * same way `lm_score`'s single join does; the corpus total broadcasts
+    * as a scalar. Per-pair surprisal is rounded at 6 dp BEFORE the
+    * per-doc sum (a last-ulp ln() difference cannot propagate), the mean
+    * at 4 dp — coarser than summation-order error. Docs with <2 tokens
+    * have no pairs and drop from the output on both engines. */
+  private val bigramSurprisal = QueryDef(
+    "bigram_surprisal",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val toks = docs.select($"doc_id", explode(wordTokens($"text")).as("tok"))
+      val bgs = docs
+        .select($"doc_id", wordTokens($"text").as("ts"))
+        .select($"doc_id", explode(arrays_zip(
+          slice($"ts", lit(1), size($"ts") - 1).as("w1"),
+          slice($"ts", lit(2), size($"ts") - 1).as("w2"))).as("bg"))
+        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c1"))
+      val big = bgs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+      bgs
+        .join(big, Seq("w1", "w2"))
+        .join(uni.select($"tok".as("w1"), $"c1".as("cw1")), Seq("w1"))
+        .join(uni.select($"tok".as("w2"), $"c1".as("cw2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          round(-log(lit(BigramLambda) * $"c2" / $"cw1"
+            + lit(1.0 - BigramLambda) * $"cw2" / $"n"), 6).as("surp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum($"surp") / count(lit(1)), 4).as("avg_nll"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS ts
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+      uni AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY 1),
+      tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+      bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+      big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(sum(round(-ln($BigramLambda::DOUBLE * c2 / u1.c1
+          + ${1.0 - BigramLambda}::DOUBLE * u2.c1 / n), 6)) / count(*), 4) AS avg_nll
+      FROM bg
+      JOIN big USING (w1, w2)
+      JOIN uni u1 ON bg.w1 = u1.tok
+      JOIN uni u2 ON bg.w2 = u2.tok
+      CROSS JOIN tot
       GROUP BY doc_id
       ORDER BY doc_id
     """))

@@ -17,7 +17,7 @@ object VectorOps {
 
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
-      int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk)
+      int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk, randProjTopk)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -609,4 +609,76 @@ object VectorOps {
       LIMIT 10
     """
     })
+
+  // ----------------------------------------------------------------------
+  // rand_proj_topk
+  // ----------------------------------------------------------------------
+
+  /** Johnson–Lindenstrauss output dimension (64 → 16: 4× narrower vectors,
+    * 4× cheaper distance evaluation). */
+  val RpOut = 16
+
+  /** Deterministic ±1/√d' sign projection matrix (Achlioptas' database-
+    * friendly JL construction — random signs preserve pairwise distances
+    * within (1±ε) with the same guarantee as Gaussian entries and cost one
+    * multiply-add per cell). Fixed seed; the SAME literals are embedded in
+    * the oracle SQL, so both engines evaluate identical arithmetic. */
+  val RpRows: Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(13)
+    Seq.fill(RpOut)(Seq.fill(64)(if (rng.nextBoolean()) 0.25 else -0.25))
+  }
+
+  /** The query vector [[Q]] projected at plan time (ascending-index fold —
+    * same order as the kernel and the SQL mirror). */
+  private val RpQ: Seq[Double] = RpRows.map(r =>
+    r.indices.foldLeft(0.0)((acc, i) => acc + r(i) * Q(i)))
+  private val RpQNorm: Double = math.sqrt(RpQ.map(x => x * x).sum)
+  private val RpRowsSql =
+    RpRows.map(_.mkString("[", ", ", "]")).mkString("[", ",\n        ", "]")
+  private val RpQSql = "(" + RpQ.mkString("[", ", ", "]") + "::DOUBLE[])"
+
+  /** Random-projection KNN — the DIMENSIONALITY-REDUCTION leg of the
+    * compression family (sign bits → INT8 → PQ → JL): score in the
+    * 16-d projected space instead of the 64-d original. At warehouse
+    * scale the projected vector is a write-time column (like the PQ
+    * codes and INT8 forms); the scan then reads 16 doubles per row
+    * instead of 64 floats and the top-k never touches the originals —
+    * the standard first stage of a reduce-then-rerank retrieval
+    * pipeline. Projection is one native [[graft.functions.MatVecExpr]]
+    * pass (codegen, no shuffle); scoring/ordering are the same
+    * scan → TakeOrderedAndProject shape as `cosine_topk`. NULL on
+    * dimension mismatch, NULLS LAST pinned in the oracle to match
+    * Spark's descending sort. */
+  private val randProjTopk = QueryDef(
+    "rand_proj_topk",
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"label",
+          matVec($"embedding", RpRows).as("y"))
+        .select($"vec_id", $"label",
+          round(cosineToConst($"y", RpQ), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(10)
+    },
+    Some(s"""
+      WITH proj AS (
+        SELECT vec_id, label,
+          CASE WHEN len(embedding) <> 64 THEN NULL
+            ELSE list_transform($RpRowsSql,
+              r -> list_sum(list_transform(range(1, 65), i -> r[i] * embedding[i]::DOUBLE)))
+            END AS y
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, label, y,
+          sqrt(list_sum(list_transform(y, v -> v * v))) AS ny
+        FROM proj)
+      SELECT vec_id, label,
+        round(CASE WHEN ny * $RpQNorm = 0 THEN 0.0
+          ELSE list_sum(list_transform(range(1, ${RpOut + 1}), j -> y[j] * $RpQSql[j])) / (ny * $RpQNorm)
+          END, 6) AS score
+      FROM sc
+      ORDER BY score DESC NULLS LAST, vec_id
+      LIMIT 10
+    """))
 }
