@@ -30,7 +30,7 @@ object CurationOps {
 
   def queries: Seq[QueryDef] =
     Seq(dedupClusters, packSequences, sampleStratified, sampleTopkStratified,
-      decontaminate, repetitionScore)
+      decontaminate, repetitionScore, mixSources, weightedSample)
 
   /** 60-bit positive hash of a salted string key — same md5-prefix trick
     * as the other oracle-parity hashes (`conv(substr(md5(s),1,15),16,10)`
@@ -460,6 +460,126 @@ object CurationOps {
              ELSE round(1.0 - n_distinct::DOUBLE / (n_toks - 2)::DOUBLE, 6)
         END AS repetition
       FROM f
+      ORDER BY doc_id
+    """))
+
+  // ----------------------------------------------------------------------
+  // mix_sources
+  // ----------------------------------------------------------------------
+
+  /** Target output mixture over the source allowlist, in permille
+    * (sources not listed are dropped — a domain allowlist + reweight in
+    * one pass). */
+  val MixTargets: Seq[(String, Long)] = Seq(
+    "src0" -> 500L, "src1" -> 300L, "src2" -> 200L)
+
+  /** Domain-mixture rebalancing: downsample each allowlisted source so
+    * the OUTPUT matches a declared target mixture — the domain-reweighting
+    * pass every pretraining pipeline runs between curation and packing
+    * (a corpus is never mixed the way the crawl happened to arrive).
+    * Downsampling-only: the feasible output total is
+    * `Nout = min_s(n_s·1000 div t_s)` (the binding source keeps
+    * everything); per-source keep counts `k_s = t_s·Nout div 1000` become
+    * hash-bucket rates `r_s = k_s·1000 div n_s`. ALL integer division,
+    * mirrored with `//` in the oracle — no float rounding to diverge on.
+    * Membership is the same salted-hash determinism as
+    * `sample_stratified`, so a doc's verdict never changes across runs or
+    * engines.
+    *
+    * Scale shape: one tiny per-source count aggregate (20 rows here,
+    * thousands at 100 TB), a scalar min, and a broadcast rate join onto
+    * the scan — the corpus itself is touched once, shuffle-free. */
+  private val mixSources = QueryDef(
+    "mix_sources",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.expr
+      val tcol = MixTargets.foldRight(lit(0L): Column) { case ((l, t), acc) =>
+        when($"source" === l, lit(t)).otherwise(acc)
+      }
+      val listed = Tables.documents(s, dir)
+        .filter($"source".isin(MixTargets.map(_._1): _*))
+      val counts = listed.groupBy($"source")
+        .agg(count(lit(1)).as("ns"))
+        .withColumn("ts", tcol)
+      val nout = counts.agg(expr("min(ns * 1000 div ts)").as("nout"))
+      val rates = counts.crossJoin(broadcast(nout))
+        .select($"source", expr("((ts * nout div 1000) * 1000) div ns").as("rate"))
+      listed
+        .join(broadcast(rates), Seq("source"))
+        .select($"doc_id", $"source",
+          (hash60("mix:", $"doc_id") % 1000L).as("bucket"), $"rate")
+        .filter($"bucket" < $"rate")
+        .select($"doc_id", $"source", $"bucket")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val inList = MixTargets.map(t => s"'${t._1}'").mkString(", ")
+      val cases = MixTargets
+        .map { case (l, t) => s"WHEN source = '$l' THEN $t" }.mkString(" ")
+      s"""
+      WITH listed AS (
+        SELECT doc_id, source FROM documents WHERE source IN ($inList)),
+      counts AS (
+        SELECT source, count(*) AS ns, CASE $cases ELSE 0 END AS ts
+        FROM listed GROUP BY source),
+      nout AS (SELECT min(ns * 1000 // ts) AS nout FROM counts),
+      rates AS (
+        SELECT source, ((ts * nout // 1000) * 1000) // ns AS rate
+        FROM counts, nout)
+      SELECT doc_id, source,
+        ${hash60Sql("mix:", "doc_id")} % 1000 AS bucket
+      FROM listed JOIN rates USING (source)
+      WHERE ${hash60Sql("mix:", "doc_id")} % 1000 < rate
+      ORDER BY doc_id
+    """
+    })
+
+  // ----------------------------------------------------------------------
+  // weighted_sample
+  // ----------------------------------------------------------------------
+
+  /** Quality-weighted sampling: keep each document with probability equal
+    * to its [0,1] quality score — the importance-resampling pass (keep
+    * good text with high probability, bad text with low, instead of a
+    * hard threshold) — made deterministic by comparing the score against
+    * a salted hash bucket instead of an RNG draw: `keep ⟺
+    * hash(doc) mod 10⁶ < floor(quality·10⁶)`. The score is already
+    * rounded at 6 dp, so the floor'd micro-bucket threshold is the same
+    * IEEE double on both engines (floor pinned explicitly — Spark's
+    * BIGINT cast truncates where DuckDB's rounds). Scan-parallel:
+    * quality arithmetic + hash + compare on the scan, no shuffle. */
+  private val weightedSample = QueryDef(
+    "weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          graft.functions.TextFunctions.qualityScore($"text").as("quality"))
+        .filter((hash60("wq:", $"doc_id") % 1000000L) <
+          floor($"quality" * 1000000.0))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+          len(text)::DOUBLE AS n_chars,
+          greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> len(t) > 0))::DOUBLE, 1.0) AS n_toks,
+          len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> list_contains([${graft.functions.TextFunctions.Stopwords.map("'" + _ + "'").mkString(", ")}], t)))::DOUBLE AS n_stop,
+          len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+          round(least(n_chars / 500.0, 1.0) * 0.4
+            + least(n_stop / n_toks * 3.0, 1.0) * 0.4
+            + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.2,
+            6) AS quality
+        FROM f)
+      SELECT doc_id, quality
+      FROM q
+      WHERE ${hash60Sql("wq:", "doc_id")} % 1000000 < floor(quality * 1000000.0)
       ORDER BY doc_id
     """))
 }

@@ -17,7 +17,8 @@ object VectorOps {
 
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
-      int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk, randProjTopk)
+      int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk, randProjTopk,
+      rerankTopk)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -678,6 +679,71 @@ object VectorOps {
           ELSE list_sum(list_transform(range(1, ${RpOut + 1}), j -> y[j] * $RpQSql[j])) / (ny * $RpQNorm)
           END, 6) AS score
       FROM sc
+      ORDER BY score DESC NULLS LAST, vec_id
+      LIMIT 10
+    """))
+
+  // ----------------------------------------------------------------------
+  // rerank_topk
+  // ----------------------------------------------------------------------
+
+  /** Shortlist size of the cheap first stage. */
+  val RerankShortlist = 100
+
+  /** Reduce-then-rerank retrieval — the production composition of the
+    * compression legs: stage 1 shortlists [[RerankShortlist]] candidates
+    * by cosine in the 16-d JL-projected space (4× cheaper per row, and at
+    * warehouse scale the projected vectors are the only column the scan
+    * reads); stage 2 re-scores ONLY the shortlist against the full 64-d
+    * vectors and returns the exact-metric top-10. Both stages are
+    * scan → TakeOrderedAndProject; stage 2's input is k rows, so the
+    * expensive metric runs on a constant-size relation regardless of
+    * corpus size. Both scores are surfaced (pscore = projected, score =
+    * exact) so the gate hashes the full two-stage decision, and ties and
+    * NULL dims carry the same pins as `rand_proj_topk`. */
+  private val rerankTopk = QueryDef(
+    "rerank_topk",
+    (s, dir) => {
+      import s.implicits._
+      val shortlist = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding",
+          round(cosineToConst(matVec($"embedding", RpRows), RpQ), 6)
+            .as("pscore"))
+        .orderBy($"pscore".desc, $"vec_id")
+        .limit(RerankShortlist)
+      shortlist
+        .select($"vec_id", $"label",
+          round(cosineToConst($"embedding", Q), 6).as("score"), $"pscore")
+        .orderBy($"score".desc, $"vec_id")
+        .limit(10)
+    },
+    Some(s"""
+      WITH proj AS (
+        SELECT vec_id, label, embedding,
+          CASE WHEN len(embedding) <> 64 THEN NULL
+            ELSE list_transform($RpRowsSql,
+              r -> list_sum(list_transform(range(1, 65), i -> r[i] * embedding[i]::DOUBLE)))
+            END AS y
+        FROM embeddings),
+      ps AS (
+        SELECT vec_id, label, embedding,
+          sqrt(list_sum(list_transform(y, v -> v * v))) AS ny,
+          round(CASE WHEN sqrt(list_sum(list_transform(y, v -> v * v))) * $RpQNorm = 0 THEN 0.0
+            ELSE list_sum(list_transform(range(1, ${RpOut + 1}), j -> y[j] * $RpQSql[j]))
+              / (sqrt(list_sum(list_transform(y, v -> v * v))) * $RpQNorm)
+            END, 6) AS pscore
+        FROM proj),
+      short AS (
+        SELECT vec_id, label, embedding, pscore
+        FROM ps
+        ORDER BY pscore DESC NULLS LAST, vec_id
+        LIMIT $RerankShortlist),
+      ex AS (
+        SELECT vec_id, label, pscore, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+        FROM short)
+      SELECT vec_id, label, ${cosSql("embedding", QSql, QNorm.toString)} AS score, pscore
+      FROM ex
       ORDER BY score DESC NULLS LAST, vec_id
       LIMIT 10
     """))
