@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *           ─ substring dedup (opt-in span rewrite)
   *           ─ decontaminate (vs a held-out eval set)
   *           ─ quality + repetition filters ─ Gopher rules (opt-in)
-  *           ─ LM surprisal gate (opt-in) ─ PII scrub
-  *           ─ stratified sample ─ sequence packing
+  *           ─ LM surprisal gate (opt-in)
+  *           ─ quality-weighted sample (opt-in) ─ PII scrub
+  *           ─ stratified sample ─ domain-mixture rebalance (opt-in)
+  *           ─ chunk to context windows (opt-in) ─ sequence packing
   * }}}
   *
   * Every stage is deterministic (hash-derived, no RNG), so two runs over
@@ -25,9 +27,9 @@ import org.apache.spark.sql.functions._
   *
   * Each stage's math is the corresponding oracle-checked gate query
   * (`dedup_exact`, `dedup_clusters`, `decontaminate`, `quality_score`,
-  * `repetition_score`, `gopher_quality`, `lm_score`, `pii_scrub`,
-  * `sample_stratified`, `pack_sequences`) — this object only composes
-  * them.
+  * `repetition_score`, `gopher_quality`, `lm_score`, `weighted_sample`,
+  * `pii_scrub`, `sample_stratified`, `mix_sources`, `chunk_docs`,
+  * `pack_sequences`) — this object only composes them.
   */
 object Curation {
 
@@ -45,9 +47,12 @@ object Curation {
       maxRepetition: Double = 0.5,
       gopherRules: Boolean = false,
       maxSurprisal: Option[Double] = None,
+      qualityWeighted: Boolean = false,
       scrubPii: Boolean = true,
       sampleRates: Option[Seq[(String, Long)]] = Some(CurationOps.StratRates),
       sampleDefaultRate: Long = 1000L,
+      mixTargets: Option[Seq[(String, Long)]] = None,
+      chunkToContext: Boolean = false,
       packBudget: Long = CurationOps.PackBudget,
       packShards: Long = CurationOps.PackShards)
 
@@ -113,12 +118,20 @@ object Curation {
     // 4b. optional corpus-statistical gate: unigram LM surprisal (one
     // extra vocabulary aggregate + token-keyed join over the survivors —
     // the model is fit on the gated corpus itself, CCNet-style)
-    val filtered = cfg.maxSurprisal.fold(gated) { maxNll =>
+    val surpFiltered = cfg.maxSurprisal.fold(gated) { maxNll =>
       val ok = graft.queries.TextOps
         .lmScores(gated.select($"doc_id", $"text"))
         .filter($"avg_nll" <= maxNll).select($"doc_id")
       gated.join(ok, Seq("doc_id"), "left_semi")
     }
+
+    // 4c. optional quality-weighted importance sampling: P(keep) = the
+    // quality score, hash-decided (`weighted_sample` semantics) — the
+    // soft counterpart of the hard minQuality gate above
+    val filtered =
+      if (!cfg.qualityWeighted) surpFiltered
+      else surpFiltered.filter(
+        CurationOps.qualityWeightedKeep($"doc_id", $"text"))
 
     // 5. PII masking (per-row regex, after the filters so quality scores
     // judged the original text; placeholders count as tokens downstream)
@@ -135,9 +148,27 @@ object Curation {
       scrubbed.filter(CurationOps.stratSampleKeep($"doc_id", $"lang", r,
         cfg.sampleDefaultRate)))
 
+    // 6b. optional domain-mixture rebalance to a target source mix
+    // (`mix_sources` semantics: allowlist + downsample-only reweight);
+    // requires a `source` column
+    val mixed = cfg.mixTargets.fold(sampled)(t =>
+      CurationOps.mixSourceFilter(sampled, t))
+
+    // 6c. optional chunk-to-context rewrite (`chunk_docs` semantics):
+    // each surviving document becomes its overlapping context-window
+    // chunks; chunk rows get a namespaced id so packing sees unique keys
+    val prepacked =
+      if (!cfg.chunkToContext) mixed.select($"doc_id", $"lang", $"text")
+      else graft.queries.CorpusOps
+        .chunkRows(mixed.select($"doc_id", $"lang", $"text"), carry = Seq("lang"))
+        .select(
+          ($"doc_id" * graft.queries.CorpusOps.ChunkIdBase + $"chunk_id")
+            .as("doc_id"),
+          $"lang", array_join($"chunk", " ").as("text"))
+
     // 7. sequence packing
-    CurationOps.packColumns(sampled.select($"doc_id", $"lang", $"text"),
-        budget = cfg.packBudget, shards = cfg.packShards)
+    CurationOps.packColumns(prepacked, budget = cfg.packBudget,
+        shards = cfg.packShards)
       .select($"doc_id", $"lang", $"text", $"shard", $"n_tok", $"pack_id")
   }
 }

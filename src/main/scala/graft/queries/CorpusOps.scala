@@ -286,18 +286,36 @@ object CorpusOps {
     * one tokenize, a `sequence` of starts exploded per document, and a
     * `slice` per start — zero shuffles at any corpus size; output order
     * is the only sort and belongs to the gate, not the operator. */
+  /** Chunk-id namespace width when chunk rows replace documents
+    * downstream (new id = doc_id·2²⁰ + chunk_id): 2²⁰ chunks/doc ≈ 25M
+    * tokens per document before collision at the default stride. */
+  val ChunkIdBase: Long = 1L << 20
+
+  /** The `chunk_docs` transform as reusable rows: (doc_id, carry...,
+    * chunk_id, chunk_start, chunk[array]) — one tokenize, a sequence of
+    * starts exploded per document, a slice per start; zero shuffles.
+    * Shared by the gate query and [[graft.api.Curation]]'s
+    * chunk-to-context stage. */
+  def chunkRows(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val keep = col("doc_id") +: carry.map(col)
+    docs
+      .select(keep :+ columnOf(WordTokens(exprOf(docs("text")))).as("ts"): _*)
+      .filter(size($"ts") > 0)
+      .select(keep :+ $"ts" :+
+        explode(sequence(lit(1), size($"ts"), lit(ChunkS))).as("start"): _*)
+      .select(keep ++ Seq(
+        ((($"start" - 1) / ChunkS) + 1).cast("long").as("chunk_id"),
+        $"start".cast("long").as("chunk_start"),
+        slice($"ts", $"start", lit(ChunkC)).as("chunk")): _*)
+  }
+
   private val chunkDocs = QueryDef(
     "chunk_docs",
     (s, dir) => {
       import s.implicits._
-      tokenized(Tables.documents(s, dir))
-        .filter(size($"ts") > 0)
-        .select($"doc_id", $"ts",
-          explode(sequence(lit(1), size($"ts"), lit(ChunkS))).as("start"))
-        .select($"doc_id",
-          ((($"start" - 1) / ChunkS) + 1).cast("long").as("chunk_id"),
-          $"start".cast("long").as("chunk_start"),
-          slice($"ts", $"start", lit(ChunkC)).as("chunk"))
+      chunkRows(Tables.documents(s, dir))
         .select($"doc_id", $"chunk_id", $"chunk_start",
           size($"chunk").cast("long").as("n_chunk_tok"),
           array_join($"chunk", " ").as("chunk_text"))

@@ -489,28 +489,38 @@ object CurationOps {
     * Scale shape: one tiny per-source count aggregate (20 rows here,
     * thousands at 100 TB), a scalar min, and a broadcast rate join onto
     * the scan — the corpus itself is touched once, shuffle-free. */
+  /** The `mix_sources` stage as a reusable filter: `docs` (any schema
+    * with doc_id + `source`) restricted to the allowlisted sources and
+    * downsampled to the target mixture, all columns preserved. One lazy
+    * DAG — the per-source counts, the min-capacity scalar, and the rate
+    * join are subtrees of the returned plan. */
+  def mixSourceFilter(docs: DataFrame,
+      targets: Seq[(String, Long)] = MixTargets): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.expr
+    val tcol = targets.foldRight(lit(0L): Column) { case ((l, t), acc) =>
+      when($"source" === l, lit(t)).otherwise(acc)
+    }
+    val listed = docs.filter($"source".isin(targets.map(_._1): _*))
+    val counts = listed.groupBy($"source")
+      .agg(count(lit(1)).as("ns"))
+      .withColumn("ts", tcol)
+    val nout = counts.agg(expr("min(ns * 1000 div ts)").as("nout"))
+    val rates = counts.crossJoin(broadcast(nout))
+      .select($"source", expr("((ts * nout div 1000) * 1000) div ns").as("rate"))
+    listed
+      .join(broadcast(rates), Seq("source"))
+      .filter((hash60("mix:", $"doc_id") % 1000L) < $"rate")
+      .drop("rate")
+  }
+
   private val mixSources = QueryDef(
     "mix_sources",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.functions.expr
-      val tcol = MixTargets.foldRight(lit(0L): Column) { case ((l, t), acc) =>
-        when($"source" === l, lit(t)).otherwise(acc)
-      }
-      val listed = Tables.documents(s, dir)
-        .filter($"source".isin(MixTargets.map(_._1): _*))
-      val counts = listed.groupBy($"source")
-        .agg(count(lit(1)).as("ns"))
-        .withColumn("ts", tcol)
-      val nout = counts.agg(expr("min(ns * 1000 div ts)").as("nout"))
-      val rates = counts.crossJoin(broadcast(nout))
-        .select($"source", expr("((ts * nout div 1000) * 1000) div ns").as("rate"))
-      listed
-        .join(broadcast(rates), Seq("source"))
+      mixSourceFilter(Tables.documents(s, dir))
         .select($"doc_id", $"source",
-          (hash60("mix:", $"doc_id") % 1000L).as("bucket"), $"rate")
-        .filter($"bucket" < $"rate")
-        .select($"doc_id", $"source", $"bucket")
+          (hash60("mix:", $"doc_id") % 1000L).as("bucket"))
         .orderBy($"doc_id")
     },
     Some {
@@ -549,15 +559,21 @@ object CurationOps {
     * IEEE double on both engines (floor pinned explicitly — Spark's
     * BIGINT cast truncates where DuckDB's rounds). Scan-parallel:
     * quality arithmetic + hash + compare on the scan, no shuffle. */
+  /** The `weighted_sample` membership predicate (P(keep) = the [0,1]
+    * quality score, decided by salted-hash micro-bucket) — reusable by
+    * [[graft.api.Curation]]'s quality-weighted stage. */
+  def qualityWeightedKeep(docId: Column, text: Column): Column =
+    (hash60("wq:", docId) % 1000000L) <
+      floor(graft.functions.TextFunctions.qualityScore(text) * 1000000.0)
+
   private val weightedSample = QueryDef(
     "weighted_sample",
     (s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
+        .filter(qualityWeightedKeep($"doc_id", $"text"))
         .select($"doc_id",
           graft.functions.TextFunctions.qualityScore($"text").as("quality"))
-        .filter((hash60("wq:", $"doc_id") % 1000000L) <
-          floor($"quality" * 1000000.0))
         .orderBy($"doc_id")
     },
     Some(s"""

@@ -211,4 +211,63 @@ class CurationPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(run().sameElements(run()), "two runs must be byte-identical")
   }
+
+  test("mix, weighted-sample, and chunk stages match their standalone operators") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+    val minimal = Curation.Config(dedupNear = false, scrubPii = false,
+      sampleRates = None)
+    // the stage input under this config is the exact-dedup survivor set
+    val keepers = docs
+      .groupBy(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val base = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .filter(graft.functions.TextFunctions.qualityScore($"text") >= 0.3)
+      .filter(CurationOps.repetitionCol($"text") <= 0.5)
+
+    // 6b: mixture stage == mixSourceFilter on the same survivor set
+    val gotMix = Curation.curate(docs,
+        cfg = minimal.copy(mixTargets = Some(CurationOps.MixTargets)))
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val wantMix = CurationOps.mixSourceFilter(base, CurationOps.MixTargets)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(gotMix.sameElements(wantMix),
+      s"mix stage: ${gotMix.length} vs ${wantMix.length}")
+
+    // 4c: weighted stage == qualityWeightedKeep on the same survivor set
+    val gotW = Curation.curate(docs, cfg = minimal.copy(qualityWeighted = true))
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val wantW = base
+      .filter(CurationOps.qualityWeightedKeep($"doc_id", $"text"))
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(gotW.sameElements(wantW),
+      s"weighted stage: ${gotW.length} vs ${wantW.length}")
+
+    // 6c: chunk stage rows are exactly the chunk_docs windows of the
+    // survivors, under namespaced ids, and every chunk fits the budget
+    val out = Curation.curate(docs, cfg = minimal.copy(chunkToContext = true))
+      .select($"doc_id", $"text", $"n_tok").collect()
+    val baseText = base.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = baseText.flatMap { case (id, text) =>
+      val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      Iterator.from(0)
+        .map(k => 1 + k * graft.queries.CorpusOps.ChunkS)
+        .takeWhile(_ <= ts.length)
+        .zipWithIndex
+        .map { case (start, k) =>
+          (id * graft.queries.CorpusOps.ChunkIdBase + k + 1) ->
+            ts.slice(start - 1, start - 1 + graft.queries.CorpusOps.ChunkC)
+              .mkString(" ")
+        }
+    }
+    assert(out.length == expected.size,
+      s"${out.length} chunks vs ${expected.size}")
+    out.foreach { r =>
+      assert(r.getString(1) == expected(r.getLong(0)),
+        s"chunk ${r.getLong(0)} text mismatch")
+      assert(r.getLong(2) <= graft.queries.CorpusOps.ChunkC.toLong)
+    }
+  }
 }
