@@ -268,4 +268,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "corpus total must broadcast, never a product over rows")
   }
+
+  test("chunk_docs and weighted_sample are shuffle-free scan work") {
+    Seq("chunk_docs", "weighted_sample").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name is per-row column work — no shuffle is justified:\n${p.take(1200)}")
+    }
+  }
+
+  test("rand_proj_topk and rerank_topk rank via TakeOrderedAndProject") {
+    Seq("rand_proj_topk", "rerank_topk").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"), s"$name:\n${p.take(800)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle the corpus:\n${p.take(1200)}")
+    }
+  }
+
+  test("mix_sources broadcasts the rate table onto the scan") {
+    val q = Registry.all.find(_.name == "mix_sources").get
+    val df = q.fn(spark, dir)
+    df.collect() // let AQE finalize join strategies from real sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus scan:\n${p.take(1200)}")
+    // the corpus side must never shuffle into the join — the only hash
+    // exchange is the tiny per-source count aggregate inside the rate
+    // subtree (AQE prints initial+final plans, so count-based asserts
+    // double; assert the join strategies instead)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle into the rate join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("percentile_stats windows stay per-(flag,bucket), never per-flag only") {
+    val p = plan("percentile_stats")
+    // phase-2 within-bucket ranking partitions by (returnflag, bucket) —
+    // a per-flag-only window would serialize each group on one task
+    assert("hashpartitioning\\(l_returnflag[^,)]*, bucket".r
+        .findFirstIn(p).isDefined,
+      s"expected a (flag,bucket) partitioning:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the located-bucket relation must broadcast")
+  }
+
+  test("bigram_surprisal joins stay keyed, no product") {
+    val q = Registry.all.find(_.name == "bigram_surprisal").get
+    val df = q.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[w1".r
+        .findFirstIn(p).isDefined,
+      s"expected an equi-join keyed on w1:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "corpus total must broadcast, never a product over rows")
+  }
 }
