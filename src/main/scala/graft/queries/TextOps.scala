@@ -19,7 +19,7 @@ object TextOps {
   def queries: Seq[QueryDef] = Seq(
     dedupExact, rollingFp, tokenCount, qualityScoreQ, langId, jaccardPairs,
     jaccardCapped, minhashSig, lshPairs, bm25Score, piiScrub, keywordsTfidf,
-    lmScore, bigramSurprisal)
+    lmScore, bigramSurprisal, dedupIncremental)
 
   /** PII patterns shared verbatim by Spark (Java regex) and the oracle
     * (RE2) — kept inside the common syntax subset of both engines. */
@@ -227,6 +227,7 @@ object TextOps {
       GROUP BY doc_id
       ORDER BY doc_id
     """))
+
 
   /** Document fingerprinting, rolling-hash form (training-pipeline op):
     * order-sensitive polynomial hash over word tokens — the incremental/
@@ -747,4 +748,93 @@ object TextOps {
     """
     })
 
+  // ----------------------------------------------------------------------
+  // dedup_incremental
+  // ----------------------------------------------------------------------
+
+  /** Modulus splitting the fixture into "existing corpus" (doc_id % 5 ≠ 0)
+    * and "incoming shard" (doc_id % 5 = 0) — a stand-in for the real
+    * boundary between an indexed corpus and a new crawl delivery. */
+  val IncrMod = 5L
+
+  /** Incremental dedup: flag each INCOMING document against the EXISTING
+    * corpus — exact (content fingerprint seen before) and near (shares
+    * any MinHash band bucket with an existing doc) — without ever
+    * re-pairing the corpus against itself. This is how dedup actually
+    * runs at 100 TB: the corpus's fingerprint and band tables are
+    * materialized once at write time (here derived in-query from the
+    * split), and each new shard only probes them; the corpus-vs-corpus
+    * work of `dedup_exact`/`lsh_pairs` is never repeated.
+    *
+    * Plan shape: two key-hash semi-probes (fingerprint key, band-bucket
+    * key) of shard-sized relations against corpus-sized build sides —
+    * both equi-joins, no pair formation at all; the flags come back via
+    * left joins on marker relations so every incoming doc reports a row
+    * (a kept doc is evidence too). Oracle mirrors the split and both
+    * probes with plain IN-subqueries. */
+  private val dedupIncremental = QueryDef(
+    "dedup_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val inc = docs.filter($"doc_id" % IncrMod === 0L)
+      val ex = docs.filter($"doc_id" % IncrMod =!= 0L)
+      // exact probe: incoming fingerprints seen in the existing corpus
+      val exFp = ex.select(fingerprint($"text").as("fp")).distinct()
+      val dupExact = inc.select($"doc_id", fingerprint($"text").as("fp"))
+        .join(exFp, Seq("fp"), "left_semi")
+        .select($"doc_id").withColumn("de", lit(true))
+      // near probe: incoming band buckets seen in the existing corpus
+      def bands(df: org.apache.spark.sql.DataFrame) = df
+        .select(df("doc_id"), minhashArr(baseHashes(df("text"))).as("mh"))
+        .select($"doc_id", posexplode(array(
+          (0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*))
+          .as(Seq("band_idx", "band_hash")))
+      val exBands = bands(ex).select($"band_idx", $"band_hash").distinct()
+      val dupNear = bands(inc)
+        .join(exBands, Seq("band_idx", "band_hash"), "left_semi")
+        .select($"doc_id").distinct().withColumn("dn", lit(true))
+      inc.select($"doc_id")
+        .join(dupExact, Seq("doc_id"), "left")
+        .join(dupNear, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"de", lit(false)).as("dup_exact"),
+          coalesce($"dn", lit(false)).as("dup_near"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val bandExprs = (0 until MinhashK / BandSize)
+        .map(b => s"${bandSql(b)}").mkString(", ")
+      s"""
+      WITH inc AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % $IncrMod = 0),
+      ex AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % $IncrMod <> 0),
+      exfp AS (
+        SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM ex),
+      incb AS (
+        SELECT doc_id, unnest(generate_series(0, ${MinhashK / BandSize - 1})) AS band_idx,
+          unnest([$bandExprs]) AS band_hash
+        FROM (SELECT doc_id, $baseHashesSql AS hs
+              FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+                    FROM inc))),
+      exb AS (
+        SELECT DISTINCT band_idx, band_hash
+        FROM (
+          SELECT doc_id, unnest(generate_series(0, ${MinhashK / BandSize - 1})) AS band_idx,
+            unnest([$bandExprs]) AS band_hash
+          FROM (SELECT doc_id, $baseHashesSql AS hs
+                FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+                      FROM ex)))),
+      dn AS (
+        SELECT DISTINCT i.doc_id
+        FROM incb i JOIN exb e USING (band_idx, band_hash))
+      SELECT i.doc_id,
+        md5(regexp_replace(lower(i.text), '[^a-z0-9]', '', 'g')) IN (SELECT fp FROM exfp) AS dup_exact,
+        i.doc_id IN (SELECT doc_id FROM dn) AS dup_near
+      FROM inc i
+      ORDER BY i.doc_id
+    """
+    })
 }
