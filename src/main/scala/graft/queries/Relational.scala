@@ -21,7 +21,7 @@ object Relational {
     * order cannot flip the hash compare. */
   def queries: Seq[QueryDef] =
     Seq(q1Agg, q3Topk, q5Join, q7Flow, rollupPricing, percentileStats,
-      aboveAvgOrders)
+      aboveAvgOrders, smallQtyRevenue)
 
   /** Exact, order-independent money accumulation WITHOUT decimal boxing:
     * each per-row amount becomes integer MICROS and the sum runs over
@@ -280,6 +280,51 @@ object Relational {
       WHERE margin > 0
       ORDER BY margin DESC, o_orderkey
       LIMIT 50
+    """))
+
+
+  /** Q17-shape: revenue carried by SMALL orders — lineitems whose
+    * quantity is below 20% of their part's average — rolled up per brand
+    * (the "would dropping small orders matter" analysis). The correlated
+    * per-part average becomes one grouped aggregate (1 row per part,
+    * map-side combined) joined back on the part key; the brand dim joins
+    * AFTER the filter so only surviving rows pay it, and nothing is
+    * force-broadcast (part is SF-proportional — AQE decides). The 20%
+    * threshold never touches floats: `qty < 0.2·(sum/cnt)` is evaluated
+    * as `5·qty·cnt < sum` over exact integers (quantities are
+    * integral-valued), so no engine's division order can flip a boundary
+    * row. Money rides the exact integer-micros accumulation. */
+  private val smallQtyRevenue = QueryDef(
+    "small_qty_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val qtyL = $"l_quantity".cast("long")
+      val stats = Tables.lineitem(s, dir)
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("cnt_p"), sum(qtyL).as("sumq_p"))
+      Tables.lineitem(s, dir)
+        .join(stats, Seq("l_partkey"))
+        .filter(lit(5L) * qtyL * $"cnt_p" < $"sumq_p")
+        .join(Tables.part(s, dir).select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          cents(microsSum($"l_extendedprice")).as("small_revenue"))
+        .orderBy($"p_brand")
+    },
+    Some("""
+      WITH stats AS (
+        SELECT l_partkey, count(*) AS cnt_p,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumq_p
+        FROM lineitem GROUP BY 1)
+      SELECT p_brand, count(*) AS n_small,
+        floor(CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) + 5000 AS DOUBLE) / 10000.0) / 100.0 AS small_revenue
+      FROM lineitem l
+      JOIN stats s USING (l_partkey)
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE 5 * CAST(l_quantity AS BIGINT) * cnt_p < sumq_p
+      GROUP BY 1
+      ORDER BY 1
     """))
 
   /** Grouping-sets coverage: the q1 pricing aggregate at every ROLLUP

@@ -119,4 +119,30 @@ class WindowRollupSpec extends SparkSpec {
         s"event $id: ${got(id)} != $v")
     }
   }
+
+  test("small_qty_revenue matches a per-part threshold walk") {
+    val rows = Tables.lineitem(spark, SfDir)
+      .selectExpr("l_partkey", "CAST(l_quantity AS BIGINT) AS qty",
+        "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brand = Tables.part(spark, SfDir)
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stats = rows.groupBy(_._1).map { case (pk, ls) =>
+      pk -> ((ls.length.toLong, ls.map(_._2).sum))
+    }
+    val small = rows.filter { case (pk, qty, _) =>
+      val (cnt, sumq) = stats(pk); 5L * qty * cnt < sumq
+    }
+    val expected = small.groupBy(t => brand(t._1)).map { case (b, ls) =>
+      val micros = ls.map(t => math.floor(t._3 * 1000000.0 + 0.5).toLong).sum
+      b -> ((ls.length.toLong, money2(micros)))
+    }
+    val got = query("small_qty_revenue").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == expected.size, s"${got.size} brands vs ${expected.size}")
+    expected.foreach { case (b, v) =>
+      assert(got(b) == v, s"brand $b: ${got(b)} != $v")
+    }
+  }
 }
