@@ -18,7 +18,7 @@ object VectorOps {
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
       int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk, randProjTopk,
-      rerankTopk)
+      rerankTopk, mmrTopk)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -747,4 +747,108 @@ object VectorOps {
       ORDER BY score DESC NULLS LAST, vec_id
       LIMIT 10
     """))
+
+  // ----------------------------------------------------------------------
+  // mmr_topk
+  // ----------------------------------------------------------------------
+
+  /** Relevance weight in the MMR objective; 1−λ weights redundancy. */
+  val MmrLambda = 0.7
+  val MmrShortlist = 50
+  val MmrK = 10
+
+  /** Maximal-marginal-relevance diversified top-k: stage 1 shortlists
+    * [[MmrShortlist]] candidates by exact cosine (scan →
+    * TakeOrderedAndProject, the distributed part); stage 2 greedily picks
+    * [[MmrK]] of them maximizing `λ·rel(d) − (1−λ)·max_{s∈selected}
+    * cos(d,s)` — retrieval that doesn't return ten copies of the same
+    * near-duplicate. The greedy step is inherently sequential over a
+    * k-bounded relation, so it runs as ONE single-partition
+    * `mapPartitions` over the ≤50 shortlisted rows (the same
+    * constant-size driver-side merge budget TakeOrdered itself has —
+    * never the corpus). Relevance and pairwise cosines are rounded at
+    * 6 dp BEFORE the argmax so a last-ulp fold difference cannot flip a
+    * selection; exact ties break to the smaller vec_id. Greedy selection
+    * is not expressible in portable SQL — the oracle is a committed
+    * golden parquet (GoldenGen), drift-guarded by GoldenOracleSpec and
+    * independently recomputed in MixRerankSpec. */
+  private val mmrTopk = QueryDef(
+    "mmr_topk",
+    (s, dir) => {
+      import s.implicits._
+      val shortlist = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding",
+          round(cosineToConst($"embedding", Q), 6).as("rel"))
+        .orderBy($"rel".desc, $"vec_id")
+        .limit(MmrShortlist)
+        .as[(Long, Int, Seq[Float], Double)]
+      shortlist
+        .coalesce(1)
+        .mapPartitions { it =>
+          val cands = it.toArray
+          MmrSelect.greedy(cands, MmrLambda, MmrK).iterator
+        }
+        .toDF("vec_id", "label", "rel", "mmr_rank")
+        .orderBy($"mmr_rank")
+    },
+    Some(Golden.sql("mmr_topk")))
+}
+
+/** The sequential MMR greedy step, factored for the independent spec
+  * recompute (same code path is NOT used by the spec — it reimplements
+  * the walk — but the gate query and any library caller share this). */
+object MmrSelect {
+  /** cands: (vec_id, label, embedding, rel 6dp-rounded). Returns
+    * (vec_id, label, rel, mmr_rank) in selection order. */
+  def greedy(cands: Array[(Long, Int, Seq[Float], Double)], lambda: Double,
+      k: Int): Seq[(Long, Int, Double, Int)] = {
+    def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val r = if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // true max-to-selected (NOT clamped at zero: a negative similarity is
+    // a diversity BONUS); -Inf until the first selection writes it, and
+    // the score branch only reads it from rank 2 on
+    val maxSim = Array.fill(cands.length)(Double.NegativeInfinity)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Int)]
+    var rank = 1
+    while (rank <= math.min(k, cands.length)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        if (!selected.contains(i)) {
+          val score =
+            if (rank == 1) cands(i)._4
+            else lambda * cands(i)._4 - (1.0 - lambda) * maxSim(i)
+          if (score > bestScore ||
+              (score == bestScore && best >= 0 && cands(i)._1 < cands(best)._1)) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      selected += best
+      out += ((cands(best)._1, cands(best)._2, cands(best)._4, rank))
+      var j = 0
+      while (j < cands.length) {
+        if (!selected.contains(j)) {
+          val sim = cos6(cands(j)._3, cands(best)._3)
+          if (sim > maxSim(j)) maxSim(j) = sim
+        }
+        j += 1
+      }
+      rank += 1
+    }
+    out.toSeq
+  }
 }

@@ -107,6 +107,51 @@ class MixRerankSpec extends SparkSpec {
     }
   }
 
+
+  test("mmr_topk matches an independent greedy walk and diversifies") {
+    val vecs = Tables.embeddings(spark, SfDir)
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until n).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else round6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val q = VectorOps.Q.toArray
+    val shortlist = vecs.map { case (id, lab, v) => (id, lab, v, cos6(v, q)) }
+      .sortBy { case (id, _, _, rel) => (-rel, id) }
+      .take(VectorOps.MmrShortlist)
+    // greedy walk, written independently of MmrSelect
+    var selected = Vector.empty[(Long, Int, Double, Int)]
+    var selVecs = Vector.empty[Array[Double]]
+    var remaining = shortlist.toVector
+    (1 to VectorOps.MmrK).foreach { rank =>
+      val scored = remaining.map { case c @ (id, _, v, rel) =>
+        val red = if (selVecs.isEmpty) 0.0 else selVecs.map(s => cos6(v, s)).max
+        val score = if (rank == 1) rel
+          else VectorOps.MmrLambda * rel - (1.0 - VectorOps.MmrLambda) * red
+        (c, score)
+      }
+      val best = scored.minBy { case ((id, _, _, _), s) => (-s, id) }
+      selected :+= ((best._1._1, best._1._2, best._1._4, rank))
+      selVecs :+= best._1._3
+      remaining = remaining.filterNot(_._1 == best._1._1)
+    }
+    val got = SparkEntryQueries("mmr_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == selected.length)
+    got.zip(selected).foreach { case (g, e) =>
+      assert(g == e, s"mmr selection: $g != $e")
+    }
+    // diversification is real: MMR's tail differs from pure relevance
+    val pureTop = shortlist.take(VectorOps.MmrK).map(_._1).toSeq
+    assert(got.map(_._1).toSeq != pureTop,
+      "MMR must reorder vs pure relevance on this fixture")
+  }
+
   private def SparkEntryQueries(name: String) =
     Registry.all.find(_.name == name).get.fn(spark, SfDir)
 }
