@@ -475,6 +475,21 @@ object TextOps {
     graft.GraftFunctions.columnOf(graft.functions.AffineMinhash(
       graft.GraftFunctions.exprOf(hs), permA, permB, P))
 
+  /** All LSH band keys of a document as one array column — the public
+    * form of the banding behind `lsh_pairs`/`dedup_incremental`, for
+    * callers outside this package (the streaming corpus probe). */
+  def minhashBands(text: Column): Column = {
+    val mh = minhashArr(baseHashes(text))
+    array((0 until MinhashK / BandSize).map(b => bandCol(mh, b)): _*)
+  }
+
+  /** (doc_id, band_idx, band_hash) band relation of `docs`. */
+  def bandRelation(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(docs("doc_id"),
+      posexplode(minhashBands(docs("text"))).as(Seq("band_idx", "band_hash")))
+  }
+
   private[queries] def bandCol(mh: Column, b: Int): Column =
     concat_ws("|", (b * BandSize until (b + 1) * BandSize)
       .map(j => element_at(mh, j + 1)): _*)
@@ -785,13 +800,8 @@ object TextOps {
         .join(exFp, Seq("fp"), "left_semi")
         .select($"doc_id").withColumn("de", lit(true))
       // near probe: incoming band buckets seen in the existing corpus
-      def bands(df: org.apache.spark.sql.DataFrame) = df
-        .select(df("doc_id"), minhashArr(baseHashes(df("text"))).as("mh"))
-        .select($"doc_id", posexplode(array(
-          (0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*))
-          .as(Seq("band_idx", "band_hash")))
-      val exBands = bands(ex).select($"band_idx", $"band_hash").distinct()
-      val dupNear = bands(inc)
+      val exBands = bandRelation(ex).select($"band_idx", $"band_hash").distinct()
+      val dupNear = bandRelation(inc)
         .join(exBands, Seq("band_idx", "band_hash"), "left_semi")
         .select($"doc_id").distinct().withColumn("dn", lit(true))
       inc.select($"doc_id")

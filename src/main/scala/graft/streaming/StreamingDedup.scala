@@ -30,4 +30,49 @@ object StreamingDedup {
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming incremental dedup — the streaming form of the batch
+    * `dedup_incremental` operator: each micro-batch of incoming documents
+    * probes the EXISTING corpus's fingerprint and MinHash-band tables
+    * (static side; at warehouse scale these are the materialized
+    * signature tables, re-read per batch so slowly-growing corpora are
+    * picked up) and every incoming doc emits one verdict row
+    * `(doc_id, ts, dup_exact, dup_near)`.
+    *
+    * Single-pass stream shape: joining two DERIVATIVES of one stream
+    * would be a stream–stream join (state, watermarks, delayed output),
+    * so the near probe never re-keys the stream — each of the
+    * [[graft.queries.TextOps.MinhashK]]/[[graft.queries.TextOps.BandSize]]
+    * band keys gets its own stream–static LEFT join against that band's
+    * distinct static hash set (≤1 match per join, so no row
+    * multiplication), and the flags OR together per row. Every join is
+    * stateless (static side rebuilt per batch); the stream is scanned
+    * once, keeps no state, and emits in append mode at any stream age. */
+  def incrementalFlags(
+      stream: DataFrame,
+      corpus: DataFrame,
+      tsCol: String = "ts"): DataFrame = {
+    import graft.queries.TextOps
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nBands = TextOps.MinhashK / TextOps.BandSize
+    val exFp = corpus
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .distinct()
+    val exBands = TextOps.bandRelation(corpus)
+      .select($"band_idx", $"band_hash").distinct()
+    var cur = stream
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withColumn("bands", TextOps.minhashBands(col("text")))
+      .join(exFp.withColumn("de", lit(true)), Seq("fp"), "left")
+    (0 until nBands).foreach { b =>
+      val exB = exBands.filter($"band_idx" === b)
+        .select($"band_hash".as(s"bh_$b"), lit(true).as(s"dn_$b"))
+      cur = cur.join(exB, element_at($"bands", b + 1) === col(s"bh_$b"), "left")
+    }
+    val dn = (0 until nBands)
+      .map(b => coalesce(col(s"dn_$b"), lit(false))).reduce(_ || _)
+    cur.select(col("doc_id"), col(tsCol),
+      coalesce($"de", lit(false)).as("dup_exact"), dn.as("dup_near"))
+  }
 }

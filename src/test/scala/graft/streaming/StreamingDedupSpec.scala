@@ -73,4 +73,45 @@ class StreamingDedupSpec extends SparkSpec {
         s"horizon-expired content must re-admit, got ${ids.toSeq}")
     } finally q.stop()
   }
+
+  test("incrementalFlags matches the batch dedup_incremental on a stream replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val SfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, SfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = graft.Tables.documents(spark, SfDir)
+      .filter(col("doc_id") % graft.queries.TextOps.IncrMod =!= 0L)
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(_._1 % graft.queries.TextOps.IncrMod == 0)
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingDedup.incrementalFlags(stream, corpus)
+      .writeStream.format("memory").queryName("incr_flags")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = 1700000000L
+      // replay the incoming shard in three micro-batches
+      incoming.grouped(math.max(incoming.length / 3, 1)).zipWithIndex
+        .foreach { case (batch, i) =>
+          input.addData(batch.map { case (id, text) =>
+            (id, ts(base + i * 60), text)
+          }.toSeq: _*)
+          q.processAllAvailable()
+        }
+      val got = spark.sql("SELECT doc_id, dup_exact, dup_near FROM incr_flags")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+      val want = graft.queries.Registry.all
+        .find(_.name == "dedup_incremental").get.fn(spark, SfDir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+      assert(got.size == want.size, s"${got.size} vs ${want.size} verdicts")
+      want.foreach { case (id, v) =>
+        assert(got(id) == v, s"doc $id: stream ${got(id)} != batch $v")
+      }
+    } finally q.stop()
+  }
 }
