@@ -483,11 +483,17 @@ object TextOps {
     array((0 until MinhashK / BandSize).map(b => bandCol(mh, b)): _*)
   }
 
-  /** (doc_id, band_idx, band_hash) band relation of `docs`. */
+  /** (doc_id, band_idx, band_hash) band relation of `docs`. The minhash
+    * array is PROJECTED before the explode: a generator expression gets
+    * no subexpression elimination, so inlining `mh` into each band would
+    * recompute the full shingle+minhash kernel once per band per row
+    * (measured 3× the whole query's cost). */
   def bandRelation(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(docs("doc_id"),
-      posexplode(minhashBands(docs("text"))).as(Seq("band_idx", "band_hash")))
+    docs.select(docs("doc_id"), minhashArr(baseHashes(docs("text"))).as("mh"))
+      .select($"doc_id", posexplode(array(
+        (0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*))
+        .as(Seq("band_idx", "band_hash")))
   }
 
   private[queries] def bandCol(mh: Column, b: Int): Column =
