@@ -121,6 +121,14 @@ object CurationOps {
       .select($"id", least($"lbl", $"llbl").as("lbl"))
     val sumCol = sum($"lbl".cast("decimal(38,0)")).as("label_sum")
     var lastSum = labels.agg(sumCol).head().getDecimal(0)
+    // zero LSH candidate pairs (a clean shard): the edge relation is empty,
+    // the label sum aggregates to NULL, and there is nothing to iterate —
+    // every document is its own cluster
+    if (lastSum == null) {
+      edges.unpersist()
+      labels.unpersist()
+      return docs.select($"doc_id", $"doc_id".as("cluster_id"))
+    }
     var converged = false
     var it = 0
     while (!converged && it < MaxClusterIters) {
@@ -498,16 +506,19 @@ object CurationOps {
       targets: Seq[(String, Long)] = MixTargets): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.expr
-    val tcol = targets.foldRight(lit(0L): Column) { case ((l, t), acc) =>
-      when($"source" === l, lit(t)).otherwise(acc)
-    }
     val listed = docs.filter($"source".isin(targets.map(_._1): _*))
-    val counts = listed.groupBy($"source")
-      .agg(count(lit(1)).as("ns"))
-      .withColumn("ts", tcol)
+    // Every TARGET source contributes a count row (ns = 0 when absent from
+    // the corpus): downsampling-only cannot invent rows, so a missing
+    // target makes the declared mixture infeasible and the output is EMPTY
+    // (nout = min includes 0) — never a silently redistributed mixture.
+    val targetDf = targets.toDF("source", "ts")
+    val observed = listed.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val counts = targetDf.join(observed, Seq("source"), "left")
+      .select($"source", coalesce($"ns", lit(0L)).as("ns"), $"ts")
     val nout = counts.agg(expr("min(ns * 1000 div ts)").as("nout"))
     val rates = counts.crossJoin(broadcast(nout))
-      .select($"source", expr("((ts * nout div 1000) * 1000) div ns").as("rate"))
+      .select($"source", when($"ns" === 0L, lit(0L))
+        .otherwise(expr("((ts * nout div 1000) * 1000) div ns")).as("rate"))
     listed
       .join(broadcast(rates), Seq("source"))
       .filter((hash60("mix:", $"doc_id") % 1000L) < $"rate")

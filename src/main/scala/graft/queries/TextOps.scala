@@ -184,6 +184,12 @@ object TextOps {
       val toks = docs.select($"doc_id", explode(wordTokens($"text")).as("tok"))
       val bgs = docs
         .select($"doc_id", wordTokens($"text").as("ts"))
+        // <2 tokens ⇒ no pairs on either engine, but slice(ts, 1, size-1)
+        // with an EMPTY token array is a negative-length runtime error in
+        // Spark while the oracle's range(1, greatest(len,1)) silently
+        // yields nothing — guard before the zip so both engines drop the
+        // doc the same way
+        .filter(size($"ts") >= 2)
         .select($"doc_id", explode(arrays_zip(
           slice($"ts", lit(1), size($"ts") - 1).as("w1"),
           slice($"ts", lit(2), size($"ts") - 1).as("w2"))).as("bg"))

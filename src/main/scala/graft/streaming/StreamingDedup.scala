@@ -56,11 +56,22 @@ object StreamingDedup {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nBands = TextOps.MinhashK / TextOps.BandSize
+    // The static probe tables are PERSISTED: without the cache every
+    // micro-batch would recompute the full-corpus shingle+minhash kernel
+    // once per band join (16×) plus once for the fingerprints. The cost is
+    // that the corpus snapshot is frozen at first materialization — a
+    // growing corpus is picked up by restarting the query (or probing the
+    // materialized [[graft.search.DedupIndex]] tables instead, which makes
+    // the static side a plain parquet scan with per-batch file refresh).
+    // The cached blocks live for the streaming query's lifetime; callers
+    // running many queries in one session should prefer the index path.
     val exFp = corpus
       .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exBands = TextOps.bandRelation(corpus)
       .select($"band_idx", $"band_hash").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cur = stream
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
       .withColumn("bands", TextOps.minhashBands(col("text")))
