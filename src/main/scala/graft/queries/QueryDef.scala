@@ -19,5 +19,5 @@ object Registry {
     Relational.queries ++ LogOps.queries ++ AnomalyOps.queries ++
       VectorOps.queries ++ TextOps.queries ++ SimhashOps.queries ++
       CurationOps.queries ++ StreamOps.queries ++ MediaQueries.queries ++
-      SessionOps.queries ++ CorpusOps.queries
+      SessionOps.queries ++ CorpusOps.queries ++ HybridOps.queries
 }

@@ -700,46 +700,56 @@ object TextOps {
   val Bm25B = 0.75
   val QueryTerms = Seq("filter", "window", "join")
 
+  /** BM25 score of the fixed [[QueryTerms]] query for EVERY document in
+    * `docsIn` (doc_id, text): returns `(doc_id, bm25)` with the score
+    * rounded at 6 dp, zero-score docs included — callers filter/rank.
+    * Corpus stats (N, avgdl, per-term df) always come from the FULL input
+    * relation, so a candidate pre-filter downstream (e.g. `hybrid_rrf`'s
+    * MatchText leg) restricts candidates without shifting the IDF model.
+    *
+    * Term frequencies via explode → filter → pivot-style agg: stays in
+    * WholeStageCodegen end to end (a per-term `filter(toks, ...)` HOF
+    * evaluates interpreted lambdas per token — 15 s at sf0.1 for the
+    * same answer). The explode is narrow; the groupBy shuffles only
+    * (doc, 3 counters) partials. Stats are ONE partial-aggregated pass
+    * broadcast back over the scan — never a global window (which would
+    * funnel the corpus through a single partition at scale). */
+  def bm25Scores(docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn
+      .select($"doc_id", wordTokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").cast("double").as("dl"), $"toks")
+      .cache() // two consumers: TF explode + final scoring join
+    val tfAggs = QueryTerms.map(t =>
+      sum(when($"tok" === t, 1.0).otherwise(0.0)).as(s"tf_$t"))
+    val tf = docs
+      .select($"doc_id", explode($"toks").as("tok"))
+      .filter($"tok".isin(QueryTerms: _*))
+      .groupBy($"doc_id")
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val withTf = QueryTerms.foldLeft(
+      docs.drop("toks").join(tf, Seq("doc_id"), "left")) { (df, t) =>
+      df.withColumn(s"tf_$t", coalesce(col(s"tf_$t"), lit(0.0)))
+    }
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl") +:
+        QueryTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+    val withIdf = withTf.crossJoin(broadcast(stats))
+    val score = QueryTerms.map { t =>
+      val idf = log((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+      idf * (col(s"tf_$t") * (Bm25K1 + 1.0)) /
+        (col(s"tf_$t") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withIdf.select($"doc_id", round(score, 6).as("bm25"))
+  }
+
   private val bm25Score = QueryDef(
     "bm25_score",
     (s, dir) => {
       import s.implicits._
-      // Term frequencies via explode → filter → pivot-style agg: stays in
-      // WholeStageCodegen end to end (a per-term `filter(toks, ...)` HOF
-      // evaluates interpreted lambdas per token — 15 s at sf0.1 for the
-      // same answer). The explode is narrow; the groupBy shuffles only
-      // (doc, 3 counters) partials.
-      val docs = Tables.documents(s, dir)
-        .select($"doc_id", wordTokens($"text").as("toks"))
-        .select($"doc_id", size($"toks").cast("double").as("dl"), $"toks")
-        .cache() // two consumers: TF explode + final scoring join
-      val tfAggs = QueryTerms.map(t =>
-        sum(when($"tok" === t, 1.0).otherwise(0.0)).as(s"tf_$t"))
-      val tf = docs
-        .select($"doc_id", explode($"toks").as("tok"))
-        .filter($"tok".isin(QueryTerms: _*))
-        .groupBy($"doc_id")
-        .agg(tfAggs.head, tfAggs.tail: _*)
-      val withTf = QueryTerms.foldLeft(
-        docs.drop("toks").join(tf, Seq("doc_id"), "left")) { (df, t) =>
-        df.withColumn(s"tf_$t", coalesce(col(s"tf_$t"), lit(0.0)))
-      }
-      // Corpus stats (N, avgdl, per-term df) as ONE partial-aggregated pass
-      // broadcast back over the scan — never a global window (which would
-      // funnel the corpus through a single partition at scale).
-      val stats = withTf.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        avg($"dl").as("avgdl") +:
-          QueryTerms.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
-      val withIdf = withTf.crossJoin(broadcast(stats))
-      val score = QueryTerms.map { t =>
-        val idf = log((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
-        idf * (col(s"tf_$t") * (Bm25K1 + 1.0)) /
-          (col(s"tf_$t") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-      }.reduce(_ + _)
-      withIdf
-        .select($"doc_id", round(score, 6).as("bm25"))
+      bm25Scores(Tables.documents(s, dir))
         .filter($"bm25" > 0)
         .orderBy($"bm25".desc, $"doc_id")
         .limit(30)

@@ -22,8 +22,8 @@ object VectorOps {
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
-  private val QNorm: Double = math.sqrt(Q.map(x => x * x).sum)
-  private val QSql = "(" + Q.mkString("[", ", ", "]") + "::DOUBLE[])"
+  private[queries] val QNorm: Double = math.sqrt(Q.map(x => x * x).sum)
+  private[queries] val QSql = "(" + Q.mkString("[", ", ", "]") + "::DOUBLE[])"
 
   private def cosSql(vec: String, qv: String, qn: String): String =
     s"""round(CASE WHEN nv * $qn = 0 THEN 0.0
