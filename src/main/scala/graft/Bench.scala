@@ -27,14 +27,21 @@ object Bench {
     // dev-only: SPARK_GRAFT_ONLY="a,b" times just the named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     val results = selected.map { case (name, fn) =>
       // noop sink: materializes EVERY output column (a bare count() would
       // let Catalyst prune the projections and under-report pure-projection
-      // queries). Best of two runs per query: first run pays one-time JIT/
-      // codegen-cache costs, min reports the steady state. Failed reps
-      // contribute NO time at all — a fast crash must not win the min, and
-      // an all-failed query reports null and is excluded from the total.
-      val times = (1 to 2).flatMap { _ =>
+      // queries). Best of three runs per query: the first pays one-time
+      // JIT/codegen-cache costs, and min-of-3 survives a rep where BOTH of
+      // two runs land on a GC/JIT-queue stall (observed twice across round
+      // benches with min-of-2: a 3-4x phantom regression that a standalone
+      // rerun couldn't reproduce). The explicit GC empties the tenured
+      // garbage the previous ~70 queries accumulated so collection pauses
+      // don't land inside this query's timing. Failed reps contribute NO
+      // time at all — a fast crash must not win the min, and an all-failed
+      // query reports null and is excluded from the total.
+      System.gc()
+      val times = (1 to reps).flatMap { _ =>
         // drop cached relations so run 2 can't reuse run 1's .cache()
         // (CacheManager matches identical logical plans across calls)
         spark.catalog.clearCache()

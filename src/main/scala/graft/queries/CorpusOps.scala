@@ -34,14 +34,17 @@ object CorpusOps {
     * run of duplicated windows reports once as `[span_start,
     * span_start+span_len)`.
     *
-    * Scale shape: both heavy steps key on the window text — the census
-    * group-by and the membership join — so one Exchange partitioning
-    * serves both sides and nothing ever pairs documents. The island merge
-    * shuffles only the (doc, pos) survivors on doc_id. At warehouse scale
-    * the window key would be a 128-bit fingerprint (the [[SpanW]]-gram
-    * rolling-hash form of `rolling_fp`) rather than the string itself —
-    * same plan, narrower shuffle; the gate keys on the string so the
-    * oracle compares raw values, not hash choices. */
+    * Scale shape: both heavy steps — the census group-by and the
+    * membership join — key on a 128-bit window FINGERPRINT (two
+    * independently-seeded xxhash64 legs, computed scan-side in codegen),
+    * never the window text itself: the shuffle payload is 16 bytes per
+    * window instead of the ~60-byte 8-token string, one Exchange
+    * partitioning serves both sides, and nothing ever pairs documents.
+    * The island merge shuffles only the (doc, pos) survivors on doc_id.
+    * 2^128 key space makes a census collision (two distinct grams fusing)
+    * vanishingly unlikely at any corpus size; the oracle groups on the
+    * raw string, so the gate also proves the fingerprint keying changes
+    * no result. */
   /** (doc_id, ts) with the tokenized text — shared scan shape. */
   private def tokenized(df: org.apache.spark.sql.DataFrame) =
     df.select(df("doc_id"), columnOf(WordTokens(exprOf(df("text")))).as("ts"))
@@ -55,20 +58,27 @@ object CorpusOps {
         graft.functions.AllWordNgrams(exprOf(docs("text")), SpanW))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
 
+  /** Positional windows keyed by the 128-bit fingerprint (h1, h2): the
+    * gram string is hashed scan-side and DROPPED before any exchange. */
+  private def windowFps(docs: org.apache.spark.sql.DataFrame) =
+    windows(docs).select(col("doc_id"), col("pos"),
+      xxhash64(col("gram")).as("h1"),
+      xxhash64(lit("spanfp:"), col("gram")).as("h2"))
+
   private val dupSpans = QueryDef(
     "dup_spans",
     (s, dir) => {
       import s.implicits._
-      val wins = windows(Tables.documents(s, dir))
+      val wins = windowFps(Tables.documents(s, dir))
       // "seen in >1 distinct doc" ⟺ min(doc) ≠ max(doc): O(1) aggregate
       // state with full map-side combine, where an exact distinct-count
       // would shuffle doc ids per gram
-      val dupGrams = wins.groupBy($"gram")
+      val dupGrams = wins.groupBy($"h1", $"h2")
         .agg((min($"doc_id") =!= max($"doc_id")).as("multi"))
         .filter($"multi")
-        .select($"gram")
+        .select($"h1", $"h2")
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      wins.join(dupGrams, Seq("gram"))
+      wins.join(dupGrams, Seq("h1", "h2"))
         .withColumn("island", $"pos" - row_number().over(w))
         .groupBy($"doc_id", $"island")
         .agg(min($"pos").cast("long").as("span_start"),
@@ -125,13 +135,13 @@ object CorpusOps {
   def dropSpanRewrite(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     val toks = tokenized(docs)
-    val wins = windows(docs)
-    val dup = wins.groupBy($"gram")
+    val wins = windowFps(docs)
+    val dup = wins.groupBy($"h1", $"h2")
       .agg((min($"doc_id") =!= max($"doc_id")).as("multi"),
         min($"doc_id" * 1000000L + $"pos").as("owner"))
       .filter($"multi")
-      .select($"gram", $"owner")
-    val remPos = wins.join(dup, Seq("gram"))
+      .select($"h1", $"h2", $"owner")
+    val remPos = wins.join(dup, Seq("h1", "h2"))
       .filter($"doc_id" * 1000000L + $"pos" =!= $"owner")
       .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanW - 1))).as("tpos"))
     val remList = remPos.groupBy($"doc_id")
