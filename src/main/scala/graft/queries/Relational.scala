@@ -390,20 +390,32 @@ object Relational {
         .select($"l_returnflag",
           round($"l_extendedprice" * 100).cast("long").as("cents"))
         .withColumn("bucket", shiftright($"cents", 12))
+      // coalesce(1): the bucket histogram is O(#buckets) = O(price-domain /
+      // 4096) rows PER FLAG — bounded by the value domain, not the corpus —
+      // and a single partition satisfies every downstream window's
+      // distribution requirement, so both windows run exchange-free on one
+      // trivial task instead of 32-task shuffles of a few-KB relation
       val bhist = cents.groupBy($"l_returnflag", $"bucket")
         .agg(count(lit(1)).as("cnt"))
+        .coalesce(1)
       val wb = Window.partitionBy($"l_returnflag").orderBy($"bucket")
-      // cached: FOUR plan branches read it (n-per-group, rank targets,
-      // bucket filter, final join) and would otherwise each re-run the
-      // scan+aggregate; the relation is O(#buckets) rows — cache cost nil
+      // cached: the rank-target branch and the located self-join both read
+      // it; the relation is O(#buckets) rows — cache cost nil. `n` (group
+      // row count) rides the SAME per-flag exchange as the cumulative sum
+      // (equal partition keys collapse into one Window operator pair), so
+      // no separate n-per-group aggregate branch exists.
       val bcum = bhist
         .withColumn("hi_b", sum($"cnt").over(
           wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("lo_b", $"hi_b" - $"cnt" + 1)
+        .withColumn("n", max($"hi_b").over(Window.partitionBy($"l_returnflag")))
         .cache()
-      val nPer = bcum.groupBy($"l_returnflag").agg(max($"hi_b").as("n"))
       def rnk(p: Double) = (floor(($"n" - 1) * p) + 1).cast("long")
-      val targets = nPer.select($"l_returnflag", $"n", explode(array(
+      // exactly one row per group has hi_b = n (cumsum is strictly
+      // increasing within a flag) — the rank targets derive from that row,
+      // not from a second aggregation over the bucket relation
+      val targets = bcum.filter($"hi_b" === $"n")
+        .select($"l_returnflag", $"n", explode(array(
           struct(lit("lo50").as("lab"), rnk(0.5).as("rank")),
           struct(lit("hi50").as("lab"), (rnk(0.5) + 1).as("rank")),
           struct(lit("lo90").as("lab"), rnk(0.9).as("rank")),
@@ -413,22 +425,28 @@ object Relational {
           struct(lit("d50").as("lab"), ceil($"n" * 0.5).cast("long").as("rank")))).as("t"))
         .select($"l_returnflag", $"n", $"t.lab".as("lab"), $"t.rank".as("rank"))
         .filter($"rank" <= $"n")
-        .select($"l_returnflag", $"lab", $"rank")
-      // bucket containing each target rank + the offset within it
-      val located = targets.join(bcum,
-          targets("l_returnflag") === bcum("l_returnflag") &&
-            $"rank".between($"lo_b", $"hi_b"))
-        .select(targets("l_returnflag").as("flag"), $"lab",
+        .select($"l_returnflag", $"n", $"lab", $"rank")
+      // bucket containing each target rank + the offset within it; `n`
+      // rides along so the final join back to an n-per-group relation
+      // disappears
+      val bref = bcum.select($"l_returnflag".as("bflag"), $"bucket",
+        $"lo_b", $"hi_b")
+      val located = targets.join(bref,
+          $"l_returnflag" === $"bflag" && $"rank".between($"lo_b", $"hi_b"))
+        .select($"l_returnflag".as("flag"), $"n", $"lab",
           $"bucket".as("bkt"), ($"rank" - $"lo_b" + 1).as("off"))
-      val needed = located.select($"flag".as("l_returnflag"), $"bkt".as("bucket"))
-        .distinct()
+      // ONE broadcast join restricts the re-scan to the needed buckets AND
+      // attaches the targets: a bucket holding t targets duplicates its
+      // rows t times (t ≤ 7), and partitioning the row_number by (flag,
+      // bucket, lab) makes each target's copy rank the full bucket
+      // independently — no separate `needed` distinct + second broadcast.
       val picked = cents
-        .join(broadcast(needed), Seq("l_returnflag", "bucket"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"l_returnflag", $"bucket").orderBy($"cents")))
         .join(broadcast(located),
-          $"l_returnflag" === $"flag" && $"bucket" === $"bkt" && $"rn" === $"off")
-        .select($"l_returnflag", $"lab", $"cents".as("v"))
+          $"l_returnflag" === $"flag" && $"bucket" === $"bkt")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"flag", $"bkt", $"lab").orderBy($"cents")))
+        .filter($"rn" === $"off")
+        .select($"l_returnflag", $"n", $"lab", $"cents".as("v"))
       val vals = picked.groupBy($"l_returnflag")
         .agg(
           max(when($"lab" === "lo50", $"v")).as("lo50"),
@@ -437,8 +455,8 @@ object Relational {
           max(when($"lab" === "hi90", $"v")).as("hi90"),
           max(when($"lab" === "lo99", $"v")).as("lo99"),
           max(when($"lab" === "hi99", $"v")).as("hi99"),
-          max(when($"lab" === "d50", $"v")).as("d50"))
-        .join(broadcast(nPer), Seq("l_returnflag"))
+          max(when($"lab" === "d50", $"v")).as("d50"),
+          max($"n").as("n"))
       def interp(p: Double, vlo: org.apache.spark.sql.Column,
           vhi: org.apache.spark.sql.Column) = {
         val frac = ($"n" - 1) * p - floor(($"n" - 1) * p)
