@@ -387,64 +387,83 @@ object TextOps {
     """
     })
 
-  /** N-gram Jaccard near-dup: word 4-grams as features, candidate pairs via
-    * shared grams (explode + self-join on the gram key — selective at any
-    * scale), exact Jaccard on distinct-gram sets, top-50. */
+  /** N-gram Jaccard near-dup, candidate-generation + exact-verification
+    * form: candidate pairs must share at least one DISCRIMINATIVE word
+    * 4-gram (2 ≤ df ≤ [[JaccardDfCap]]); each candidate's Jaccard is then
+    * computed EXACTLY over the full distinct-gram sets (hot grams included
+    * in both numerator and denominators) via per-pair array intersection.
+    *
+    * This is the standard production pairing of a bounded candidate
+    * generator with an exact verifier: a gram shared by f documents forms
+    * f(f−1)/2 candidate pairs, so the df-cap bounds every gram's
+    * contribution and NO uncapped pair-formation plan exists — the old
+    * brute-force variant (self-join on all shared grams) was quadratic in
+    * hot-gram document frequency and is retained only as the in-JVM spec
+    * recompute. The trade-off is declared: a pair sharing ONLY
+    * above-cap grams is never considered (the same false-negative class
+    * LSH banding accepts probabilistically; true near-dups share rare
+    * grams). Verification is a join of the candidate list against the
+    * cached doc→gram-array table — per-pair O(|A|+|B|) array intersect,
+    * zero gram-key shuffle. Contrast `jaccard_capped`, which DEFINES its
+    * score over the post-cap gram sets; this query reports the exact one. */
   private val jaccardPairs = QueryDef(
     "jaccard_pairs",
     (s, dir) => {
       import s.implicits._
-      // NOTE: unlike jaccard_capped, this stays hash-aggregate + semi-join.
-      // The single-pass window-df trick only pays off POST-CAP: uncapped,
-      // WindowExec must sort the FULL gram relation (hot grams make large
-      // sort groups), which measured slower than the two hash aggregates.
-      // cached: consumed three times (sizes + both self-join sides); at
-      // warehouse scale this is a materialized doc→gram feature table
-      val grams = Tables.documents(s, dir)
-        .select($"doc_id", explode(graft.GraftFunctions.columnOf(
+      // cached: three consumers (candidate explode + both verification
+      // sides); at warehouse scale this is a materialized doc→gram
+      // feature table
+      val docGrams = Tables.documents(s, dir)
+        .select($"doc_id", graft.GraftFunctions.columnOf(
           graft.functions.WordNgrams(
-            graft.GraftFunctions.exprOf($"text"), 4))).as("gram"))
+            graft.GraftFunctions.exprOf($"text"), 4)).as("gs"))
         .cache()
-      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      // only grams shared by >=2 docs can form a pair — dropping df=1
-      // grams (the vast majority) BEFORE the self-join changes no result
-      // row but removes most of the join shuffle
-      val shared = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
-        .filter($"df" >= 2).select($"gram")
-      val joinable = grams.join(shared, Seq("gram"), "left_semi")
-      val inter = joinable.as("a")
+      val grams = docGrams.select($"doc_id", explode($"gs").as("gram"))
+      // df=1 grams cannot pair; df>cap grams are hot and carry no signal
+      val disc = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df".between(2, JaccardDfCap))
+        .select($"gram")
+      val joinable = grams.join(disc, Seq("gram"), "left_semi")
+      val cand = joinable.as("a")
         .join(joinable.as("b"),
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(docGrams.select($"doc_id".as("a_id"), $"gs".as("ga")), Seq("a_id"))
+        .join(docGrams.select($"doc_id".as("b_id"), $"gs".as("gb")), Seq("b_id"))
         .select($"a_id", $"b_id",
-          round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jaccard"))
+          size(array_intersect($"ga", $"gb")).cast("double").as("i"),
+          size($"ga").as("na"), size($"gb").as("nb"))
+        .select($"a_id", $"b_id",
+          round($"i" / ($"na" + $"nb" - $"i"), 6).as("jaccard"))
         .orderBy($"jaccard".desc, $"a_id", $"b_id")
         .limit(50)
     },
-    Some("""
+    Some(s"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
           t -> len(t) > 0) AS ts
         FROM documents),
-      grams AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
+      dg AS (
+        SELECT doc_id, list_distinct(list_transform(
           range(1, greatest(len(ts) - 2, 1)),
-          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS gram
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS gs
         FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-      inter AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+      grams AS (SELECT doc_id, unnest(gs) AS gram FROM dg),
+      disc AS (
+        SELECT gram FROM grams
+        GROUP BY gram HAVING count(*) BETWEEN 2 AND $JaccardDfCap),
+      j AS (SELECT doc_id, gram FROM grams WHERE gram IN (SELECT gram FROM disc)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM j a JOIN j b ON a.gram = b.gram AND a.doc_id < b.doc_id)
       SELECT a_id, b_id,
-        round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
-      FROM inter
-      JOIN sizes sa ON a_id = sa.doc_id
-      JOIN sizes sb ON b_id = sb.doc_id
+        round(len(list_intersect(x.gs, y.gs))::DOUBLE
+          / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))), 6) AS jaccard
+      FROM cand
+      JOIN dg x ON a_id = x.doc_id
+      JOIN dg y ON b_id = y.doc_id
       ORDER BY jaccard DESC, a_id, b_id
       LIMIT 50
     """))
@@ -525,7 +544,11 @@ object TextOps {
     * every bucket. Jaccard is then DECLARED over the discriminative-gram
     * sets (numerator and denominators both post-cap), mirrored exactly in
     * the oracle. */
-  val JaccardDfCap = 4
+  // `final` without a type annotation = compile-time constant, INLINED at
+  // every use site: `jaccard_pairs` is declared above this line and builds
+  // its oracle SQL eagerly at object init — a plain val would interpolate
+  // the yet-uninitialized 0 there (caught by the sf0.01 oracle gate)
+  final val JaccardDfCap = 4
 
   private val jaccardCapped = QueryDef(
     "jaccard_capped",

@@ -56,4 +56,50 @@ class JaccardHotGramSpec extends SparkSpec {
     assert(got.nonEmpty, "trio pairs must survive the cap")
     assert(got.forall { case (a, b, _) => a / 3 == b / 3 })
   }
+
+  test("jaccard_pairs: capped candidates, EXACT full-set verification") {
+    import spark.implicits._
+    val hot = "alpha beta gamma delta epsilon"
+    val docs = (0 until 60).map { i =>
+      val g = i / 3
+      val rare = s"shared$g phrase$g tokens$g joint$g here$g"
+      val filler = s"filler$i token$i word$i extra$i more$i"
+      (i.toLong, s"$hot $rare $filler", "en", "synth", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("hotgram2").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("jaccard_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t, _, _, _) => id -> grams(t) }.toMap
+    val df = all.values.flatten.groupBy(identity).view.mapValues(_.size)
+    // candidates share >=1 discriminative gram (2 <= df <= cap); the score
+    // is the EXACT Jaccard over the FULL gram sets, hot grams included
+    val expected = (for {
+      (a, ga) <- all.toSeq; (b, gb) <- all.toSeq if a < b
+      if (ga & gb).exists(g =>
+        df(g) >= 2 && df(g) <= TextOps.JaccardDfCap)
+      i = (ga & gb).size
+    } yield (a, b, BigDecimal(i.toDouble / (ga.size + gb.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (a, b, j) => (-j, a, b) }.take(50)
+
+    assert(got.length == expected.length, s"${got.length} vs ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    // cross-trio pairs share ONLY the above-cap hot phrase -> never formed;
+    // within-trio scores COUNT the hot grams (exact, not post-cap, Jaccard)
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, _) => a / 3 == b / 3 })
+    val capped = SparkEntry.queries("jaccard_capped")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.toSeq.map(t => (t._1, t._2)).toSet ==
+      capped.map(t => (t._1, t._2)).toSet)
+    assert(got.toSeq != capped, "exact scores must differ from post-cap scores")
+  }
 }
