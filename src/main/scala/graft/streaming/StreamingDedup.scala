@@ -55,14 +55,13 @@ object StreamingDedup {
     import graft.queries.TextOps
     val spark = corpus.sparkSession
     import spark.implicits._
-    val nBands = TextOps.MinhashK / TextOps.BandSize
     // The static probe tables are PERSISTED: without the cache every
     // micro-batch would recompute the full-corpus shingle+minhash kernel
     // once per band join (16×) plus once for the fingerprints. The cost is
     // that the corpus snapshot is frozen at first materialization — a
-    // growing corpus is picked up by restarting the query (or probing the
-    // materialized [[graft.search.DedupIndex]] tables instead, which makes
-    // the static side a plain parquet scan with per-batch file refresh).
+    // growing corpus is picked up by restarting the query, or by probing a
+    // materialized [[graft.search.DedupIndex]] via [[incrementalFlagsIndexed]]
+    // (cheap partition-pruned parquet scans, no in-memory corpus state).
     // The cached blocks live for the streaming query's lifetime; callers
     // running many queries in one session should prefer the index path.
     val exFp = corpus
@@ -72,6 +71,37 @@ object StreamingDedup {
     val exBands = TextOps.bandRelation(corpus)
       .select($"band_idx", $"band_hash").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flagsAgainst(stream, exFp, exBands, tsCol)
+  }
+
+  /** [[incrementalFlags]] probing a persisted [[graft.search.DedupIndex]]
+    * instead of deriving the corpus signature tables in-query: the static
+    * side of every per-band join is a parquet scan pruned to that band's
+    * partition directory by the literal band_idx filter, so a micro-batch
+    * costs 1/nBands of the band table per join and ZERO corpus-side
+    * signature recompute — the production form at 100 TB, where the index
+    * is built once at ingest and appended per flagged shard. */
+  def incrementalFlagsIndexed(
+      stream: DataFrame,
+      indexPath: String,
+      tsCol: String = "ts"): DataFrame = {
+    val spark = stream.sparkSession
+    flagsAgainst(stream,
+      graft.search.DedupIndex.fingerprints(spark, indexPath),
+      graft.search.DedupIndex.bands(spark, indexPath), tsCol)
+  }
+
+  /** The shared single-pass stream shape over any (fp) + (band_idx,
+    * band_hash) static pair — see [[incrementalFlags]] for why each band
+    * gets its own stream–static LEFT join. */
+  private def flagsAgainst(
+      stream: DataFrame,
+      exFp: DataFrame,
+      exBands: DataFrame,
+      tsCol: String): DataFrame = {
+    import graft.queries.TextOps
+    import stream.sparkSession.implicits._
+    val nBands = TextOps.MinhashK / TextOps.BandSize
     var cur = stream
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
       .withColumn("bands", TextOps.minhashBands(col("text")))

@@ -114,4 +114,46 @@ class StreamingDedupSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("incrementalFlagsIndexed over a persisted DedupIndex matches the batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val SfDir = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.documents(spark, SfDir)
+      .filter(col("doc_id") % graft.queries.TextOps.IncrMod =!= 0L)
+      .select(col("doc_id"), col("text"))
+    val incoming = graft.Tables.documents(spark, SfDir)
+      .filter(col("doc_id") % graft.queries.TextOps.IncrMod === 0L)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val path = java.nio.file.Files.createTempDirectory("sdidx").toString + "/idx"
+    graft.search.DedupIndex.build(corpus, path)
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingDedup.incrementalFlagsIndexed(stream, path)
+      .writeStream.format("memory").queryName("incr_flags_idx")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = 1700000000L
+      incoming.grouped(math.max(incoming.length / 2, 1)).zipWithIndex
+        .foreach { case (batch, i) =>
+          input.addData(batch.map { case (id, text) =>
+            (id, ts(base + i * 60), text)
+          }.toSeq: _*)
+          q.processAllAvailable()
+        }
+      val got = spark.sql("SELECT doc_id, dup_exact, dup_near FROM incr_flags_idx")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+      val want = graft.queries.Registry.all
+        .find(_.name == "dedup_incremental").get.fn(spark, SfDir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+      assert(got.size == want.size, s"${got.size} vs ${want.size} verdicts")
+      want.foreach { case (id, v) =>
+        assert(got(id) == v, s"doc $id: indexed stream ${got(id)} != batch $v")
+      }
+    } finally q.stop()
+  }
 }
