@@ -53,6 +53,47 @@ object PromotionStream {
     }
   }
 
+  /** [[promoteBatch]] with an IDEMPOTENT sink — the streaming form.
+    * `foreachBatch` + a plain parquet append is only at-least-once: a
+    * crash after the append but before the checkpoint commit replays the
+    * batch and doubles its rows. Here every window's rollup in the trigger
+    * is unioned into ONE write, stamped with the deterministic `batchId`,
+    * and written with DYNAMIC partition overwrite under
+    * `(batch_id, dt)` — a replay of batch N rewrites exactly the
+    * partitions batch N produced (same input → same rows) and touches no
+    * other batch, so the observable Tier-2 content is exactly-once.
+    * Readers prune on `dt` as before (nested partition columns prune
+    * independently); `batch_id` rides along as provenance. */
+  def promoteBatchIdempotent(
+      spark: SparkSession,
+      anomalies: DataFrame,
+      batchId: Long,
+      tier1Path: String,
+      tier2Path: String,
+      rules: Option[Rules],
+      windowSec: Long): Unit = {
+    if (anomalies.isEmpty) return
+    val t1 = spark.read.parquet(tier1Path)
+    val windows = anomalies.select("window_start").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val rollups = windows.toSeq.map { w =>
+      val nowSec = w + windowSec
+      val anomsW0 = anomalies.filter(col("window_start") === w)
+        .select("rhythm_hash", "anomaly_type", "n", "baseline_mean")
+      val anomsW = rules.fold(anomsW0)(r => r.enforce(anomsW0, nowSec))
+      val points = DtPrune(
+        t1.filter(col("ts_sec") >= w && col("ts_sec") < nowSec), w, nowSec)
+      Promoter.rollup(anomsW, points)
+    }
+    if (rollups.nonEmpty)
+      rollups.reduce(_.unionByName(_))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "dt")
+        .parquet(tier2Path)
+  }
+
   /** Start the end-to-end stream: Tier-1 file stream → watermarked keyed
     * detection → per-window promotion into Tier-2. */
   def start(
@@ -74,9 +115,9 @@ object PromotionStream {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        try promoteBatch(batch.sparkSession, batch, tier1Path, tier2Path,
-          rules, windowSec)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try promoteBatchIdempotent(batch.sparkSession, batch, batchId,
+          tier1Path, tier2Path, rules, windowSec)
         catch {
           case e: Exception =>
             // reference behavior: log and keep the loop alive (worker.py:32-34)
