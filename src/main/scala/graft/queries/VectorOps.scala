@@ -18,7 +18,7 @@ object VectorOps {
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
       int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk, randProjTopk,
-      rerankTopk, mmrTopk)
+      rerankTopk, annRerank, mmrTopk)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -747,6 +747,90 @@ object VectorOps {
       ORDER BY score DESC NULLS LAST, vec_id
       LIMIT 10
     """))
+
+  // ----------------------------------------------------------------------
+  // ann_rerank
+  // ----------------------------------------------------------------------
+
+  /** The full production retrieval composition in ONE plan:
+    * prune → shortlist → rerank.
+    *
+    * Stage 0 prunes the scan with the `ann_lsh` sign-bit bucket probe
+    * (query bucket + 1-bit multi-probe over the first [[AnnBits]] dims) —
+    * at warehouse scale the bucket is a write-time partition column, so
+    * the probe predicate skips ~96.5% of the files before any vector
+    * math. Stage 1 shortlists [[RerankShortlist]] survivors by cosine in
+    * the 16-d JL space ([[RpRows]] — 4× cheaper per row, a write-time
+    * column at scale). Stage 2 re-scores only the shortlist against the
+    * full 64-d vectors: exact metric on a constant-size relation. The
+    * whole pipeline is one scan → filter → TakeOrderedAndProject →
+    * TakeOrderedAndProject — no shuffle of vector data anywhere.
+    *
+    * Both scores surface (pscore = projected, score = exact) so the gate
+    * hashes every stage decision; ties pin to the smaller vec_id and the
+    * oracle pins NULLS LAST to match Spark's descending sort. */
+  private val annRerank = QueryDef(
+    "ann_rerank",
+    (s, dir) => {
+      import s.implicits._
+      val qBucket = (0 until AnnBits)
+        .foldLeft(0L)((acc, i) => if (Q(i) > 0) acc | (1L << i) else acc)
+      val probes = qBucket +: (0 until AnnBits).map(b => qBucket ^ (1L << b))
+      val shortlist = Tables.embeddings(s, dir)
+        .withColumn("bucket", packSignBits($"embedding", AnnBits))
+        .filter($"bucket".isin(probes: _*))
+        .select($"vec_id", $"label", $"embedding",
+          round(cosineToConst(matVec($"embedding", RpRows), RpQ), 6)
+            .as("pscore"))
+        .orderBy($"pscore".desc, $"vec_id")
+        .limit(RerankShortlist)
+      shortlist
+        .select($"vec_id", $"label",
+          round(cosineToConst($"embedding", Q), 6).as("score"), $"pscore")
+        .orderBy($"score".desc, $"vec_id")
+        .limit(AnnK)
+    },
+    Some {
+      val qBucket = (0 until AnnBits)
+        .foldLeft(0L)((acc, i) => if (Q(i) > 0) acc | (1L << i) else acc)
+      val probes = (qBucket +: (0 until AnnBits).map(b => qBucket ^ (1L << b)))
+        .mkString(", ")
+      s"""
+      WITH pruned AS (
+        SELECT vec_id, label, embedding
+        FROM embeddings
+        WHERE CAST(list_sum(list_transform(range($AnnBits),
+            i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+                 ELSE 0 END)) AS BIGINT) IN ($probes)),
+      proj AS (
+        SELECT vec_id, label, embedding,
+          CASE WHEN len(embedding) <> 64 THEN NULL
+            ELSE list_transform($RpRowsSql,
+              r -> list_sum(list_transform(range(1, 65), i -> r[i] * embedding[i]::DOUBLE)))
+            END AS y
+        FROM pruned),
+      ps AS (
+        SELECT vec_id, label, embedding,
+          round(CASE WHEN sqrt(list_sum(list_transform(y, v -> v * v))) * $RpQNorm = 0 THEN 0.0
+            ELSE list_sum(list_transform(range(1, ${RpOut + 1}), j -> y[j] * $RpQSql[j]))
+              / (sqrt(list_sum(list_transform(y, v -> v * v))) * $RpQNorm)
+            END, 6) AS pscore
+        FROM proj),
+      short AS (
+        SELECT vec_id, label, embedding, pscore
+        FROM ps
+        ORDER BY pscore DESC NULLS LAST, vec_id
+        LIMIT $RerankShortlist),
+      ex AS (
+        SELECT vec_id, label, pscore, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+        FROM short)
+      SELECT vec_id, label, ${cosSql("embedding", QSql, QNorm.toString)} AS score, pscore
+      FROM ex
+      ORDER BY score DESC NULLS LAST, vec_id
+      LIMIT $AnnK
+    """
+    })
 
   // ----------------------------------------------------------------------
   // mmr_topk

@@ -207,14 +207,16 @@ class PlanShapeSpec extends SparkSpec {
       s"all grouping levels must share ONE aggregate exchange:\n${p.take(1200)}")
   }
 
-  test("dup_spans joins on the window text, islands stay per-doc") {
+  test("dup_spans joins on the window fingerprint, islands stay per-doc") {
     val q = Registry.all.find(_.name == "dup_spans").get
     val df = q.fn(spark, dir)
     df.collect() // let AQE finalize join strategies from real sizes
     val p = df.queryExecution.executedPlan.toString
-    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[gram".r
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[h1".r
         .findFirstIn(p).isDefined,
-      s"census membership must be an equi-join on the window key:\n${p.take(1200)}")
+      s"census membership must be an equi-join on the (h1, h2) fingerprint:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning\\(gram".r.findFirstIn(p).isEmpty,
+      s"the gram string must be dropped before any exchange:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "span detection must never pair documents")
     assert(p.toLowerCase.contains("windowspecdefinition(doc_id"),
@@ -277,8 +279,8 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("rand_proj_topk and rerank_topk rank via TakeOrderedAndProject") {
-    Seq("rand_proj_topk", "rerank_topk").foreach { name =>
+  test("rand_proj_topk, rerank_topk, ann_rerank rank via TakeOrderedAndProject") {
+    Seq("rand_proj_topk", "rerank_topk", "ann_rerank").foreach { name =>
       val p = plan(name)
       assert(p.contains("TakeOrderedAndProject"), s"$name:\n${p.take(800)}")
       assert(!p.contains("Exchange hashpartitioning"),

@@ -108,6 +108,46 @@ class MixRerankSpec extends SparkSpec {
   }
 
 
+  test("ann_rerank matches a plain three-stage walk: prune, shortlist, rerank") {
+    val vecs = Tables.embeddings(spark, SfDir)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosineTo(v: Array[Double], q: Seq[Double]): Double = {
+      val d = q.indices.foldLeft(0.0)((a, i) => a + v(i) * q(i))
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val nq = math.sqrt(q.map(x => x * x).sum)
+      if (nv == 0.0) 0.0 else round6(d / (nv * nq))
+    }
+    def proj(v: Array[Double]): Array[Double] =
+      VectorOps.RpRows.map(row =>
+        row.indices.foldLeft(0.0)((a, i) => a + row(i) * v(i))).toArray
+    def bucketOf(v: Array[Double]): Long =
+      (0 until VectorOps.AnnBits)
+        .foldLeft(0L)((acc, i) => if (v(i) > 0) acc | (1L << i) else acc)
+    val qBucket = bucketOf(VectorOps.Q.toArray)
+    val probes = (qBucket +: (0 until VectorOps.AnnBits)
+      .map(b => qBucket ^ (1L << b))).toSet
+    val qp = proj(VectorOps.Q.toArray).toSeq
+    val pruned = vecs.filter { case (_, v) => probes(bucketOf(v)) }
+    assert(pruned.length < vecs.length,
+      "the bucket probe must actually prune the fixture corpus")
+    val shortlist = pruned
+      .map { case (id, v) => (id, v, cosineTo(proj(v), qp)) }
+      .sortBy { case (id, _, s) => (-s, id) }
+      .take(VectorOps.RerankShortlist)
+    val expected = shortlist
+      .map { case (id, v, _) => (id, cosineTo(v, VectorOps.Q)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(VectorOps.AnnK)
+    val got = SparkEntryQueries("ann_rerank").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1, s"rank order: $g != $e")
+      assert(math.abs(g._2 - e._2) <= 1e-6 + 1e-9)
+    }
+  }
+
   test("mmr_topk matches an independent greedy walk and diversifies") {
     val vecs = Tables.embeddings(spark, SfDir)
       .selectExpr("vec_id", "label", "embedding").collect()
