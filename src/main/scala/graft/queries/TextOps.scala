@@ -197,14 +197,20 @@ object TextOps {
       val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c1"))
       val big = bgs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
       val tot = toks.agg(count(lit(1)).cast("double").as("n"))
-      bgs
-        .join(big, Seq("w1", "w2"))
+      // fold the unigram/total joins into a per-DISTINCT-bigram surprisal
+      // table first: the full pair relation (one row per adjacent pair in
+      // the corpus) then shuffles into exactly ONE join, instead of
+      // carrying every pair occurrence through three key-hash exchanges —
+      // the census relations are 1-row-per-key and strictly smaller
+      val surpTab = big
         .join(uni.select($"tok".as("w1"), $"c1".as("cw1")), Seq("w1"))
         .join(uni.select($"tok".as("w2"), $"c1".as("cw2")), Seq("w2"))
         .crossJoin(broadcast(tot))
-        .select($"doc_id",
+        .select($"w1", $"w2",
           round(-log(lit(BigramLambda) * $"c2" / $"cw1"
             + lit(1.0 - BigramLambda) * $"cw2" / $"n"), 6).as("surp"))
+      bgs
+        .join(surpTab, Seq("w1", "w2"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum($"surp") / count(lit(1)), 4).as("avg_nll"))
