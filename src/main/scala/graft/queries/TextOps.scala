@@ -168,11 +168,13 @@ object TextOps {
     * ORDER is natural).
     *
     * Plan: one pass builds positional pairs as a zipped slice (scan-
-    * parallel, no shuffle), then three token-keyed joins attach the
-    * bigram census and both unigram counts — every build side is
-    * 1-row-per-key, so AQE's skew split covers the stop-word tail the
-    * same way `lm_score`'s single join does; the corpus total broadcasts
-    * as a scalar. Per-pair surprisal is rounded at 6 dp BEFORE the
+    * parallel, no shuffle); the unigram/total joins are folded into the
+    * DISTINCT-bigram census first (1-row-per-key relations joining
+    * 1-row-per-key relations), producing a per-bigram surprisal table,
+    * so the full pair relation shuffles through exactly ONE (w1,w2)
+    * join — AQE's skew split covers the stop-word tail of that single
+    * exchange the same way `lm_score`'s join does; the corpus total
+    * broadcasts as a scalar. Per-pair surprisal is rounded at 6 dp BEFORE the
     * per-doc sum (a last-ulp ln() difference cannot propagate), the mean
     * at 4 dp — coarser than summation-order error. Docs with <2 tokens
     * have no pairs and drop from the output on both engines. */
@@ -408,39 +410,92 @@ object TextOps {
     * recompute. The trade-off is declared: a pair sharing ONLY
     * above-cap grams is never considered (the same false-negative class
     * LSH banding accepts probabilistically; true near-dups share rare
-    * grams). Verification is a join of the candidate list against the
-    * cached doc→gram-array table — per-pair O(|A|+|B|) array intersect,
-    * zero gram-key shuffle. Contrast `jaccard_capped`, which DEFINES its
-    * score over the post-cap gram sets; this query reports the exact one. */
+    * grams).
+    *
+    * Scale shape — NOTHING in this plan is whole-corpus-resident and no
+    * gram text ever crosses an exchange:
+    *
+    *  1. Every gram is fingerprinted scan-side to 128 bits (two
+    *     independently-seeded xxhash64 legs — the `dup_spans` move), so
+    *     the census shuffles 16 bytes per gram.
+    *  2. ONE map-side-combined aggregate builds the gram census with
+    *     [[graft.functions.BoundedCollectSet]] — a SATURATING doc-id
+    *     collector whose per-gram state is O(cap) even for a stop-phrase
+    *     shared by 10^7 documents (`collect_set` there is an OOM). A
+    *     census row of size in [2, cap] yields that gram's candidate
+    *     pairs by in-partition array math (no self-join, no window); size
+    *     == cap+1 marks the gram HOT exactly (saturation keeps both
+    *     answers exact).
+    *  3. The exact intersection is assembled WITHOUT doc→gram arrays:
+    *     i = (shared discriminative grams, free from the pair census)
+    *       + (shared hot grams, from a membership join of the gram
+    *          relation against the BROADCAST hot-gram list, restricted to
+    *          candidate pairs — volume Σ_pairs |hot(A)|, bounded by the
+    *          cap-bounded pair count × per-doc hot-gram count).
+    *     Set sizes |A|,|B| are scan-side `size(word_ngrams(text))` — no
+    *     shuffle. A df=1 gram is in neither term and in both set sizes,
+    *     exactly as the oracle's full-set intersect counts it.
+    *
+    * Contrast `jaccard_capped`, which DEFINES its score over the post-cap
+    * gram sets; this query reports the exact one. */
   private val jaccardPairs = QueryDef(
     "jaccard_pairs",
     (s, dir) => {
       import s.implicits._
-      // cached: three consumers (candidate explode + both verification
-      // sides); at warehouse scale this is a materialized doc→gram
-      // feature table
-      val docGrams = Tables.documents(s, dir)
-        .select($"doc_id", graft.GraftFunctions.columnOf(
+      val docs = Tables.documents(s, dir)
+      // (doc_id, h1, h2): distinct 4-grams fingerprinted scan-side; the
+      // gram string is dropped before any exchange. h2 is a second
+      // xxhash64 LEG (different seed), not a re-hash of a prefixed string
+      // — no per-gram concat allocation.
+      val gramFps = docs
+        .select($"doc_id", explode(graft.GraftFunctions.columnOf(
           graft.functions.WordNgrams(
-            graft.GraftFunctions.exprOf($"text"), 4)).as("gs"))
-        .cache()
-      val grams = docGrams.select($"doc_id", explode($"gs").as("gram"))
-      // df=1 grams cannot pair; df>cap grams are hot and carry no signal
-      val disc = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
-        .filter($"df".between(2, JaccardDfCap))
-        .select($"gram")
-      val joinable = grams.join(disc, Seq("gram"), "left_semi")
-      val cand = joinable.as("a")
-        .join(joinable.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(docGrams.select($"doc_id".as("a_id"), $"gs".as("ga")), Seq("a_id"))
-        .join(docGrams.select($"doc_id".as("b_id"), $"gs".as("gb")), Seq("b_id"))
+            graft.GraftFunctions.exprOf($"text"), 4))).as("gram"))
+        .select($"doc_id",
+          xxhash64($"gram").as("h1"),
+          graft.GraftFunctions.columnOf(
+            org.apache.spark.sql.catalyst.expressions.XxHash64(
+              Seq(graft.GraftFunctions.exprOf($"gram")), 0x6a616366L)).as("h2"))
+      val census = gramFps
+        .groupBy($"h1", $"h2")
+        .agg(graft.GraftFunctions.columnOf(
+          graft.functions.BoundedCollectSet(
+            graft.GraftFunctions.exprOf($"doc_id"),
+            JaccardDfCap + 1).toAggregateExpression()).as("ds"))
+      // discriminative grams (2 <= df <= cap): explode each ds into its
+      // unordered pairs; the groupBy both dedups pairs AND counts each
+      // pair's shared discriminative grams
+      val pairsCapped = census
+        .filter(size($"ds").between(2, JaccardDfCap))
+        .select(explode(expr(
+          """flatten(transform(ds,
+               x -> filter(transform(ds,
+                      y -> named_struct('a_id', x, 'b_id', y)),
+                    p -> p.a_id < p.b_id)))""")).as("p"))
+        .groupBy($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
+        .agg(count(lit(1)).as("i_cap"))
+      // hot grams (df > cap, detected by saturation): few distinct values
+      // by construction — broadcast the list, count each candidate pair's
+      // shared hot grams via a pair-restricted membership join
+      val hot = census.filter(size($"ds") === JaccardDfCap + 1)
+        .select($"h1", $"h2")
+      val hotMem = gramFps.join(broadcast(hot), Seq("h1", "h2"))
+      val hotPairI = pairsCapped.select($"a_id", $"b_id")
+        .join(hotMem.select($"doc_id".as("a_id"), $"h1", $"h2"), Seq("a_id"))
+        .join(hotMem.select($"doc_id".as("b_id"), $"h1", $"h2"),
+          Seq("b_id", "h1", "h2"))
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("i_hot"))
+      // full-set sizes, computed scan-side (no shuffle, no arrays kept)
+      val sizes = docs.select($"doc_id", size(graft.GraftFunctions.columnOf(
+        graft.functions.WordNgrams(
+          graft.GraftFunctions.exprOf($"text"), 4))).as("n"))
+      pairsCapped
+        .join(hotPairI, Seq("a_id", "b_id"), "left")
         .select($"a_id", $"b_id",
-          size(array_intersect($"ga", $"gb")).cast("double").as("i"),
-          size($"ga").as("na"), size($"gb").as("nb"))
+          ($"i_cap" + coalesce($"i_hot", lit(0L))).cast("double").as("i"))
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
         .select($"a_id", $"b_id",
           round($"i" / ($"na" + $"nb" - $"i"), 6).as("jaccard"))
         .orderBy($"jaccard".desc, $"a_id", $"b_id")
