@@ -18,7 +18,7 @@ object VectorOps {
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
       int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk, randProjTopk,
-      rerankTopk, annRerank, mmrTopk)
+      rerankTopk, annRerank, annRerankIndexed, mmrTopk)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -631,7 +631,7 @@ object VectorOps {
 
   /** The query vector [[Q]] projected at plan time (ascending-index fold —
     * same order as the kernel and the SQL mirror). */
-  private val RpQ: Seq[Double] = RpRows.map(r =>
+  private[graft] val RpQ: Seq[Double] = RpRows.map(r =>
     r.indices.foldLeft(0.0)((acc, i) => acc + r(i) * Q(i)))
   private val RpQNorm: Double = math.sqrt(RpQ.map(x => x * x).sum)
   private val RpRowsSql =
@@ -773,9 +773,7 @@ object VectorOps {
     "ann_rerank",
     (s, dir) => {
       import s.implicits._
-      val qBucket = (0 until AnnBits)
-        .foldLeft(0L)((acc, i) => if (Q(i) > 0) acc | (1L << i) else acc)
-      val probes = qBucket +: (0 until AnnBits).map(b => qBucket ^ (1L << b))
+      val probes = graft.search.AnnIndex.probeBuckets(Q)
       val shortlist = Tables.embeddings(s, dir)
         .withColumn("bucket", packSignBits($"embedding", AnnBits))
         .filter($"bucket".isin(probes: _*))
@@ -831,6 +829,21 @@ object VectorOps {
       LIMIT $AnnK
     """
     })
+
+  /** `ann_rerank` against the PERSISTED sign-bucket index
+    * ([[graft.search.AnnIndex]]): identical retrieval contract (same
+    * oracle SQL), but the bucket is a write-time partition column, so the
+    * multi-probe predicate prunes at file-listing time instead of
+    * re-hashing every vector per query. The index builds once per JVM
+    * (first invocation) and every later run is probe-only — the
+    * build-once/probe-many cost profile the bench's min-of-N measures.
+    * AnnIndexSpec proves probe == inline parity and the file-count
+    * pruning. */
+  private val annRerankIndexed = QueryDef(
+    "ann_rerank_indexed",
+    (s, dir) => graft.search.AnnIndex.probe(
+      s, graft.search.AnnIndex.indexFor(s, dir)),
+    annRerank.oracle)
 
   // ----------------------------------------------------------------------
   // mmr_topk

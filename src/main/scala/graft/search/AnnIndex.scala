@@ -1,0 +1,92 @@
+package graft.search
+
+import graft.functions.VectorFunctions.{cosineToConst, matVec, packSignBits}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN sign-bucket index — the "build once, probe many" form of
+  * the inline `ann_lsh`/`ann_rerank` bucket probe, completing the trio
+  * with [[IvfIndex]] (centroid partitions) and [[DedupIndex]] (minhash
+  * band partitions): the [[graft.queries.VectorOps.AnnBits]]-bit sign
+  * bucket is computed ONCE at write time and becomes a PARTITION COLUMN,
+  * so a probe's multi-probe predicate (query bucket + every 1-bit
+  * neighbor) prunes at file-listing time — (1+bits) of 2^bits partitions
+  * touched, ~3.5% of the corpus at the default 8 bits — instead of
+  * re-hashing every vector per query, which is what the inline gate query
+  * must do without a persisted layout.
+  *
+  * Scale shape: the build is one scan-side kernel pass + a
+  * repartition-by-bucket write (one file per non-empty bucket partition,
+  * no small-files churn); a probe never reads index metadata at all — the
+  * probe set is pure bit arithmetic on the query vector (contrast IVF,
+  * which reads the nlist-row centroid table), so the only IO is the
+  * pruned data scan itself. Probing then runs the full ann_rerank
+  * composition on the survivors: JL-projected shortlist (16-d, 4× cheaper
+  * per row) → exact 64-d cosine on the constant-size shortlist.
+  * AnnIndexSpec proves probe == inline `ann_rerank` AND that the probe
+  * scan lists exactly the non-empty probed partitions' files.
+  */
+object AnnIndex {
+
+  /** Write `embeddings` partitioned by sign bucket of the first `bits`
+    * dims (bucket values 0 .. 2^bits-1; NULL/short vectors land in the
+    * bucket their defined sign pattern produces, same as the inline
+    * probe's `packSignBits`). */
+  def build(embeddings: DataFrame, path: String,
+      bits: Int = graft.queries.VectorOps.AnnBits): Unit = {
+    import embeddings.sparkSession.implicits._
+    embeddings
+      .withColumn("bucket", packSignBits($"embedding", bits))
+      .repartition($"bucket") // one task → one file per bucket partition
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
+  }
+
+  /** The multi-probe bucket set for query `q`: its own bucket plus every
+    * 1-bit flip — the same set the inline `ann_lsh`/`ann_rerank` probe
+    * filters on. Pure arithmetic; no IO. */
+  def probeBuckets(q: Seq[Double],
+      bits: Int = graft.queries.VectorOps.AnnBits): Seq[Long] = {
+    val qBucket = (0 until bits)
+      .foldLeft(0L)((acc, i) => if (q(i) > 0) acc | (1L << i) else acc)
+    qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
+  }
+
+  /** prune (partition-pruned scan) → shortlist (projected cosine) →
+    * rerank (exact cosine), identical row-for-row to the inline
+    * `ann_rerank` gate query. */
+  def probe(spark: SparkSession, path: String,
+      q: Seq[Double] = graft.queries.VectorOps.Q,
+      k: Int = graft.queries.VectorOps.AnnK,
+      bits: Int = graft.queries.VectorOps.AnnBits,
+      shortlistN: Int = graft.queries.VectorOps.RerankShortlist): DataFrame = {
+    import spark.implicits._
+    val probes = probeBuckets(q, bits)
+    val shortlist = spark.read.parquet(s"$path/index")
+      .filter($"bucket".isin(probes: _*)) // literal predicate → partition pruning
+      .select($"vec_id", $"label", $"embedding",
+        round(cosineToConst(matVec($"embedding", graft.queries.VectorOps.RpRows),
+          graft.queries.VectorOps.RpQ), 6).as("pscore"))
+      .orderBy($"pscore".desc, $"vec_id")
+      .limit(shortlistN)
+    shortlist
+      .select($"vec_id", $"label",
+        round(cosineToConst($"embedding", q), 6).as("score"), $"pscore")
+      .orderBy($"score".desc, $"vec_id")
+      .limit(k)
+  }
+
+  // dir → built index path: a gate query (`ann_rerank_indexed`) pays the
+  // build once per JVM and every later invocation is probe-only — the
+  // honest build-once/probe-many cost profile, and what the bench's
+  // min-of-N steady-state measures.
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Index path for the embeddings table under `dir`, building on first
+    * use (per JVM). */
+  def indexFor(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("annidx").toString
+      build(graft.Tables.embeddings(spark, dir), p)
+      p
+    })
+}
