@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** JSON string escape shared with Verify: backslash, quote, and ALL
+    * control chars (<0x20). */
+  private[graft] def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Per-query DuckDB baseline via tools/duck_bench.py (python3 + duckdb
+    * live driver-side in this environment). Returns name → seconds; empty
+    * on any failure — the Spark bench must never die on the baseline. */
+  private def duckTimings(
+      sfDir: String, oracle: Map[String, String]): Map[String, Double] =
+    try {
+      val script = java.nio.file.Paths.get("tools/duck_bench.py")
+      if (!java.nio.file.Files.exists(script)) return Map.empty
+      val oraclePath = java.nio.file.Files.createTempFile("oracle", ".json")
+      val outPath = java.nio.file.Files.createTempFile("duck", ".json")
+      java.nio.file.Files.writeString(oraclePath, oracle
+        .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
+        .mkString("{", ",", "}"))
+      val p = new ProcessBuilder(
+        "python3", script.toString, sfDir, oraclePath.toString, outPath.toString)
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes() // drain
+      if (p.waitFor() != 0) return Map.empty
+      val txt = java.nio.file.Files.readString(outPath)
+      """"([^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,19 +93,44 @@ object Bench {
       }
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.fold("null")(_.toString)
-    }.mkString("{", ",", "}")
     val total = results.values.flatten.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}"""
-    // the driver parses the log tail: write the result to a file it can
-    // always read, stop Spark (whose shutdown logging would otherwise push
-    // the line out of a bounded tail capture), THEN print the bare JSON as
-    // the very last stdout line
+
+    // per-query DuckDB baseline over the SAME oracle SQL at the SAME SF —
+    // makes the per-query 2x gate mechanically checkable (VERDICT r7 #2).
+    // Skipped silently when python3/duckdb is absent.
+    val duckOracle = SparkEntry.oracleSql.filter(kv => results.exists(_._1 == kv._1))
+    val duck = duckTimings(sfDir, duckOracle)
+    val duckTotal = duck.values.sum
+
+    def queriesJson(dp: Option[Int]) = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(t =>
+        dp.fold(t.toString)(d => s"%.${d}f".format(t)))
+    }.mkString("{", ",", "}")
+    val duckJson = results.map { case (k, _) =>
+      "\"" + k + "\":" + duck.get(k).fold("null")(t => f"$t%.3f")
+    }.mkString("{", ",", "}")
+
+    // full-detail artifact: spark + duck columns per query
+    val fileLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(None)},""" +
+        s""""duck":$duckJson,"duck_total":${f"$duckTotal%.3f"},"sf":"$sfDir","failed":$failedJson}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_RESULT.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_RESULT.json"), fileLine + "\n")
+
+    // stdout line: must survive the driver's bounded (2000-char) tail
+    // capture — per-query values at 3 dp; if even that is too long, drop
+    // the per-query map (full detail is in BENCH_RESULT.json either way)
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${queriesJson(Some(3))},""" +
+        s""""duck_total":${f"$duckTotal%.3f"},"sf":"$sfDir","failed":$failedJson}"""
+    val line =
+      if (compact.length <= 1900) compact
+      else s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":"see BENCH_RESULT.json",""" +
+        s""""duck_total":${f"$duckTotal%.3f"},"sf":"$sfDir","failed":$failedJson}"""
+    // stop Spark first (its shutdown logging would otherwise push the line
+    // out of the tail capture), THEN print the bare JSON as the very last
+    // stdout line
     spark.stop()
     println(line)
   }
