@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real and tested — schemas, partition-local
   * batch iteration (`mapPartitions` with one decoder instance per
   * partition, the pattern a JNI codec or ONNX runtime needs), explode
-  * shapes, and partitioning. The byte-level DECODE step is a clearly
-  * marked deterministic STUB (this container ships no image/audio codecs):
-  * `StubCodec` derives stable pseudo-content from the payload bytes, so
-  * every downstream operator (resize, features, dedup over frames) runs
-  * against real data flow with reproducible values.
+  * shapes, and partitioning. The byte-level DECODE step is REAL for the
+  * formats a pure JVM can parse — RIFF/WAVE 16-bit PCM and uncompressed
+  * 24-bit BMP ([[RealCodecs]], exercised on committed fixture files in
+  * RealCodecSpec) — and a clearly marked deterministic STUB for formats
+  * that need a native library this container doesn't ship (png/jpeg/
+  * mp4): `StubCodec` derives stable pseudo-content from the payload
+  * bytes, so every downstream operator (resize, features, dedup over
+  * frames) runs against real data flow with reproducible values.
   *
   * Scale shape: all transforms are narrow (scan → mapPartitions/project);
   * frame sampling explodes rows but stays partition-local. At 100 TB the
@@ -67,16 +70,65 @@ object MediaOps {
   }
 
   /** Decode images: one codec instance per PARTITION (not per row) — the
-    * batch shape a real decoder needs. */
+    * batch shape a real decoder needs. Dispatches on `meta.format`:
+    * `bmp` goes through the REAL pure-JVM parser
+    * ([[RealCodecs.decodeBmp]] — actual bottom-up padded-row BGR bytes);
+    * formats needing a native library (png/jpeg) remain on the declared
+    * stub. Decoded dimensions come from the BYTES for the real path (the
+    * header is the truth a real pipeline trusts), from metadata for the
+    * stub. */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
       // real codec: init once here (expensive), reuse across the iterator
       rows.map { r =>
-        DecodedImage(r.media_id, r.meta.width, r.meta.height,
-          StubCodec.decodeBytes(r.bytes, r.meta.width, r.meta.height))
+        if (r.meta.format == "bmp") {
+          val img = RealCodecs.decodeBmp(r.bytes)
+          DecodedImage(r.media_id, img.width, img.height, img.pixels)
+        } else
+          DecodedImage(r.media_id, r.meta.width, r.meta.height,
+            StubCodec.decodeBytes(r.bytes, r.meta.width, r.meta.height))
       }
     }
+  }
+
+  case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Int,
+      samples: Array[Float])
+
+  /** Decode WAV/PCM audio rows — a REAL decode path end to end
+    * ([[RealCodecs.decodeWav]] parses the RIFF chunk walk from the actual
+    * bytes; no stub behind it). Same per-partition batch shape as
+    * [[decodeImages]]. Non-WAV audio formats would route to a native
+    * codec here; feeding them to this operator throws, which an ingest
+    * pipeline maps to quarantine. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "audio" && r.meta.format == "wav")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = RealCodecs.decodeWav(r.bytes)
+          DecodedAudio(r.media_id, a.sampleRate, a.samples.length, a.samples)
+        }
+      }
+  }
+
+  /** RMS level and zero-crossing rate per decoded audio row — the
+    * audio-side analogue of [[imageFeatures]] (deterministic loops). */
+  def audioFeatures(audio: Dataset[DecodedAudio]): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.map { a =>
+      val n = a.samples.length.max(1)
+      var sq = 0.0
+      var zc = 0
+      var i = 0
+      while (i < a.samples.length) {
+        sq += a.samples(i).toDouble * a.samples(i)
+        if (i > 0 && (a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      (a.media_id, a.sample_rate, a.n_samples,
+        math.sqrt(sq / n).toFloat, zc.toFloat / n)
+    }.toDF("media_id", "sample_rate", "n_samples", "rms", "zcr")
   }
 
   /** Nearest-neighbour resize over decoded pixel arrays (pure Spark-side
