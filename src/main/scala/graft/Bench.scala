@@ -17,11 +17,11 @@ object Bench {
   /** Per-query DuckDB baseline via tools/duck_bench.py (python3 + duckdb
     * live driver-side in this environment). Returns name → seconds; empty
     * on any failure — the Spark bench must never die on the baseline. */
-  private def duckTimings(
-      sfDir: String, oracle: Map[String, String]): Map[String, Double] =
+  private def duckTimings(sfDir: String, oracle: Map[String, String])
+      : (Map[String, Double], Seq[String]) =
     try {
       val script = java.nio.file.Paths.get("tools/duck_bench.py")
-      if (!java.nio.file.Files.exists(script)) return Map.empty
+      if (!java.nio.file.Files.exists(script)) return (Map.empty, Seq.empty)
       val oraclePath = java.nio.file.Files.createTempFile("oracle", ".json")
       val outPath = java.nio.file.Files.createTempFile("duck", ".json")
       java.nio.file.Files.writeString(oraclePath, oracle
@@ -31,11 +31,16 @@ object Bench {
         "python3", script.toString, sfDir, oraclePath.toString, outPath.toString)
         .redirectErrorStream(true).start()
       p.getInputStream.readAllBytes() // drain
-      if (p.waitFor() != 0) return Map.empty
+      if (p.waitFor() != 0) return (Map.empty, Seq.empty)
       val txt = java.nio.file.Files.readString(outPath)
-      """"([^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+      val times = """"([^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+      val timeouts = """"_timeouts":\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      (times, timeouts)
+    } catch { case _: Throwable => (Map.empty, Seq.empty) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,8 +105,9 @@ object Bench {
     // makes the per-query 2x gate mechanically checkable (VERDICT r7 #2).
     // Skipped silently when python3/duckdb is absent.
     val duckOracle = SparkEntry.oracleSql.filter(kv => results.exists(_._1 == kv._1))
-    val duck = duckTimings(sfDir, duckOracle)
+    val (duck, duckTimeouts) = duckTimings(sfDir, duckOracle)
     val duckTotal = duck.values.sum
+    val duckTimeoutsJson = duckTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     def queriesJson(dp: Option[Int]) = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(t =>
@@ -114,7 +120,8 @@ object Bench {
     // full-detail artifact: spark + duck columns per query
     val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(None)},""" +
-        s""""duck":$duckJson,"duck_total":${f"$duckTotal%.3f"},"sf":"$sfDir","failed":$failedJson}"""
+        s""""duck":$duckJson,"duck_total":${f"$duckTotal%.3f"},""" +
+        s""""duck_timeouts":$duckTimeoutsJson,"sf":"$sfDir","failed":$failedJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_RESULT.json"), fileLine + "\n")
 

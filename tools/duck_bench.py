@@ -16,12 +16,39 @@ mechanically checkable; it is also runnable standalone.
 """
 import json
 import sys
+import threading
 import time
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Per-query ceiling: a pathological baseline (the recursive-CTE clustering
+# runs ~76 s at sf0.1) must not stall the whole bench. A query that hits
+# the ceiling is interrupted and recorded AT the ceiling — a conservative
+# LOWER bound for DuckDB — and listed under "_timeouts" in the output.
+QUERY_TIMEOUT_S = 30.0
+
+
+def timed_run(con, sql):
+    """Run sql with an interrupt-based timeout. Returns (seconds, timed_out)."""
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(QUERY_TIMEOUT_S):
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    t0 = time.perf_counter()
+    try:
+        con.sql(sql).fetchall()
+        return time.perf_counter() - t0, False
+    except duckdb.InterruptException:
+        return QUERY_TIMEOUT_S, True
+    finally:
+        done.set()
 
 
 def main():
@@ -33,24 +60,27 @@ def main():
     with open(oracle_path) as f:
         oracle = json.load(f)
     out = {}
+    timeouts = []
     for name in sorted(oracle):
-        times = []
         try:
-            t0 = time.perf_counter()
-            con.sql(oracle[name]).fetchall()
-            times.append(time.perf_counter() - t0)
-            if times[0] < 2.0:
+            t, timed_out = timed_run(con, oracle[name])
+            times = [t]
+            if not timed_out and t < 2.0:
                 for _ in range(2):
-                    t0 = time.perf_counter()
-                    con.sql(oracle[name]).fetchall()
-                    times.append(time.perf_counter() - t0)
+                    t2, _ = timed_run(con, oracle[name])
+                    times.append(t2)
+            if timed_out:
+                timeouts.append(name)
+                print(f"[duck_bench] {name} hit the {QUERY_TIMEOUT_S:.0f}s "
+                      "ceiling; recording the floor", file=sys.stderr)
             out[name] = round(min(times), 3)
         except Exception as e:
             print(f"[duck_bench] {name} failed: {e}", file=sys.stderr)
             out[name] = None
+    out["_timeouts"] = timeouts
     with open(out_path, "w") as f:
         json.dump(out, f)
-    print(f"[duck_bench] {len(out)} queries timed -> {out_path}",
+    print(f"[duck_bench] {len(out) - 1} queries timed -> {out_path}",
           file=sys.stderr)
 
 
