@@ -43,6 +43,17 @@ final class Via(spark: SparkSession, warehouse: String) {
   def tail(n: Int = 100, filter: Option[String] = None): DataFrame =
     IngestPipeline.tail(tier1, n, filter)
 
+  // --- store maintenance (no reference verb — the operational task its
+  // daily-collection rollover performs implicitly) -----------------------
+  /** Compact the small per-micro-batch files the streaming sinks append
+    * (`sources/Layout.compact`: rename-atomic per-partition swap, safe
+    * under live appenders). Run periodically; readers are unaffected. */
+  def compactTier1(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats =
+    graft.sources.Layout.compact(spark, tier1Path, targetBytes)
+
+  def compactTier2(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats =
+    graft.sources.Layout.compact(spark, tier2Path, targetBytes)
+
   // --- POST /analysis/tier1/rhythm_anomalies (T2/T3/A1-A3/J1-J3/T5) ---
   def analyzeOnce(nowSec: Long, windowSec: Long = 60): DataFrame =
     AnalysisJob.runOnce(spark, tier1Path, tier2Path, rules, nowSec, windowSec)

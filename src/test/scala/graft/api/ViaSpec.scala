@@ -69,5 +69,14 @@ class ViaSpec extends SparkSpec {
     assert(det.isDefined)
     via.saveSchema("otel-src", det.get)
     assert(via.listSchemas() == Seq("otel-src"))
+
+    // store maintenance: a second batch fragments tier1; compaction
+    // collapses the fragments without changing what tail() sees
+    via.ingestBatch(lines.take(10).toDF("value"))
+    val tailBefore = via.tail(n = 1000).collect().map(_.toString).sorted
+    val stats = via.compactTier1()
+    assert(stats.filesAfter <= stats.filesBefore, stats.toString)
+    assert(via.tail(n = 1000).collect().map(_.toString).sorted
+      .sameElements(tailBefore), "compaction changed tail() content")
   }
 }
