@@ -41,6 +41,23 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
   }
 
+  /** Append a new shard of vectors to an existing index — the daily
+    * maintenance write of a growing corpus (the [[DedupIndex.append]]
+    * counterpart). Sign buckets are corpus-independent (pure bit
+    * arithmetic on each vector), so appended rows land in exactly the
+    * partitions a rebuild would put them in: probe(append) ≡
+    * probe(rebuild) row-for-row (AnnIndexSpec). Appends create one new
+    * file per touched bucket per shard — `sources/Layout.compact` is the
+    * periodic counterweight. */
+  def append(newVectors: DataFrame, path: String,
+      bits: Int = graft.queries.VectorOps.AnnBits): Unit = {
+    import newVectors.sparkSession.implicits._
+    newVectors
+      .withColumn("bucket", packSignBits($"embedding", bits))
+      .repartition($"bucket")
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
+  }
+
   /** The multi-probe bucket set for query `q`: its own bucket plus every
     * 1-bit flip — the same set the inline `ann_lsh`/`ann_rerank` probe
     * filters on. Pure arithmetic; no IO. */

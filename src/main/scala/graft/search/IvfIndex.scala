@@ -38,6 +38,28 @@ object IvfIndex {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a new shard of vectors to an existing index — the daily
+    * maintenance write of a growing corpus. New vectors are assigned
+    * against the PERSISTED centroid table (the production IVF contract:
+    * the coarse quantizer is frozen at build time; re-training is a
+    * rebuild), so probe(append) ≡ probe(rebuild) as long as the centroid
+    * set is unchanged (IvfIndexSpec). Appends create one new file per
+    * touched centroid partition per shard — `sources/Layout.compact` is
+    * the periodic counterweight. */
+  def append(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = newVectors.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(cents))
+      .withColumn("cs", cosine($"embedding", $"cvec"))
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"cid"), struct($"cs", -$"cid")).getField("cid").as("cid"))
+    newVectors.join(assigned, "vec_id")
+      .repartition($"cid")
+      .write.mode("append").partitionBy("cid").parquet(s"$path/index")
+  }
+
   /** Top-k by cosine to `q` over the `nprobe` nearest centroid partitions
     * of a built index. */
   def probe(spark: SparkSession, path: String,

@@ -66,4 +66,22 @@ class AnnIndexSpec extends SparkSpec {
     val b = SparkEntry.queries("ann_rerank")(spark, SfDir).collect()
     assert(a.sameElements(b))
   }
+
+  test("append shard == rebuild: the daily maintenance write") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, SfDir)
+    val partA = emb.filter(col("vec_id") % 3 =!= 0L)
+    val partB = emb.filter(col("vec_id") % 3 === 0L)
+
+    val appended = java.nio.file.Files.createTempDirectory("annap").toString + "/idx"
+    AnnIndex.build(partA, appended)
+    AnnIndex.append(partB, appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("annrb").toString + "/idx"
+    AnnIndex.build(emb, rebuilt)
+
+    val a = AnnIndex.probe(spark, appended).collect().map(_.toString)
+    val b = AnnIndex.probe(spark, rebuilt).collect().map(_.toString)
+    assert(a.sameElements(b),
+      s"append diverged from rebuild:\n a=${a.toSeq}\n b=${b.toSeq}")
+  }
 }

@@ -53,4 +53,26 @@ class IvfIndexSpec extends SparkSpec {
       s"expected ${VectorOps.IvfNprobe} files listed (filters: $cids), " +
         s"got ${scan.metrics("numFiles").value}")
   }
+
+  test("append shard == rebuild against the frozen centroid table") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, SfDir)
+    // centroid rows stay in the base shard so build(partA) and
+    // build(full) freeze the SAME coarse quantizer
+    val partB = emb.filter(
+      col("vec_id") % 3 === 0L &&
+        !col("vec_id").isin(VectorOps.IvfCentroids: _*))
+    val partA = emb.exceptAll(partB)
+
+    val appended = java.nio.file.Files.createTempDirectory("ivfap").toString + "/idx"
+    IvfIndex.build(partA, appended)
+    IvfIndex.append(partB, appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivfrb").toString + "/idx"
+    IvfIndex.build(emb, rebuilt)
+
+    val a = IvfIndex.probe(spark, appended).collect().map(_.toString)
+    val b = IvfIndex.probe(spark, rebuilt).collect().map(_.toString)
+    assert(a.sameElements(b),
+      s"append diverged from rebuild:\n a=${a.toSeq}\n b=${b.toSeq}")
+  }
 }
