@@ -542,41 +542,58 @@ object VectorOps {
     * The [[SemCentroids]] seed rows double as the codebook source (PQ
     * codebooks are trained per-subspace k-means offline; the operator
     * consumes whatever codebook it is given). Scale shape: the codebook
-    * and query table broadcast (m·k rows); codes are computed at WRITE
-    * time at warehouse scale (an INT column, 4×4 bits here) — the gate
-    * computes them inline for self-containment, shuffling only (vec, j,
-    * code) argmin partials. Determinism: per-subspace distances are
-    * sequential left folds of identical doubles on both engines, rounded
-    * at 6 dp before the m-way sum, final distance rounded coarser (4 dp).
-    */
+    * and the pre-computed query-distance table are INDEX METADATA (m·k
+    * sub-vectors + m·k rounded doubles — collected once per plan, the
+    * same bounded control-plane read as `IvfIndex.probe`'s centroid
+    * ids), and encode+ADC run as ONE native kernel pass over the scan
+    * ([[graft.functions.PqAdcExpr]]): scan → project →
+    * TakeOrderedAndProject, where the relational form spread the same
+    * arithmetic over an m-way explode, a broadcast centroid join, an
+    * argmin aggregate, and an ADC lookup join. At warehouse scale the
+    * codes are a write-time INT column; this kernel is also exactly the
+    * encode step that writer runs. Determinism: per-subspace distances
+    * are sequential ascending folds of identical doubles on both
+    * engines, query distances rounded at 6 dp before the m-way sum,
+    * final distance rounded coarser (4 dp) — fold-order-identical to the
+    * oracle, which still recomputes everything relationally in SQL. */
   val PqM = 4
   val PqSub = 16 // dims per subspace
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   private val pqTopk = QueryDef(
     "pq_topk",
     (s, dir) => {
       import s.implicits._
-      val qArr = "array(" + Q.mkString(", ") + ")"
-      def l2 = "(acc, i) -> acc + (CAST(element_at(svec, i) AS DOUBLE) - CAST(element_at(cvec, i) AS DOUBLE)) * (CAST(element_at(svec, i) AS DOUBLE) - CAST(element_at(cvec, i) AS DOUBLE))"
       val e = Tables.embeddings(s, dir)
-      val subCents = e.filter($"vec_id".isin(SemCentroids: _*))
-        .select($"vec_id".as("cid"), explode(expr(
-          s"transform(sequence(0, ${PqM - 1}), j -> struct(j AS j, slice(embedding, j*$PqSub+1, $PqSub) AS cvec))")).as("s"))
-        .select($"cid", $"s.j".as("j"), $"s.cvec".as("cvec"))
-      val ev = e.select($"vec_id", explode(expr(
-        s"transform(sequence(0, ${PqM - 1}), j -> struct(j AS j, slice(embedding, j*$PqSub+1, $PqSub) AS svec))")).as("s"))
-        .select($"vec_id", $"s.j".as("j"), $"s.svec".as("svec"))
-      val codes = ev.join(broadcast(subCents), Seq("j"))
-        .withColumn("dist", expr(s"aggregate(sequence(1, $PqSub), 0D, $l2)"))
-        .groupBy($"vec_id", $"j")
-        .agg(min_by($"cid", struct($"dist", $"cid")).as("code"))
-      val qTab = subCents.withColumn("qd", round(expr(
-        s"""aggregate(sequence(1, $PqSub), 0D,
-            (acc, i) -> acc + (element_at($qArr, j*$PqSub+i) - CAST(element_at(cvec, i) AS DOUBLE)) * (element_at($qArr, j*$PqSub+i) - CAST(element_at(cvec, i) AS DOUBLE)))"""), 6))
-        .select($"cid", $"j".as("qj"), $"qd")
-      codes.join(broadcast(qTab), $"j" === $"qj" && $"code" === $"cid")
-        .groupBy($"vec_id")
-        .agg(round(sum($"qd"), 4).as("adist"))
+      // codebook = index metadata (bounded): the seed rows, widened to
+      // double exactly as cast("double") does, ascending cid so the
+      // kernel's strictly-less argmin matches min_by(struct(dist, cid))
+      val cents = e.filter($"vec_id".isin(SemCentroids: _*))
+        .select($"vec_id", $"embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .sortBy(_._1)
+      val cids = cents.map(_._1).toSeq
+      val cb: Seq[Seq[Double]] = cents.map(_._2).toSeq
+      // qd(j)(c): L2^2 of the query's subspace j vs centroid c's, the
+      // same ascending fold and 6-dp HALF_UP rounding as the oracle
+      val qd = (0 until PqM).map { j =>
+        cb.map { cv =>
+          var acc = 0.0
+          var i = 0
+          while (i < PqSub) {
+            val d = Q(j * PqSub + i) - cv(j * PqSub + i)
+            acc += d * d
+            i += 1
+          }
+          round6(acc)
+        }
+      }
+      e.select($"vec_id", graft.GraftFunctions.columnOf(
+        graft.functions.PqAdcExpr(
+          graft.GraftFunctions.exprOf($"embedding"),
+          cids, cb, qd, PqM, PqSub)).as("adist"))
         .orderBy($"adist".asc, $"vec_id")
         .limit(10)
     },

@@ -242,13 +242,18 @@ class PlanShapeSpec extends SparkSpec {
       "the only product is the broadcasted nlist-row centroid table")
   }
 
-  test("pq_topk broadcasts codebook + query table; final ranking is top-k") {
+  test("pq_topk is one kernel pass: no exchange at all, top-k ranking") {
     val q = Registry.all.find(_.name == "pq_topk").get
     val df = q.fn(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastExchange"),
-      s"the (subspace, centroid) relations must broadcast:\n${p.take(1200)}")
+    // encode + ADC fused into PqAdcExpr with the codebook as a reference
+    // object: the corpus is scanned once and NOTHING shuffles or
+    // broadcasts (the former relational form needed an m-way explode and
+    // two broadcast joins)
+    assert(p.contains("pq_adc"), s"expected the native ADC kernel:\n${p.take(1200)}")
+    assert(!p.contains("Exchange"),
+      s"scan → kernel → top-k must not exchange:\n${p.take(1200)}")
     assert(p.contains("TakeOrderedAndProject"),
       "ADC ranking must stay a single-pass top-k, never a global sort")
   }
