@@ -399,17 +399,18 @@ object Relational {
         .agg(count(lit(1)).as("cnt"))
         .coalesce(1)
       val wb = Window.partitionBy($"l_returnflag").orderBy($"bucket")
-      // cached: the rank-target branch and the located self-join both read
-      // it; the relation is O(#buckets) rows — cache cost nil. `n` (group
-      // row count) rides the SAME per-flag exchange as the cumulative sum
-      // (equal partition keys collapse into one Window operator pair), so
-      // no separate n-per-group aggregate branch exists.
+      // two consumers (the rank-target branch and the located self-join)
+      // re-derive this relation; Spark's exchange reuse dedupes the
+      // histogram shuffle, and measured cold runs are FASTER without a
+      // .cache() here (materialization blocks pipelining — the repo-wide
+      // finding). `n` (group row count) rides the SAME per-flag exchange
+      // as the cumulative sum (equal partition keys collapse into one
+      // Window operator pair), so no separate n-per-group branch exists.
       val bcum = bhist
         .withColumn("hi_b", sum($"cnt").over(
           wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("lo_b", $"hi_b" - $"cnt" + 1)
         .withColumn("n", max($"hi_b").over(Window.partitionBy($"l_returnflag")))
-        .cache()
       def rnk(p: Double) = (floor(($"n" - 1) * p) + 1).cast("long")
       // exactly one row per group has hi_b = n (cumsum is strictly
       // increasing within a flag) — the rank targets derive from that row,
