@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Argmax cosine of a vector column against a CONSTANT matrix of
+  * reference vectors, in one native pass: returns
+  * `struct<match_id: bigint, sim: double>` — the reference vector with
+  * the highest cosine (exact ties keep the LOWEST id: ids are iterated
+  * ascending with strictly-greater updates) and that cosine.
+  *
+  * This is the scan-side form of "score every row against a
+  * benchmark-sized reference set" (semantic decontamination, nearest-
+  * exemplar tagging): the reference matrix rides as a bounded reference
+  * object — the broadcast-small side made plan-constant, the same
+  * contract as [[PqAdcExpr]]'s codebook — so the corpus is scanned once
+  * with NO join and NO shuffle. Per-pair arithmetic is the
+  * [[CosineSimExpr]] fold (one ascending loop accumulating dot and both
+  * norms), bit-identical to the relational `CROSS JOIN` + cosine form an
+  * oracle computes. NULL on dimension mismatch. */
+case class BestMatchExpr(
+    child: Expression,
+    ids: Seq[Long],
+    vecs: Seq[Seq[Double]]) extends UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == vecs.length,
+    "best_match requires a non-empty id-aligned reference matrix")
+  require(ids.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    "best_match reference ids must be strictly ascending (tie rule)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"best_match requires array<float|double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("match_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def prettyName: String = "best_match"
+  override def nullable: Boolean = true
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val vecArr: Array[Array[Double]] = vecs.map(_.toArray).toArray
+  private lazy val vFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val dim = vecs.head.length
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    if (vv.numElements() != dim) null
+    else BestMatchExpr.compute(vv, vFloat, idArr, vecArr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idRef = ctx.addReferenceObj("bmIds", idArr, "long[]")
+    val vecRef = ctx.addReferenceObj("bmVecs", vecArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.BestMatchExpr.compute($v, $vFloat, $idRef, $vecRef);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestMatchExpr =
+    copy(child = newChild)
+}
+
+object BestMatchExpr {
+  def compute(v: ArrayData, vFloat: Boolean, ids: Array[Long],
+      vecs: Array[Array[Double]]): InternalRow = {
+    var bestId = ids(0)
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < vecs.length) {
+      val e = vecs(c)
+      // the CosineSimExpr fold: dot and both norms in one ascending loop
+      var d = 0.0; var nv = 0.0; var ne = 0.0
+      var i = 0
+      while (i < e.length) {
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val y = e(i)
+        d += x * y; nv += x * x; ne += y * y
+        i += 1
+      }
+      val snv = math.sqrt(nv); val sne = math.sqrt(ne)
+      val cs = if (snv == 0.0 || sne == 0.0) 0.0 else d / (snv * sne)
+      if (cs > bestSim) { bestSim = cs; bestId = ids(c) }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestSim))
+  }
+}

@@ -18,7 +18,7 @@ object VectorOps {
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
       int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk, randProjTopk,
-      rerankTopk, annRerank, annRerankIndexed, mmrTopk)
+      rerankTopk, annRerank, annRerankIndexed, mmrTopk, decontamSemantic)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -528,6 +528,69 @@ object VectorOps {
       SELECT m.vec_id, m.cid, d.vec_id IS NULL AS kept
       FROM assigned m LEFT JOIN dropped d ON m.vec_id = d.vec_id
       ORDER BY m.vec_id
+    """
+    })
+
+  /** Semantic decontamination: for every TRAINING vector, its nearest
+    * EVAL-split vector and that cosine — the embedding-space counterpart
+    * of the n-gram `decontaminate` gate (same
+    * [[CurationOps.DecontamEvalMod]] split), catching paraphrased
+    * contamination that shares no 8-gram. The report is τ-free: the
+    * caller thresholds `sim` (the synthetic corpus's random vectors top
+    * out near 0.49, so any production τ would return an empty — and
+    * untestable — gate).
+    *
+    * Scale shape: the eval side is a FIXED benchmark suite —
+    * benchmark-sized, not corpus-sized — so it rides as a bounded
+    * reference object inside ONE native kernel pass
+    * ([[graft.functions.BestMatchExpr]]): scan → project → sort, no
+    * join, no shuffle, and the per-pair fold is bit-identical to the
+    * oracle's CROSS JOIN cosine. Past reference-object range (very large
+    * eval suites), the fallback is the broadcast-join + max_by form of
+    * `ann_ivf`'s assignment — same result, one extra exchange. */
+  private val decontamSemantic = QueryDef(
+    "decontaminate_semantic",
+    (s, dir) => {
+      import s.implicits._
+      val mod = CurationOps.DecontamEvalMod
+      val e = Tables.embeddings(s, dir)
+      val ev = e.filter($"vec_id" % mod === 0)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .sortBy(_._1)
+      e.filter($"vec_id" % mod =!= 0)
+        .select($"vec_id", graft.GraftFunctions.columnOf(
+          graft.functions.BestMatchExpr(
+            graft.GraftFunctions.exprOf($"embedding"),
+            ev.map(_._1).toSeq, ev.map(_._2).toSeq)).as("m"))
+        .select($"vec_id", $"m.match_id".as("eval_id"),
+          round($"m.sim", 6).as("sim"))
+        .orderBy($"vec_id")
+    },
+    Some {
+      val mod = CurationOps.DecontamEvalMod
+      s"""
+      WITH ev AS (
+        SELECT vec_id AS eval_id, embedding AS evec,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS ne
+        FROM embeddings WHERE vec_id % $mod = 0),
+      tr AS (
+        SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+        FROM embeddings WHERE vec_id % $mod <> 0),
+      sc AS (
+        SELECT t.vec_id, e.eval_id,
+          CASE WHEN t.nv * e.ne = 0 THEN 0.0
+            ELSE list_sum(list_transform(range(1, 65),
+              i -> t.embedding[i]::DOUBLE * e.evec[i]::DOUBLE)) / (t.nv * e.ne)
+            END AS cs
+        FROM tr t CROSS JOIN ev e)
+      SELECT vec_id,
+        (list(eval_id ORDER BY cs DESC, eval_id ASC))[1] AS eval_id,
+        round(max(cs), 6) AS sim
+      FROM sc
+      GROUP BY vec_id
+      ORDER BY vec_id
     """
     })
 

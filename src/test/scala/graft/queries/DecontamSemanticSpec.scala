@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** `decontaminate_semantic` vs a plain-Scala recompute (the independent
+  * in-JVM oracle convention), plus the tie rule on a crafted fixture. */
+class DecontamSemanticSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  test("nearest-eval report matches a plain-Scala recompute") {
+    val mod = CurationOps.DecontamEvalMod
+    val all = Tables.embeddings(spark, SfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val ev = all.filter(_._1 % mod == 0).sortBy(_._1)
+    val tr = all.filter(_._1 % mod != 0)
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val s = math.sqrt(na) * math.sqrt(nb)
+      if (s == 0.0) 0.0 else d / s
+    }
+    val want = tr.map { case (id, v) =>
+      val (bid, bsim) = ev.foldLeft((ev.head._1, Double.NegativeInfinity)) {
+        case ((ci, cs), (eid, evec)) =>
+          val c = cos(v, evec)
+          if (c > cs) (eid, c) else (ci, cs)
+      }
+      (id, bid,
+        BigDecimal(bsim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+
+    val got = SparkEntry.queries("decontaminate_semantic")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
+  test("exact ties keep the lowest eval id") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // eval ids 20 and 40 carry the SAME vector; train id 1 matches both
+    // exactly — the report must name 20
+    val v = Seq.fill(4)(1.0f)
+    val rows = Seq((1L, Seq(1.0f, 1.0f, 1.0f, 1.0f)), (20L, v), (40L, v))
+      .toDF("vec_id", "embedding")
+    val ev = rows.filter(col("vec_id") % 20 === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1)
+    val got = rows.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id"), graft.GraftFunctions.columnOf(
+        graft.functions.BestMatchExpr(
+          graft.GraftFunctions.exprOf(col("embedding")),
+          ev.map(_._1).toSeq, ev.map(_._2).toSeq)).as("m"))
+      .select(col("vec_id"), col("m.match_id"), col("m.sim"))
+      .collect().head
+    assert(got.getLong(1) == 20L, s"tie must keep the lowest id: $got")
+    assert(math.abs(got.getDouble(2) - 1.0) < 1e-12)
+  }
+}
