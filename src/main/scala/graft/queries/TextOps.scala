@@ -615,33 +615,45 @@ object TextOps {
     "jaccard_capped",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val grams = Tables.documents(s, dir)
+      // the `jaccard_pairs` census pattern, minus the hot-gram term (this
+      // query DEFINES its score over the post-cap gram sets): ONE
+      // map-side-combined aggregate with O(cap) saturating state per gram
+      // replaces the old window + cache + self-join — a gram's census row
+      // yields its pair contributions AND its per-doc size contributions
+      // by in-partition array math, and no whole-group window buffer or
+      // in-plan cache exists. Fingerprint keys (16 bytes) replace gram
+      // text on the exchange, exactly as in `jaccard_pairs` (2^128 makes
+      // a census collision vanishingly unlikely; the oracle groups on the
+      // raw string, proving the keying changes no result).
+      val gramFps = Tables.documents(s, dir)
         .select($"doc_id", explode(graft.GraftFunctions.columnOf(
           graft.functions.WordNgrams(
             graft.GraftFunctions.exprOf($"text"), 4))).as("gram"))
-      // ONE pass attaches each gram's document frequency via a
-      // partition-only window: a single shuffle on `gram` replaces the old
-      // dfs-aggregate + anti-join + semi-join re-scans of the exploded
-      // relation, and both downstream consumers (sizes, pair join) read
-      // the df-filtered cache instead of recomputing the explode. NOTE:
-      // the count runs BEFORE the df<=cap filter, so WindowExec buffers
-      // each gram's FULL group (its buffer is spillable, so this is a
-      // disk/time cost on hot grams, not a correctness or OOM risk); the
-      // cap bounds only the downstream pair-forming work.
-      val withDf = grams
-        .withColumn("df", count(lit(1)).over(Window.partitionBy($"gram")))
-        .filter($"df" <= JaccardDfCap)
-        .cache() // two consumers: per-doc sizes + the pair self-join
-      val sizes = withDf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      // pair-forming grams: 2 <= df <= cap (df=1 grams count toward sizes
-      // but cannot form a pair — filtering them off the self-join changes
-      // no result row and removes most of the join work)
-      val joinable = withDf.filter($"df" >= 2).select($"doc_id", $"gram")
-      val inter = joinable.as("a")
-        .join(joinable.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .select($"doc_id",
+          xxhash64($"gram").as("h1"),
+          graft.GraftFunctions.columnOf(
+            org.apache.spark.sql.catalyst.expressions.XxHash64(
+              Seq(graft.GraftFunctions.exprOf($"gram")), 0x6a616366L)).as("h2"))
+      val census = gramFps
+        .groupBy($"h1", $"h2")
+        .agg(graft.GraftFunctions.columnOf(
+          graft.functions.BoundedCollectSet(
+            graft.GraftFunctions.exprOf($"doc_id"),
+            JaccardDfCap + 1).toAggregateExpression()).as("ds"))
+        .filter(size($"ds") <= JaccardDfCap) // post-cap universe
+      // per-doc sizes over the POST-CAP gram sets (df=1 grams count here
+      // but cannot pair)
+      val sizes = census
+        .select(explode($"ds").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = census
+        .filter(size($"ds") >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds,
+               x -> filter(transform(ds,
+                      y -> named_struct('a_id', x, 'b_id', y)),
+                    p -> p.a_id < p.b_id)))""")).as("p"))
+        .groupBy($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
         .agg(count(lit(1)).as("i"))
       inter
         .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** jaccard_capped under hot grams: a stop-phrase present in EVERY document
   * must be excluded from pair formation by the df-cap (the 100 TB skew
   * guard), and the remaining pair scores must equal a brute-force capped
-  * Jaccard recomputed in plain Scala. The gram-count window buffers hot
-  * groups spillably (see the query's NOTE) — this spec pins the SEMANTICS
-  * under that load shape. */
+  * Jaccard recomputed in plain Scala. The census aggregate saturates hot
+  * grams at O(cap) state (BoundedCollectSet) — this spec pins the
+  * SEMANTICS under that load shape. */
 class JaccardHotGramSpec extends SparkSpec {
 
   test("df-cap drops the universal stop-phrase; scores match brute force") {
