@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   * documents ─ exact dedup ─ near-dup clusters (keep cluster min)
   *           ─ substring dedup (opt-in span rewrite)
   *           ─ decontaminate (vs a held-out eval set)
+  *           ─ semantic decontaminate (opt-in embedding-cosine gate)
   *           ─ quality + repetition filters ─ Gopher rules (opt-in)
   *           ─ LM surprisal gate (opt-in)
   *           ─ quality-weighted sample (opt-in) ─ PII scrub
@@ -43,6 +44,13 @@ object Curation {
   final case class Config(
       dedupNear: Boolean = true,
       dropDupSpans: Boolean = false,
+      /** Embedding-cosine decontamination threshold vs `evalDocs` —
+        * `Some(τ)` drops training docs whose [[graft.functions.EmbedText]]
+        * embedding reaches cosine ≥ τ to ANY eval doc (the
+        * `decontaminate_semantic` operator as a pipeline stage, catching
+        * paraphrased contamination the 8-gram stage cannot). `None` (the
+        * default) skips the stage. */
+      semanticDecontamTau: Option[Double] = None,
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
       gopherRules: Boolean = false,
@@ -106,9 +114,33 @@ object Curation {
       despanned.join(contaminated, Seq("doc_id"), "left_anti")
     }
 
+    // 3b. optional SEMANTIC decontamination: drop docs whose embedding
+    // reaches cosine >= tau to any eval doc — catches paraphrased
+    // contamination that shares no 8-gram. The eval side is
+    // benchmark-sized, so its embeddings collect into ONE BestMatchExpr
+    // reference object and the stage is a pure scan filter (no join, no
+    // shuffle — the `decontaminate_semantic` shape).
+    val semClean = (cfg.semanticDecontamTau, evalDocs) match {
+      case (Some(tau), Some(ev)) =>
+        val evEmb = ev
+          .select($"doc_id", graft.GraftFunctions.columnOf(
+            graft.functions.EmbedText(
+              graft.GraftFunctions.exprOf($"text"))).as("e"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+          .sortBy(_._1).toSeq
+        if (evEmb.isEmpty) clean
+        else clean.filter(graft.GraftFunctions.columnOf(
+          graft.functions.BestMatchExpr(
+            graft.GraftFunctions.exprOf(graft.GraftFunctions.columnOf(
+              graft.functions.EmbedText(graft.GraftFunctions.exprOf($"text")))),
+            evEmb.map(_._1), evEmb.map(_._2))).getField("sim") < tau)
+      case _ => clean
+    }
+
     // 4. per-row quality gates (pure scan filters); the Gopher rule
     // battery is opt-in because its constants are corpus-tuned
-    val ruleFiltered = clean
+    val ruleFiltered = semClean
       .filter(TextFunctions.qualityScore($"text") >= cfg.minQuality)
       .filter(CurationOps.repetitionCol($"text") <= cfg.maxRepetition)
     val gated =

@@ -75,6 +75,45 @@ class CurationPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semantic decontamination catches a paraphrase the 8-gram stage misses") {
+    import spark.implicits._
+    val evalText = "quantum error correction requires stabilizer codes over " +
+      "many physical qubits to protect one logical qubit from decoherence"
+    // the paraphrase: same word BAG, shuffled order — shares NO 8-gram
+    // with the eval doc, but EmbedText (unigram + char-3-gram features)
+    // scores it near-identical
+    val shuffled = new scala.util.Random(5)
+      .shuffle(evalText.split(" ").toList).mkString(" ")
+    val unrelated = (1 to 30).map(i =>
+      s"daily operations report number $i covering routine maintenance " +
+        s"schedules inventory levels and staffing rotations for site $i").toList
+    val docs = ((1L, shuffled, "en") +:
+      unrelated.zipWithIndex.map { case (t, i) => (10L + i, t, "en") })
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq((1000L, evalText)).toDF("doc_id", "text")
+
+    // sanity: the paraphrase shares no 8-gram (the n-gram stage keeps it)
+    def grams(t: String): Set[String] = t.toLowerCase
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+      .sliding(CurationOps.DecontamN)
+      .filter(_.length == CurationOps.DecontamN).map(_.mkString(" ")).toSet
+    assert(!grams(shuffled).exists(grams(evalText).contains),
+      "fixture broken: paraphrase shares an 8-gram")
+
+    val cfg = Curation.Config(sampleRates = None, dedupNear = false)
+    val without = Curation.curate(docs, Some(eval), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(without.contains(1L),
+      "the n-gram stage alone must NOT drop the paraphrase")
+    val withSem = Curation.curate(docs, Some(eval),
+      cfg.copy(semanticDecontamTau = Some(0.8)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!withSem.contains(1L),
+      "semantic stage must drop the shuffled paraphrase")
+    assert(without - 1L == withSem,
+      s"semantic stage must drop ONLY the paraphrase: ${(without - 1L) diff withSem}")
+  }
+
   test("config toggles: no near-dedup, no sampling, no scrub") {
     import spark.implicits._
     val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")
