@@ -31,12 +31,17 @@ object AnnIndex {
   /** Write `embeddings` partitioned by sign bucket of the first `bits`
     * dims (bucket values 0 .. 2^bits-1; NULL/short vectors land in the
     * bucket their defined sign pattern produces, same as the inline
-    * probe's `packSignBits`). */
+    * probe's `packSignBits`). The 16-d JL projection is ALSO computed at
+    * write time (`proj` column — the same `matVec` the inline query runs
+    * per probe), so the probe's shortlist stage reads 16 doubles per row
+    * and never touches the 64-d vectors until the rerank — the
+    * "projections are write-time columns" claim of SCALE.md, executable. */
   def build(embeddings: DataFrame, path: String,
       bits: Int = graft.queries.VectorOps.AnnBits): Unit = {
     import embeddings.sparkSession.implicits._
     embeddings
       .withColumn("bucket", packSignBits($"embedding", bits))
+      .withColumn("proj", matVec($"embedding", graft.queries.VectorOps.RpRows))
       .repartition($"bucket") // one task → one file per bucket partition
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
   }
@@ -54,6 +59,7 @@ object AnnIndex {
     import newVectors.sparkSession.implicits._
     newVectors
       .withColumn("bucket", packSignBits($"embedding", bits))
+      .withColumn("proj", matVec($"embedding", graft.queries.VectorOps.RpRows))
       .repartition($"bucket")
       .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
   }
@@ -78,11 +84,14 @@ object AnnIndex {
       shortlistN: Int = graft.queries.VectorOps.RerankShortlist): DataFrame = {
     import spark.implicits._
     val probes = probeBuckets(q, bits)
+    // shortlist scores the STORED 16-d projection (write-time column —
+    // bit-identical to re-projecting, since matVec's doubles round-trip
+    // parquet exactly); the 64-d vectors are read for the same pruned
+    // rows but only the rerank touches them
     val shortlist = spark.read.parquet(s"$path/index")
       .filter($"bucket".isin(probes: _*)) // literal predicate → partition pruning
       .select($"vec_id", $"label", $"embedding",
-        round(cosineToConst(matVec($"embedding", graft.queries.VectorOps.RpRows),
-          graft.queries.VectorOps.RpQ), 6).as("pscore"))
+        round(cosineToConst($"proj", graft.queries.VectorOps.RpQ), 6).as("pscore"))
       .orderBy($"pscore".desc, $"vec_id")
       .limit(shortlistN)
     shortlist
