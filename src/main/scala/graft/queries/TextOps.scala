@@ -115,10 +115,12 @@ object TextOps {
     * no salting needed when the build side is 1-row-per-key.
     *
     * Determinism: token counts are exact integers; each token's surprisal
-    * `-ln(cnt/total)` is a pure function of them, rounded to 6 dp BEFORE
-    * the per-doc sum so a last-ulp `ln` difference between engines cannot
-    * propagate; the final mean is rounded at 4 dp, coarser than any
-    * accumulated summation-order error (~1e-12). */
+    * `-ln(cnt/total)` is a pure function of them, quantized to INTEGER
+    * MICRO-NATS before the per-doc sum so a last-ulp `ln` difference
+    * between engines cannot propagate, the sum is order-independent, and
+    * the 4-dp mean is computed by exact integer arithmetic — see the
+    * inline note in [[lmScores]] for the boundary case that made the
+    * previous round-of-double-mean form diverge between engines. */
   /** Per-doc (n_tok, avg_nll) under the corpus unigram model (math of
     * `lm_score`, reused by [[graft.api.Curation]]'s surprisal gate). */
   def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -126,11 +128,21 @@ object TextOps {
     val toks = docs.select($"doc_id", explode(wordTokens($"text")).as("tok"))
     val uni = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
     val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+    // per-token surprisal in INTEGER MICRO-NATS, and the 4-dp mean as
+    // exact integer arithmetic: floor((2·sum + 100·n)/(200·n)) / 1e4 is
+    // HALF_UP of sum/(n·100) on exact rationals. `round(sum(r6)/n, 4)`
+    // here was a cross-engine landmine: when the mean lands exactly on a
+    // 4-dp boundary (~1/1000 docs), Spark's decimal HALF_UP and DuckDB's
+    // double-math rounding DISAGREE on the same input double (found by an
+    // sf0.1 full-oracle sweep, doc 4599) — integer micros make the
+    // summation and the boundary decision identical on both engines.
     toks.join(uni, Seq("tok")).crossJoin(broadcast(tot))
-      .select($"doc_id", round(-log($"cnt" / $"n"), 6).as("surp"))
+      .select($"doc_id", round(-log($"cnt" / $"n") * 1e6).cast("long").as("micro"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        round(sum($"surp") / count(lit(1)), 4).as("avg_nll"))
+      .agg(count(lit(1)).as("n_tok"), sum($"micro").as("sm"))
+      .select($"doc_id", $"n_tok",
+        (floor(($"sm" * 2 + $"n_tok" * 100).cast("double") /
+          ($"n_tok" * 200).cast("double")) / 1e4).as("avg_nll"))
   }
 
   private val lmScore = QueryDef(
@@ -148,7 +160,9 @@ object TextOps {
       uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
       tot AS (SELECT count(*)::DOUBLE AS n FROM toks)
       SELECT doc_id, count(*) AS n_tok,
-        round(sum(round(-ln(cnt / n), 6)) / count(*), 4) AS avg_nll
+        floor((2 * sum(CAST(round(-ln(cnt / n) * 1000000.0) AS BIGINT))
+            + 100 * count(*))::DOUBLE
+          / ((200 * count(*))::DOUBLE)) / 10000.0 AS avg_nll
       FROM toks JOIN uni USING (tok) CROSS JOIN tot
       GROUP BY doc_id
       ORDER BY doc_id
@@ -174,10 +188,11 @@ object TextOps {
     * so the full pair relation shuffles through exactly ONE (w1,w2)
     * join — AQE's skew split covers the stop-word tail of that single
     * exchange the same way `lm_score`'s join does; the corpus total
-    * broadcasts as a scalar. Per-pair surprisal is rounded at 6 dp BEFORE the
-    * per-doc sum (a last-ulp ln() difference cannot propagate), the mean
-    * at 4 dp — coarser than summation-order error. Docs with <2 tokens
-    * have no pairs and drop from the output on both engines. */
+    * broadcasts as a scalar. Per-pair surprisal is quantized to INTEGER
+    * MICRO-NATS before the per-doc sum (a last-ulp ln() difference cannot
+    * propagate; the sum is order-independent) and the 4-dp mean is exact
+    * integer arithmetic — see [[lmScores]]. Docs with <2 tokens have no
+    * pairs and drop from the output on both engines. */
   private val bigramSurprisal = QueryDef(
     "bigram_surprisal",
     (s, dir) => {
@@ -204,18 +219,24 @@ object TextOps {
       // the corpus) then shuffles into exactly ONE join, instead of
       // carrying every pair occurrence through three key-hash exchanges —
       // the census relations are 1-row-per-key and strictly smaller
+      // per-pair surprisal in INTEGER MICRO-NATS and an exact-integer
+      // 4-dp mean — see lmScores for why (cross-engine rounding on exact
+      // 4-dp boundaries; found by the sf0.1 full-oracle sweep)
       val surpTab = big
         .join(uni.select($"tok".as("w1"), $"c1".as("cw1")), Seq("w1"))
         .join(uni.select($"tok".as("w2"), $"c1".as("cw2")), Seq("w2"))
         .crossJoin(broadcast(tot))
         .select($"w1", $"w2",
           round(-log(lit(BigramLambda) * $"c2" / $"cw1"
-            + lit(1.0 - BigramLambda) * $"cw2" / $"n"), 6).as("surp"))
+            + lit(1.0 - BigramLambda) * $"cw2" / $"n") * 1e6)
+            .cast("long").as("micro"))
       bgs
         .join(surpTab, Seq("w1", "w2"))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum($"surp") / count(lit(1)), 4).as("avg_nll"))
+        .agg(count(lit(1)).as("n_bigrams"), sum($"micro").as("sm"))
+        .select($"doc_id", $"n_bigrams",
+          (floor(($"sm" * 2 + $"n_bigrams" * 100).cast("double") /
+            ($"n_bigrams" * 200).cast("double")) / 1e4).as("avg_nll"))
         .orderBy($"doc_id")
     },
     Some(s"""
@@ -231,8 +252,10 @@ object TextOps {
         FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
       big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
       SELECT doc_id, count(*) AS n_bigrams,
-        round(sum(round(-ln($BigramLambda::DOUBLE * c2 / u1.c1
-          + ${1.0 - BigramLambda}::DOUBLE * u2.c1 / n), 6)) / count(*), 4) AS avg_nll
+        floor((2 * sum(CAST(round(-ln($BigramLambda::DOUBLE * c2 / u1.c1
+              + ${1.0 - BigramLambda}::DOUBLE * u2.c1 / n) * 1000000.0) AS BIGINT))
+            + 100 * count(*))::DOUBLE
+          / ((200 * count(*))::DOUBLE)) / 10000.0 AS avg_nll
       FROM bg
       JOIN big USING (w1, w2)
       JOIN uni u1 ON bg.w1 = u1.tok
