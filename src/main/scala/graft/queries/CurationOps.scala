@@ -403,8 +403,13 @@ object CurationOps {
       graft.GraftFunctions.exprOf(text)))).cast("long")
     val nDistinct = size(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
       graft.GraftFunctions.exprOf(text), 3))).cast("long")
+    // exact-rational 6-dp HALF_UP: floor((2e6·a + q)/(2q))/1e6 over the
+    // integer numerator a = (n_toks-2) - n_distinct and denominator
+    // q = n_toks-2 — immune to the cross-engine round()-of-double
+    // boundary divergence (see lmScores)
     when(nToks <= 2, lit(0.0)).otherwise(
-      round(lit(1.0) - nDistinct.cast("double") / (nToks - 2).cast("double"), 6))
+      floor((((nToks - 2) - nDistinct) * 2000000L + (nToks - 2)).cast("double") /
+        ((nToks - 2) * 2L).cast("double")) / 1000000.0)
   }
 
   /** Membership filter of `sample_stratified` as a boolean column.
@@ -455,9 +460,12 @@ object CurationOps {
       Tables.documents(s, dir)
         .select($"doc_id", nToks.as("n_toks"), nDistinct.as("n_distinct"))
         .select($"doc_id", $"n_toks", $"n_distinct",
+          // exact-rational 6-dp rounding — see repetitionCol
           when($"n_toks" <= 2, lit(0.0)).otherwise(
-            round(lit(1.0) - $"n_distinct".cast("double") /
-              ($"n_toks" - 2).cast("double"), 6)).as("repetition"))
+            floor(((($"n_toks" - 2) - $"n_distinct") * 2000000L +
+                ($"n_toks" - 2)).cast("double") /
+              (($"n_toks" - 2) * 2L).cast("double")) / 1000000.0)
+            .as("repetition"))
         .orderBy($"doc_id")
     },
     Some("""
@@ -474,7 +482,8 @@ object CurationOps {
         FROM toks)
       SELECT doc_id, n_toks, n_distinct,
         CASE WHEN n_toks <= 2 THEN 0.0
-             ELSE round(1.0 - n_distinct::DOUBLE / (n_toks - 2)::DOUBLE, 6)
+             ELSE floor((((n_toks - 2) - n_distinct) * 2000000 + (n_toks - 2))::DOUBLE
+                    / (((n_toks - 2) * 2))::DOUBLE) / 1000000.0
         END AS repetition
       FROM f
       ORDER BY doc_id

@@ -127,7 +127,8 @@ class CurationOpsSpec extends SparkSpec {
       val rep = if (toks.length <= 2) 0.0
         else {
           val d = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.size
-          BigDecimal(1.0 - d.toDouble / total)
+          // exact-rational rounding, matching the query's integer form
+          (BigDecimal(total - d) / BigDecimal(total))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       id -> rep
