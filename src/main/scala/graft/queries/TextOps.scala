@@ -516,11 +516,15 @@ object TextOps {
       pairsCapped
         .join(hotPairI, Seq("a_id", "b_id"), "left")
         .select($"a_id", $"b_id",
-          ($"i_cap" + coalesce($"i_hot", lit(0L))).cast("double").as("i"))
-        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
-        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+          ($"i_cap" + coalesce($"i_hot", lit(0L))).as("i"))
+        .join(sizes.select($"doc_id".as("a_id"), $"n".cast("long").as("na")), Seq("a_id"))
+        .join(sizes.select($"doc_id".as("b_id"), $"n".cast("long").as("nb")), Seq("b_id"))
+        // exact-rational 6-dp rounding over integer i/(na+nb-i) — immune
+        // to the cross-engine round()-of-double boundary (see lmScores)
         .select($"a_id", $"b_id",
-          round($"i" / ($"na" + $"nb" - $"i"), 6).as("jaccard"))
+          (floor(($"i" * 2000000L + ($"na" + $"nb" - $"i")).cast("double") /
+            (($"na" + $"nb" - $"i") * 2L).cast("double")) / 1000000.0)
+            .as("jaccard"))
         .orderBy($"jaccard".desc, $"a_id", $"b_id")
         .limit(50)
     },
@@ -543,8 +547,10 @@ object TextOps {
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM j a JOIN j b ON a.gram = b.gram AND a.doc_id < b.doc_id)
       SELECT a_id, b_id,
-        round(len(list_intersect(x.gs, y.gs))::DOUBLE
-          / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))), 6) AS jaccard
+        floor((len(list_intersect(x.gs, y.gs)) * 2000000
+            + (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))))::DOUBLE
+          / ((len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))) * 2)::DOUBLE)
+          / 1000000.0 AS jaccard
       FROM cand
       JOIN dg x ON a_id = x.doc_id
       JOIN dg y ON b_id = y.doc_id
@@ -681,8 +687,11 @@ object TextOps {
       inter
         .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
         .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        // exact-rational 6-dp rounding — see jaccard_pairs
         .select($"a_id", $"b_id",
-          round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6).as("jaccard"))
+          (floor(($"i" * 2000000L + ($"na" + $"nb" - $"i")).cast("double") /
+            (($"na" + $"nb" - $"i") * 2L).cast("double")) / 1000000.0)
+            .as("jaccard"))
         .orderBy($"jaccard".desc, $"a_id", $"b_id")
         .limit(50)
     },
@@ -706,7 +715,8 @@ object TextOps {
         FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT a_id, b_id,
-        round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        floor((i * 2000000 + (sa.n + sb.n - i))::DOUBLE
+          / ((sa.n + sb.n - i) * 2)::DOUBLE) / 1000000.0 AS jaccard
       FROM inter
       JOIN sizes sa ON a_id = sa.doc_id
       JOIN sizes sb ON b_id = sb.doc_id

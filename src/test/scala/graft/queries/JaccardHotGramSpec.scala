@@ -44,7 +44,7 @@ class JaccardHotGramSpec extends SparkSpec {
     val expected = (for {
       (a, ga) <- kept.toSeq; (b, gb) <- kept.toSeq if a < b
       i = (ga & gb).size if i > 0
-    } yield (a, b, BigDecimal(i.toDouble / (ga.size + gb.size - i))
+    } yield (a, b, (BigDecimal(i) / BigDecimal(ga.size + gb.size - i))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .sortBy { case (a, b, j) => (-j, a, b) }.take(50)
 
@@ -86,7 +86,7 @@ class JaccardHotGramSpec extends SparkSpec {
       if (ga & gb).exists(g =>
         df(g) >= 2 && df(g) <= TextOps.JaccardDfCap)
       i = (ga & gb).size
-    } yield (a, b, BigDecimal(i.toDouble / (ga.size + gb.size - i))
+    } yield (a, b, (BigDecimal(i) / BigDecimal(ga.size + gb.size - i))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .sortBy { case (a, b, j) => (-j, a, b) }.take(50)
 
