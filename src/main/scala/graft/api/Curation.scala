@@ -74,6 +74,11 @@ object Curation {
   def curate(docs: DataFrame, evalDocs: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
     import docs.sparkSession.implicits._
+    // Opting into the semantic gate without eval docs would silently run
+    // no decontamination at all — refuse loudly instead.
+    require(cfg.semanticDecontamTau.isEmpty || evalDocs.nonEmpty,
+      "semanticDecontamTau is set but evalDocs is None: the semantic " +
+        "decontamination stage needs the eval corpus to screen against")
 
     // 1. exact dedup: keeper = min doc_id per content fingerprint
     val keepers = docs

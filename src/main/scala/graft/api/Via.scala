@@ -45,12 +45,29 @@ final class Via(spark: SparkSession, warehouse: String) {
 
   // --- store maintenance (no reference verb — the operational task its
   // daily-collection rollover performs implicitly) -----------------------
-  /** Compact the small per-micro-batch files the streaming sinks append
-    * (`sources/Layout.compact`: rename-atomic per-partition swap, safe
-    * under live appenders). Run periodically; readers are unaffected. */
-  def compactTier1(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats =
-    graft.sources.Layout.compact(spark, tier1Path, targetBytes)
+  /** Compact Tier-1's small appended files (`sources/Layout.compact`).
+    *
+    * Tier-1 written by [[ingestBatch]] appends files INTO existing `dt=`
+    * leaves, so the open (lexically max) dt partition is skipped — a file
+    * committed there between compaction's listing and its swap would be
+    * lost with the trash; closed days are immutable and safe. Tier-1
+    * written by the STREAMING ingest ([[startIngest]], a FileStreamSink)
+    * carries a `_spark_metadata` sink log that pins file names —
+    * `Layout.compact` refuses such a store outright. */
+  def compactTier1(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tier1Path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val openDt = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("dt=")).sorted.lastOption
+    graft.sources.Layout.compact(spark, tier1Path, targetBytes,
+      skipLeaf = dir => openDt.contains(dir.getName))
+  }
 
+  /** Compact Tier-2. Safe under the live [[PromotionStream]] appender:
+    * it only ever CREATES new `(batch_id, dt)` leaves, never appends
+    * into an existing one (the listing-snapshot precondition
+    * `Layout.compact` documents; CompactionSpec proves it live). */
   def compactTier2(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats =
     graft.sources.Layout.compact(spark, tier2Path, targetBytes)
 

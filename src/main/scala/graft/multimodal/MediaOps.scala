@@ -98,9 +98,10 @@ object MediaOps {
   /** Decode WAV/PCM audio rows — a REAL decode path end to end
     * ([[RealCodecs.decodeWav]] parses the RIFF chunk walk from the actual
     * bytes; no stub behind it). Same per-partition batch shape as
-    * [[decodeImages]]. Non-WAV audio formats would route to a native
-    * codec here; feeding them to this operator throws, which an ingest
-    * pipeline maps to quarantine. */
+    * [[decodeImages]]. Non-WAV audio rows are FILTERED OUT (not decoded,
+    * not thrown on): only `format == "wav"` reaches decodeWav. An ingest
+    * pipeline that must quarantine unsupported formats should anti-join
+    * the output ids against the input rather than expect an exception. */
   def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
     import media.sparkSession.implicits._
     media.filter(r => r.kind == "audio" && r.meta.format == "wav")

@@ -43,37 +43,83 @@ object Layout {
     spark.table(left).join(spark.table(right), key)
 
   case class CompactionStats(
-      partitionsCompacted: Int, filesBefore: Long, filesAfter: Long)
+      partitionsCompacted: Int, filesBefore: Long, filesAfter: Long,
+      leavesSkipped: Int = 0, trashRecovered: Int = 0)
 
-  /** Small-files compaction for streaming sinks — the first operational
-    * problem a per-micro-batch appender (PromotionStream's
-    * `(batch_id, dt)` partitions, the ingest pipeline's Tier-1 appends)
-    * creates at 100 TB/day: thousands of KB-sized parquet files per
-    * partition, each costing a task + a footer read per query.
+  /** Small-files compaction for batch-append sinks — the first
+    * operational problem a per-micro-batch appender (PromotionStream's
+    * `(batch_id, dt)` partitions, `ingestBatch`'s Tier-1 appends) creates
+    * at 100 TB/day: thousands of KB-sized parquet files per partition,
+    * each costing a task + a footer read per query.
     *
     * Per LEAF partition directory: if the file count exceeds
     * `ceil(bytes/targetBytes)`, the partition is re-read, coalesced to
     * that file count, written to a dot-prefixed sibling dir (invisible to
     * readers), and SWAPPED in via two directory renames (old → trash,
-    * new → final, trash deleted) — the swap is rename-atomic per
-    * partition, so a reader sees the old files or the new files, never a
-    * mix, and row content is byte-identical either way.
+    * new → final, trash deleted). Each rename is atomic, but the PAIR is
+    * not: a reader that lists the parent in the sub-millisecond window
+    * between them sees the partition ABSENT (zero rows or a
+    * file-not-found retry), never a mix of old and new files. Run
+    * compaction when a transiently missing partition is tolerable (or no
+    * reader races it). A crash between the renames strands the data in a
+    * discoverable `_compact-<leaf>.old` sibling (underscore-prefixed:
+    * parquet readers ignore it but directory listings show it); the next
+    * compact() run restores it automatically before doing any new work.
     *
-    * Concurrent appends are safe BY LISTING SNAPSHOT: compaction touches
-    * only the leaf dirs that existed when it listed, and a concurrently
-    * appending PromotionStream only ever CREATES new `(batch_id, dt)`
-    * leaves (dynamic partition overwrite of its own batch on replay) —
-    * the two never write the same directory (CompactionSpec proves
-    * content equality under a live appender). Partition-column values
-    * live in the directory names, not the files, so the rewrite
-    * round-trips them untouched. */
+    * SAFETY PRECONDITIONS (enforced):
+    *   - The sink must NOT be a Structured Streaming `FileStreamSink`
+    *     (`_spark_metadata` present): the sink log pins exact file names,
+    *     so rewriting files both breaks log-resolved batch reads and
+    *     deletes files the log references. compact() throws on such
+    *     paths — stop-the-stream compaction of a sink-logged store needs
+    *     a transactional log rewrite this helper does not attempt.
+    *   - Concurrent appenders must only CREATE NEW leaf dirs (the
+    *     new-`(batch_id, dt)`-leaf-per-batch layout PromotionStream
+    *     uses): compaction touches only leaves that existed at its
+    *     listing snapshot, so the two never write the same directory
+    *     (CompactionSpec proves content equality under a live appender).
+    *     An appender that adds files into EXISTING leaves (plain
+    *     `mode("append").partitionBy(dt)`) can commit a file between the
+    *     listing and the swap-out rename and lose it with the trash —
+    *     callers must exclude any leaf such an appender may still write
+    *     via `skipLeaf` (see [[graft.api.Via.compactTier1]], which skips
+    *     the open dt partition).
+    *
+    * Partition-column values live in the directory names, not the files,
+    * so the rewrite round-trips them untouched. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetBytes: Long): CompactionStats = {
+      targetBytes: Long,
+      skipLeaf: org.apache.hadoop.fs.Path => Boolean = _ => false)
+      : CompactionStats = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(root, "_spark_metadata")))
+      throw new IllegalArgumentException(
+        s"compact: $path is a FileStreamSink store (_spark_metadata " +
+          "present); its sink log pins file names, so compaction would " +
+          "lose logged files and break log-resolved reads. Re-materialize " +
+          "the store with a batch write instead.")
     def isData(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
+    val Trash = "_compact-(.+)\\.old".r
+    // crash recovery: restore any stranded swap-out left by a previous
+    // run that died between its two renames (leaf absent -> rename the
+    // trash back; leaf present -> the swap-in succeeded, drop the trash)
+    var recovered = 0
+    def recover(dir: Path): Unit =
+      fs.listStatus(dir).filter(_.isDirectory).foreach { s =>
+        s.getPath.getName match {
+          case Trash(leaf) =>
+            val dest = new Path(dir, leaf)
+            if (!fs.exists(dest)) { fs.rename(s.getPath, dest); recovered += 1 }
+            else fs.delete(s.getPath, true)
+          case n if !n.startsWith(".") && !n.startsWith("_") =>
+            recover(s.getPath)
+          case _ => ()
+        }
+      }
+    recover(root)
     def leaves(dir: Path): Seq[Path] = {
       val entries = fs.listStatus(dir).filter(s => isData(s.getPath))
       val subdirs = entries.filter(_.isDirectory)
@@ -84,31 +130,35 @@ object Layout {
     var before = 0L
     var after = 0L
     var compacted = 0
+    var skipped = 0
     leaves(root).foreach { dir =>
-      def dataFiles() = fs.listStatus(dir)
-        .filter(s => s.isFile && isData(s.getPath))
-      val files = dataFiles()
-      val bytes = files.map(_.getLen).sum
-      val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
-      before += files.length
-      if (files.length > want) {
-        val tmp = new Path(dir.getParent, s".compact-${dir.getName}.tmp")
-        val trash = new Path(dir.getParent, s".compact-${dir.getName}.old")
-        fs.delete(tmp, true); fs.delete(trash, true)
-        spark.read.parquet(dir.toString)
-          .coalesce(want.toInt)
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(dir, trash))
-          throw new java.io.IOException(s"compact: cannot swap out $dir")
-        if (!fs.rename(tmp, dir)) { // restore on failure — never lose data
-          fs.rename(trash, dir)
-          throw new java.io.IOException(s"compact: cannot swap in $dir")
-        }
-        fs.delete(trash, true)
-        compacted += 1
-        after += dataFiles().length
-      } else after += files.length
+      if (skipLeaf(dir)) skipped += 1
+      else {
+        def dataFiles() = fs.listStatus(dir)
+          .filter(s => s.isFile && isData(s.getPath))
+        val files = dataFiles()
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+        before += files.length
+        if (files.length > want) {
+          val tmp = new Path(dir.getParent, s".compact-${dir.getName}.tmp")
+          val trash = new Path(dir.getParent, s"_compact-${dir.getName}.old")
+          fs.delete(tmp, true); fs.delete(trash, true)
+          spark.read.parquet(dir.toString)
+            .coalesce(want.toInt)
+            .write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(dir, trash))
+            throw new java.io.IOException(s"compact: cannot swap out $dir")
+          if (!fs.rename(tmp, dir)) { // restore on failure — never lose data
+            fs.rename(trash, dir)
+            throw new java.io.IOException(s"compact: cannot swap in $dir")
+          }
+          fs.delete(trash, true)
+          compacted += 1
+          after += dataFiles().length
+        } else after += files.length
+      }
     }
-    CompactionStats(compacted, before, after)
+    CompactionStats(compacted, before, after, skipped, recovered)
   }
 }

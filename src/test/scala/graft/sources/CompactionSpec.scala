@@ -60,6 +60,54 @@ class CompactionSpec extends SparkSpec {
       "noop compaction must not touch files")
   }
 
+  test("refuses a FileStreamSink store (_spark_metadata pins file names)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-sink").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(tmp)
+    Files.createDirectory(java.nio.file.Paths.get(tmp, "_spark_metadata"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, tmp, targetBytes = 64L * 1024 * 1024)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
+  test("skipLeaf leaves the excluded partition fragmented and untouched") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-skip").toString
+    (0 until 16).map(i => (i.toLong, s"2026-03-0${i % 2 + 1}"))
+      .toDF("id", "dt").repartition(8)
+      .write.partitionBy("dt").mode("overwrite").parquet(tmp)
+    val openFiles = parquetFiles(s"$tmp/dt=2026-03-02")
+      .map(f => (f.getPath, f.lastModified)).sorted
+    val stats = Layout.compact(spark, tmp, targetBytes = 64L * 1024 * 1024,
+      skipLeaf = _.getName == "dt=2026-03-02")
+    assert(stats.leavesSkipped == 1, stats.toString)
+    assert(stats.partitionsCompacted == 1, stats.toString)
+    assert(parquetFiles(s"$tmp/dt=2026-03-01").size == 1)
+    assert(parquetFiles(s"$tmp/dt=2026-03-02")
+      .map(f => (f.getPath, f.lastModified)).sorted == openFiles,
+      "skipped leaf must not be touched")
+  }
+
+  test("a swap-out stranded by a crash is restored on the next run") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-crash").toString
+    (0 until 8).map(i => (i.toLong, "2026-04-01"))
+      .toDF("id", "dt").repartition(4)
+      .write.partitionBy("dt").mode("overwrite").parquet(tmp)
+    val before = spark.read.parquet(tmp).collect().map(_.toString).sorted
+    // simulate a crash between the two renames: leaf moved to trash,
+    // swap-in never happened
+    val leaf = java.nio.file.Paths.get(tmp, "dt=2026-04-01")
+    val trash = java.nio.file.Paths.get(tmp, "_compact-dt=2026-04-01.old")
+    Files.move(leaf, trash)
+    assert(!Files.exists(leaf) && Files.exists(trash))
+    val stats = Layout.compact(spark, tmp, targetBytes = 64L * 1024 * 1024)
+    assert(stats.trashRecovered == 1, stats.toString)
+    val after = spark.read.parquet(tmp).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "recovery must restore every row")
+  }
+
   test("compaction under a concurrently appending PromotionStream loses nothing") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-compact-live").toString

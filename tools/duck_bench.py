@@ -34,18 +34,33 @@ QUERY_TIMEOUT_S = 30.0
 def timed_run(con, sql):
     """Run sql with an interrupt-based timeout. Returns (seconds, timed_out)."""
     done = threading.Event()
+    lock = threading.Lock()  # serializes "query finished" vs interrupt()
 
     def watchdog():
         if not done.wait(QUERY_TIMEOUT_S):
-            con.interrupt()
+            # Re-check under the lock: if the query completed right at the
+            # boundary, done is now set and interrupting would poison the
+            # NEXT timed_run on this shared connection.
+            with lock:
+                if not done.is_set():
+                    con.interrupt()
 
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     t0 = time.perf_counter()
     try:
         con.sql(sql).fetchall()
+        with lock:
+            done.set()
         return time.perf_counter() - t0, False
     except duckdb.InterruptException:
+        elapsed = time.perf_counter() - t0
+        with lock:
+            done.set()
+        if elapsed < QUERY_TIMEOUT_S * 0.9:
+            # A stray interrupt (e.g. leaked from a prior run) hit a fast
+            # query — retry once rather than record a spurious timeout.
+            return timed_run(con, sql)
         return QUERY_TIMEOUT_S, True
     finally:
         done.set()
