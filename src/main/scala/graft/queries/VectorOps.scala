@@ -459,9 +459,11 @@ object VectorOps {
     * that one is hash-blocked (exact sign agreement), so it catches
     * paraphrase-grade duplicates whose sign bits differ.
     *
-    * The [[SemCentroids]] seed vectors stand in for trained k-means
-    * centroids (same device as `ann_ivf`; training is an offline batch
-    * job, the dedup operator consumes whatever centroid set it is given).
+    * The [[SemCentroids]] seed vectors pin the GATE query's quantizer so
+    * the oracle stays literal; the production training job is
+    * [[graft.search.KMeans]] (spherical Lloyd's fixpoint — the
+    * `IvfIndex.buildTrained` path), and the dedup operator consumes
+    * whatever centroid set it is given.
     * Scale shape: centroids broadcast (nlist rows), assignment is one
     * scan-parallel pass, and the only shuffle keys on cid. The pair join
     * inside a cluster is quadratic in cluster size, so the production

@@ -21,12 +21,35 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Assign every vector to its nearest centroid (argmax cosine, tie →
-    * min cid — same rule as `ann_ivf`) and persist index + centroids. */
+    * min cid — same rule as `ann_ivf`) and persist index + centroids.
+    * The seed-row quantizer the gate query pins; [[buildTrained]] is the
+    * production entry point. */
   def build(embeddings: DataFrame, path: String,
       centroidIds: Seq[Long] = graft.queries.VectorOps.IvfCentroids): Unit = {
     import embeddings.sparkSession.implicits._
     val cents = embeddings.filter($"vec_id".isin(centroidIds: _*))
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    buildWith(embeddings, path, cents)
+  }
+
+  /** Train the coarse quantizer with [[KMeans]] (spherical Lloyd's, one
+    * corpus scan per iteration) and build the index on the trained
+    * centroids — the recall-bearing production build. Returns the
+    * trained model so callers can record convergence. Centroid cids are
+    * 0..k-1 (not corpus vec_ids); probes are unchanged — they read
+    * whatever centroid table the build persisted. */
+  def buildTrained(embeddings: DataFrame, path: String, k: Int = 16,
+      dim: Int = 64): KMeans.Trained = {
+    val t = KMeans.train(embeddings, k, dim = dim)
+    buildWith(embeddings, path, t.toDf(embeddings.sparkSession))
+    t
+  }
+
+  /** Build against an explicit centroid relation (`cid`, `cvec`) —
+    * shared by the seed-row and trained paths. */
+  def buildWith(embeddings: DataFrame, path: String,
+      cents: DataFrame): Unit = {
+    import embeddings.sparkSession.implicits._
     val assigned = embeddings.select($"vec_id", $"embedding")
       .crossJoin(broadcast(cents))
       .withColumn("cs", cosine($"embedding", $"cvec"))

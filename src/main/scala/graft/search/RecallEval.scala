@@ -84,10 +84,12 @@ object RecallEval {
     * corpus assigned to nearest centroid once; each query scores only
     * vectors in its nprobe nearest centroids' partitions. */
   def ivfTopK(emb: DataFrame, qs: DataFrame, k: Int,
-      nprobe: Int = VectorOps.IvfNprobe): DataFrame = {
+      nprobe: Int = VectorOps.IvfNprobe,
+      centroids: Option[DataFrame] = None): DataFrame = {
     import emb.sparkSession.implicits._
-    val cents = emb.filter($"vec_id".isin(VectorOps.IvfCentroids: _*))
-      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val cents = centroids.getOrElse(
+      emb.filter($"vec_id".isin(VectorOps.IvfCentroids: _*))
+        .select($"vec_id".as("cid"), $"embedding".as("cvec")))
     val assigned = emb.select($"vec_id", $"embedding")
       .crossJoin(broadcast(cents))
       .withColumn("cs", cosine($"embedding", $"cvec"))

@@ -79,6 +79,23 @@ class RecallSpec extends SparkSpec {
     assert(recallAt(pqTopK(emb, qsB, 1), exactB) >= 0.90)
   }
 
+  test("trained centroids buy recall at every nprobe (the r8 gap)") {
+    // measured (seed 42): seed-row 0.279/0.436/0.722 at nprobe 2/4/8;
+    // trained 0.368/0.564/0.804 — floors carry ~0.03 margin for float
+    // summation order in the training combine
+    val cdf = KMeans.train(emb, k = 16).toDf(spark)
+    val floors = Seq(2 -> 0.33, 4 -> 0.50, 8 -> 0.75)
+    floors.foreach { case (np, floor) =>
+      val seed = recallAt(ivfTopK(emb, qsUniform, K, nprobe = np), exactUniform)
+      val trained = recallAt(
+        ivfTopK(emb, qsUniform, K, nprobe = np, centroids = Some(cdf)),
+        exactUniform)
+      assert(trained >= floor, s"nprobe=$np trained recall $trained < $floor")
+      assert(trained > seed + 0.03,
+        s"nprobe=$np training bought no recall: seed $seed trained $trained")
+    }
+  }
+
   test("the recall knob works: IVF nprobe 2 -> 8 buys recall") {
     val r2 = recallAt(ivfTopK(emb, qsUniform, K, nprobe = 2), exactUniform)
     val r8 = recallAt(ivfTopK(emb, qsUniform, K, nprobe = 8), exactUniform)
