@@ -84,6 +84,12 @@ object VectorFunctions {
   def matVec(v: Column, rows: Seq[Seq[Double]]): Column =
     graft.GraftFunctions.columnOf(MatVecExpr(
       graft.GraftFunctions.exprOf(v), rows))
+
+  /** Per-cluster SemDeDup verdicts in one kernel call
+    * ([[SemPairDropExpr]]): members array in, (vec_id, kept) array out. */
+  def semPairDrop(members: Column, tau: Double): Column =
+    graft.GraftFunctions.columnOf(SemPairDropExpr(
+      graft.GraftFunctions.exprOf(members), tau))
 }
 
 /** Shared element accessor: float or double arrays score identically

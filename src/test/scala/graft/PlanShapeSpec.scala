@@ -231,15 +231,41 @@ class PlanShapeSpec extends SparkSpec {
       s"cumsum and ma3 must reuse ONE user_id exchange:\n${p.take(1200)}")
   }
 
-  test("semdedup broadcasts centroids + census; pair join keys on cid") {
+  test("semdedup: one-scan assignment, fused pair kernel, no pair join") {
     val q = Registry.all.find(_.name == "semdedup").get
     val df = q.fn(spark, dir)
     df.collect() // let AQE finalize join strategies from real sizes
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastExchange"),
-      s"centroid/census sides must broadcast, never shuffle the vectors:\n${p.take(1200)}")
+    // the r8 perf-weak fix, round 2 (kernel fusion): verdicts come from
+    // ONE sem_pair_drop call per cluster after the collect_list
+    // exchange — the relational pair join + pair distinct + corpus-wide
+    // verdict join are gone entirely, so vectors cross exactly one
+    // exchange and pair rows never materialize
+    assert(p.contains("sem_pair_drop"),
+      s"expected the fused pair kernel:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled join may remain (census/over-cap sides broadcast):\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"),
-      "the only product is the broadcasted nlist-row centroid table")
+      "the only broadcast product is the nlist-row census table")
+    // assignment is scan-side constant-kernel argmax: the crossJoin+
+    // max_by relational form would show a vec_id re-aggregation here
+    assert(p.contains("cosine_const"),
+      s"assignment must be constant-centroid kernels on the scan:\n${p.take(1200)}")
+
+    def walk(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = n +: (n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(s.plan)
+      case o => o.children.flatMap(walk)
+    })
+    val shuffles = walk(df.queryExecution.executedPlan).collect {
+      case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => ex
+    }
+    // census partials + the cid collect_list + the output range sort
+    assert(shuffles.size <= 3,
+      s"expected ≤3 shuffles (census, collect_list, sort), got ${shuffles.size}")
   }
 
   test("pq_topk is one kernel pass: no exchange at all, top-k ranking") {
