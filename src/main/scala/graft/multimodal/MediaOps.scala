@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real and tested — schemas, partition-local
   * batch iteration (`mapPartitions` with one decoder instance per
   * partition, the pattern a JNI codec or ONNX runtime needs), explode
-  * shapes, and partitioning. The byte-level DECODE step is REAL for the
-  * formats a pure JVM can parse — RIFF/WAVE 16-bit PCM and uncompressed
-  * 24-bit BMP ([[RealCodecs]], exercised on committed fixture files in
-  * RealCodecSpec) — and a clearly marked deterministic STUB for formats
-  * that need a native library this container doesn't ship (png/jpeg/
-  * mp4): `StubCodec` derives stable pseudo-content from the payload
-  * bytes, so every downstream operator (resize, features, dedup over
-  * frames) runs against real data flow with reproducible values.
+  * shapes, and partitioning. The byte-level DECODE step is REAL for every
+  * IMAGE format (hand-parsed 24-bit BMP plus `javax.imageio` for
+  * png/jpeg/gif/tiff — pure-Java plugins, no native library; committed
+  * fixture files exercised in RealCodecSpec) and for RIFF/WAVE 16-bit PCM
+  * audio ([[RealCodecs]]). A clearly marked deterministic STUB remains
+  * ONLY for video (mp4 frame demux/decode — an ffmpeg-class native
+  * dependency this container doesn't ship): `StubCodec` derives stable
+  * pseudo-content from the payload bytes, so the frame-sampling operators
+  * run against real data flow with reproducible values.
   *
   * Scale shape: all transforms are narrow (scan → mapPartitions/project);
   * frame sampling explodes rows but stays partition-local. At 100 TB the
@@ -34,10 +35,13 @@ object MediaOps {
       pixels: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, pixels: Array[Float])
 
-  /** ======= STUB CODEC =======
-    * Stands in for libjpeg/ffmpeg/soundfile: expands payload bytes into
-    * deterministic "pixel" data. Replace `decodeBytes` with a real codec
-    * binding in production; every signature stays identical. */
+  /** ======= STUB CODEC (video only) =======
+    * Stands in for an ffmpeg binding on the ONE modality a pure JVM
+    * cannot decode — mp4 frame demux in [[sampleFrames]]. Every image
+    * format goes through [[RealCodecs]] instead (the JDK's imageio
+    * plugins are pure Java). Expands payload bytes into deterministic
+    * "pixel" data; replace `decodeBytes` with a real codec binding in
+    * production, every signature stays identical. */
   object StubCodec {
     def decodeBytes(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
       val out = new Array[Float](w * h)
@@ -53,41 +57,51 @@ object MediaOps {
     }
   }
 
-  /** Deterministic fixture table (seeded payload bytes per id). */
+  /** Deterministic fixture table. Image rows carry REAL PNG containers
+    * (a seeded gray pattern through [[RealCodecs.encodePng]] — PNG is
+    * lossless, so decoded pixels are a pure function of `media_id` no
+    * matter how the encoder lays out its bytes); audio/video rows carry
+    * seeded pseudo-payloads for the stub/quarantine paths. */
   def fixture(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).repartition(partitions).map { id =>
       val kind = Seq("image", "audio", "video")(id.toInt % 3)
       val rnd = new scala.util.Random(id)
-      val bytes = Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt().toByte)
-      val meta = kind match {
-        case "image" => MediaMeta(16, 16, 0, 1, "png")
-        case "audio" => MediaMeta(0, 0, 16000, 1, "wav")
-        case _ => MediaMeta(16, 16, 0, 8, "mp4")
+      val (bytes, meta) = kind match {
+        case "image" =>
+          val px = Array.tabulate(16 * 16)(i =>
+            (((i * 31 + id * 7) % 256).toInt / 255f))
+          (RealCodecs.encodePng(16, 16, px), MediaMeta(16, 16, 0, 1, "png"))
+        case "audio" =>
+          (Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt().toByte),
+            MediaMeta(0, 0, 16000, 1, "wav"))
+        case _ =>
+          (Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt().toByte),
+            MediaMeta(16, 16, 0, 8, "mp4"))
       }
       MediaRow(id, kind, bytes, meta)
     }
   }
 
   /** Decode images: one codec instance per PARTITION (not per row) — the
-    * batch shape a real decoder needs. Dispatches on `meta.format`:
-    * `bmp` goes through the REAL pure-JVM parser
-    * ([[RealCodecs.decodeBmp]] — actual bottom-up padded-row BGR bytes);
-    * formats needing a native library (png/jpeg) remain on the declared
-    * stub. Decoded dimensions come from the BYTES for the real path (the
-    * header is the truth a real pipeline trusts), from metadata for the
-    * stub. */
+    * batch shape a real decoder needs. Every format decodes REAL bytes:
+    * `bmp` through the hand-written parser ([[RealCodecs.decodeBmp]] —
+    * actual bottom-up padded-row BGR bytes), everything else through the
+    * JDK's pure-Java imageio plugins ([[RealCodecs.decodeImageIO]] —
+    * png/jpeg/gif/tiff; unrecognized bytes throw, the quarantine path).
+    * Decoded dimensions come from the BYTES, never the metadata — the
+    * header is the truth a real pipeline trusts. */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
       // real codec: init once here (expensive), reuse across the iterator
       rows.map { r =>
-        if (r.meta.format == "bmp") {
-          val img = RealCodecs.decodeBmp(r.bytes)
-          DecodedImage(r.media_id, img.width, img.height, img.pixels)
-        } else
-          DecodedImage(r.media_id, r.meta.width, r.meta.height,
-            StubCodec.decodeBytes(r.bytes, r.meta.width, r.meta.height))
+        val img =
+          if (r.meta.format == "bmp") {
+            val b = RealCodecs.decodeBmp(r.bytes)
+            RealCodecs.JvmImage(b.width, b.height, b.pixels)
+          } else RealCodecs.decodeImageIO(r.bytes)
+        DecodedImage(r.media_id, img.width, img.height, img.pixels)
       }
     }
   }

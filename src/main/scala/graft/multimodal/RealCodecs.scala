@@ -2,19 +2,86 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL pure-JVM decoders for the two container formats decodable without
-  * native codec libraries: RIFF/WAVE 16-bit PCM audio and uncompressed
-  * 24-bit BMP images. These replace [[MediaOps.StubCodec]] on the formats
-  * they cover (`MediaOps.decodeImages` dispatches on `meta.format`;
-  * `decodeAudio` is WAV-only), parsing actual byte layouts — chunk walks,
-  * little-endian fields, bottom-up padded pixel rows — through the same
-  * `mapPartitions` plumbing a JNI codec would use. The stub remains, and
-  * remains clearly declared, for formats that genuinely need a native
-  * library (png/jpeg/mp4).
+/** REAL JVM decoders: hand-parsed RIFF/WAVE 16-bit PCM and uncompressed
+  * 24-bit BMP (chunk walks, little-endian fields, bottom-up padded pixel
+  * rows), plus [[decodeImageIO]] for every compressed image container the
+  * JDK's pure-Java `javax.imageio` plugins read — png/jpeg/gif/tiff/wbmp
+  * need NO native library (r8's "needs native codecs" claim was wrong and
+  * is corrected here). They replace [[MediaOps.StubCodec]] on all image
+  * and WAV audio paths via `MediaOps.decodeImages`' format dispatch,
+  * through the same `mapPartitions` plumbing a JNI codec would use. The
+  * stub remains, clearly declared, only for VIDEO (mp4 frame demux/
+  * decode — genuinely an ffmpeg-class native dependency).
   *
-  * Determinism: both decoders are pure byte→float arithmetic, so golden
-  * values in specs and gates are stable across runs and machines. */
+  * Determinism: the hand parsers are pure byte→float arithmetic, and the
+  * ImageIO path is lossless-deterministic for the formats the fixtures
+  * use (png/gif/bmp decode to exact sample values; pixels, not encoder
+  * bytes, feed every feature) — so golden values in specs and gates are
+  * stable across runs and machines. */
 object RealCodecs {
+
+  case class JvmImage(width: Int, height: Int, pixels: Array[Float])
+
+  /** Decode any `javax.imageio`-supported container (png/jpeg/gif/bmp/
+    * tiff/wbmp in this JDK — all pure-Java plugins). Channel-mean gray in
+    * [0,1], top-down row-major — the same layout as [[decodeBmp]].
+    * Throws on unrecognized bytes (quarantine path), like the hand
+    * parsers. */
+  def decodeImageIO(bytes: Array[Byte]): JvmImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "no ImageIO reader recognized the byte stream")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](w * h)
+    val gray = img.getColorModel.getNumColorComponents == 1
+    val raster = img.getRaster
+    // single-component images read RAW samples: getRGB would push gray
+    // values through a linear-gray→sRGB gamma conversion and silently
+    // distort every pixel (caught by the committed-fixture spec)
+    val grayMax = if (gray)
+      ((1 << raster.getSampleModel.getSampleSize(0)) - 1).toFloat else 0f
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) =
+          if (gray) raster.getSample(x, y, 0) / grayMax
+          else {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            (r + g + b) / (3f * 255f)
+          }
+        x += 1
+      }
+      y += 1
+    }
+    JvmImage(w, h, out)
+  }
+
+  /** Encode a gray buffer as a real PNG (ImageIO's pure-Java encoder) —
+    * the fixture-side inverse of [[decodeImageIO]]: PNG is lossless, so
+    * decode(encode(px)) returns exactly `round(px·255)/255` regardless
+    * of encoder byte layout. */
+  def encodePng(width: Int, height: Int, gray: Array[Float]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = math.max(0, math.min(255,
+          math.round(gray(y * width + x) * 255f)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Float])
 

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Driver-checkable form of the multimodal pipeline (VERDICT r1 item 9:
   * multimodal was the only spec-only component).
   *
-  * The fixture is the seeded in-engine media table (payload bytes are a
-  * pure function of `media_id`), decode is the declared deterministic
-  * [[graft.multimodal.MediaOps.StubCodec]], and every feature is computed
-  * per-row — so the output is bit-reproducible and pinned as a committed
-  * golden parquet ([[Golden]]). Fixture SIZE scales with the `sfDir`
+  * The fixture is the seeded in-engine media table (image rows are REAL
+  * PNG containers of a gray pattern that is a pure function of
+  * `media_id`; PNG is lossless, so decoded pixels don't depend on
+  * encoder byte layout), images decode through the JDK's pure-Java
+  * imageio plugins, video frames through the declared deterministic
+  * [[graft.multimodal.MediaOps.StubCodec]], and every feature is
+  * computed per-row — so the output is bit-reproducible and pinned as a
+  * committed golden parquet ([[Golden]]). Fixture SIZE scales with the `sfDir`
   * scale factor (VERDICT r3 item 8) so the bench sees a real multimodal
   * signal at every SF; the golden stays pinned because the formula yields
   * exactly [[BaseN]] rows at the driver's sf0.01 verify scale, and rows

@@ -41,15 +41,34 @@ class RealCodecSpec extends SparkSpec {
     }
   }
 
-  test("real WAV and BMP rows flow through the Spark operators") {
+  test("committed gradient.png decodes through the pure-Java ImageIO path") {
+    // hand-built grayscale PNG (color type 0, zlib IDAT): pixel (x,y) =
+    // min(255, x*16 + y) — values recomputed here from that formula, so
+    // a decoder regression cannot pass by matching itself
+    val img = RealCodecs.decodeImageIO(fixtureBytes("gradient.png"))
+    assert(img.width == 16 && img.height == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = math.min(255, x * 16 + y) / 255f
+      val got = img.pixels(y * 16 + x)
+      assert(math.abs(got - want) < 1e-6f, s"pixel ($x,$y): $got != $want")
+    }
+    // png round-trip: encode is the lossless inverse of decode
+    val back = RealCodecs.decodeImageIO(
+      RealCodecs.encodePng(img.width, img.height, img.pixels))
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+  }
+
+  test("real WAV, BMP and PNG rows flow through the Spark operators") {
     import spark.implicits._
     val wavBytes = fixtureBytes("tone.wav")
     val bmpBytes = fixtureBytes("gradient.bmp")
+    val pngBytes = fixtureBytes("gradient.png")
     val media = Seq(
       MediaRow(1L, "audio", wavBytes, MediaMeta(0, 0, 8000, 1, "wav")),
       MediaRow(2L, "image", bmpBytes, MediaMeta(8, 4, 0, 1, "bmp")),
-      // a stub-format image rides in the same table to prove dispatch
-      MediaRow(3L, "image", Array[Byte](1, 2, 3), MediaMeta(4, 4, 0, 1, "png")))
+      // metadata LIES about the size here — dimensions must come from
+      // the decoded container bytes, proving the dispatch is real
+      MediaRow(3L, "image", pngBytes, MediaMeta(4, 4, 0, 1, "png")))
       .toDS().repartition(2)
 
     val audio = MediaOps.decodeAudio(media).collect()
@@ -66,6 +85,10 @@ class RealCodecSpec extends SparkSpec {
     val bmp = images.head
     assert(bmp.width == 8 && bmp.height == 4) // dimensions FROM THE BYTES
     assert(math.abs(bmp.pixels(9) - (1 * 16 + 1 * 4) / 255f) < 1e-6f)
+    val png = images(1)
+    assert(png.width == 16 && png.height == 16,
+      "png dimensions must come from the container, not the lying metadata")
+    assert(math.abs(png.pixels(16 + 2) - math.min(255, 2 * 16 + 1) / 255f) < 1e-6f)
     // the real image resizes through the shared (non-stubbed) transform
     val resized = MediaOps.resize(
       MediaOps.decodeImages(media).filter(_.media_id == 2L), 4, 2).collect().head
