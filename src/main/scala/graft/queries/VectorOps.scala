@@ -813,9 +813,16 @@ object VectorOps {
     * within (1±ε) with the same guarantee as Gaussian entries and cost one
     * multiply-add per cell). Fixed seed; the SAME literals are embedded in
     * the oracle SQL, so both engines evaluate identical arithmetic. */
-  val RpRows: Seq[Seq[Double]] = {
+  val RpRows: Seq[Seq[Double]] = rpRowsFor(64)
+
+  /** The same Achlioptas construction at an arbitrary input dimension —
+    * the Tier-2 dense vectors ([[graft.functions.EmbedText.Dim]] = 384)
+    * project through `rpRowsFor(384)` in the streamed ANN index. Seeded
+    * per call, so `rpRowsFor(64)` IS [[RpRows]] and every caller at a
+    * given dim gets the identical matrix. */
+  def rpRowsFor(dim: Int): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(13)
-    Seq.fill(RpOut)(Seq.fill(64)(if (rng.nextBoolean()) 0.25 else -0.25))
+    Seq.fill(RpOut)(Seq.fill(dim)(if (rng.nextBoolean()) 0.25 else -0.25))
   }
 
   /** The query vector [[Q]] projected at plan time (ascending-index fold —

@@ -37,11 +37,12 @@ object AnnIndex {
     * and never touches the 64-d vectors until the rerank — the
     * "projections are write-time columns" claim of SCALE.md, executable. */
   def build(embeddings: DataFrame, path: String,
-      bits: Int = graft.queries.VectorOps.AnnBits): Unit = {
+      bits: Int = graft.queries.VectorOps.AnnBits,
+      rpRows: Seq[Seq[Double]] = graft.queries.VectorOps.RpRows): Unit = {
     import embeddings.sparkSession.implicits._
     embeddings
       .withColumn("bucket", packSignBits($"embedding", bits))
-      .withColumn("proj", matVec($"embedding", graft.queries.VectorOps.RpRows))
+      .withColumn("proj", matVec($"embedding", rpRows))
       .repartition($"bucket") // one task → one file per bucket partition
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
   }
@@ -55,13 +56,40 @@ object AnnIndex {
     * file per touched bucket per shard — `sources/Layout.compact` is the
     * periodic counterweight. */
   def append(newVectors: DataFrame, path: String,
-      bits: Int = graft.queries.VectorOps.AnnBits): Unit = {
+      bits: Int = graft.queries.VectorOps.AnnBits,
+      rpRows: Seq[Seq[Double]] = graft.queries.VectorOps.RpRows): Unit = {
     import newVectors.sparkSession.implicits._
     newVectors
       .withColumn("bucket", packSignBits($"embedding", bits))
-      .withColumn("proj", matVec($"embedding", graft.queries.VectorOps.RpRows))
+      .withColumn("proj", matVec($"embedding", rpRows))
       .repartition($"bucket")
       .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
+  }
+
+  /** Batch-IDEMPOTENT append — the streaming-maintenance write
+    * ([[graft.streaming.PromotionStream]] wires freshly promoted Tier-2
+    * vectors in here per micro-batch). A plain [[append]] replayed after
+    * a crash-before-checkpoint would double its rows; this write stamps
+    * the deterministic `batchId` as the OUTER partition level and uses
+    * dynamic partition overwrite, so a replay of batch N rewrites
+    * exactly the `(batch_id=N, bucket=*)` partitions it produced (same
+    * input → same rows) and touches no other batch — the Tier-2
+    * exactly-once trick applied to the index. Probes are layout-agnostic:
+    * they filter on `bucket`, which prunes at file-listing time under
+    * either layout (nested partition columns prune independently). */
+  def appendBatch(newVectors: DataFrame, path: String, batchId: Long,
+      bits: Int = graft.queries.VectorOps.AnnBits,
+      rpRows: Seq[Seq[Double]] = graft.queries.VectorOps.RpRows): Unit = {
+    import newVectors.sparkSession.implicits._
+    newVectors
+      .withColumn("bucket", packSignBits($"embedding", bits))
+      .withColumn("proj", matVec($"embedding", rpRows))
+      .withColumn("batch_id", lit(batchId))
+      .repartition($"bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "bucket")
+      .parquet(s"$path/index")
   }
 
   /** The multi-probe bucket set for query `q`: its own bucket plus every
@@ -81,7 +109,8 @@ object AnnIndex {
       q: Seq[Double] = graft.queries.VectorOps.Q,
       k: Int = graft.queries.VectorOps.AnnK,
       bits: Int = graft.queries.VectorOps.AnnBits,
-      shortlistN: Int = graft.queries.VectorOps.RerankShortlist): DataFrame = {
+      shortlistN: Int = graft.queries.VectorOps.RerankShortlist,
+      qProj: Seq[Double] = graft.queries.VectorOps.RpQ): DataFrame = {
     import spark.implicits._
     val probes = probeBuckets(q, bits)
     // shortlist scores the STORED 16-d projection (write-time column —
@@ -91,7 +120,7 @@ object AnnIndex {
     val shortlist = spark.read.parquet(s"$path/index")
       .filter($"bucket".isin(probes: _*)) // literal predicate → partition pruning
       .select($"vec_id", $"label", $"embedding",
-        round(cosineToConst($"proj", graft.queries.VectorOps.RpQ), 6).as("pscore"))
+        round(cosineToConst($"proj", qProj), 6).as("pscore"))
       .orderBy($"pscore".desc, $"vec_id")
       .limit(shortlistN)
     shortlist

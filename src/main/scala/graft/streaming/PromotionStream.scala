@@ -71,7 +71,8 @@ object PromotionStream {
       tier1Path: String,
       tier2Path: String,
       rules: Option[Rules],
-      windowSec: Long): Unit = {
+      windowSec: Long,
+      annIndexPath: Option[String] = None): Unit = {
     if (anomalies.isEmpty) return
     val t1 = spark.read.parquet(tier1Path)
     val windows = anomalies.select("window_start").distinct()
@@ -85,13 +86,31 @@ object PromotionStream {
         t1.filter(col("ts_sec") >= w && col("ts_sec") < nowSec), w, nowSec)
       Promoter.rollup(anomsW, points)
     }
-    if (rollups.nonEmpty)
-      rollups.reduce(_.unionByName(_))
+    if (rollups.nonEmpty) {
+      val combined = rollups.reduce(_.unionByName(_))
+      combined
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "dt")
         .parquet(tier2Path)
+      // index maintenance (VERDICT r8 #5): freshly promoted dense vectors
+      // become probe-visible in the SAME batch, through the same
+      // batchId-keyed idempotent write — a crash between the Tier-2 write
+      // and this one replays both with identical content, so they
+      // converge together. Without this, new anomalies stay invisible to
+      // the indexed probe until a manual rebuild.
+      annIndexPath.foreach { p =>
+        graft.search.AnnIndex.appendBatch(
+          combined.select(
+            col("rhythm_hash").as("vec_id"),
+            col("severity").as("label"),
+            col("dense").as("embedding")),
+          p, batchId,
+          rpRows = graft.queries.VectorOps.rpRowsFor(
+            graft.functions.EmbedText.Dim))
+      }
+    }
   }
 
   /** Start the end-to-end stream: Tier-1 file stream → watermarked keyed
@@ -106,7 +125,8 @@ object PromotionStream {
       watermarkDelay: String = "2 minutes",
       thresholds: StatefulDetector.Thresholds = StatefulDetector.Thresholds(),
       triggerMs: Long = 1000,
-      stateTtlMs: Option[Long] = Some(StatefulDetector.DefaultStateTtlMs)): StreamingQuery = {
+      stateTtlMs: Option[Long] = Some(StatefulDetector.DefaultStateTtlMs),
+      annIndexPath: Option[String] = None): StreamingQuery = {
     val schema = spark.read.parquet(tier1Path).schema
     val logs = spark.readStream.schema(schema).parquet(tier1Path)
       .select("rhythm_hash", "ts_sec")
@@ -117,7 +137,7 @@ object PromotionStream {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         try promoteBatchIdempotent(batch.sparkSession, batch, batchId,
-          tier1Path, tier2Path, rules, windowSec)
+          tier1Path, tier2Path, rules, windowSec, annIndexPath)
         catch {
           case e: Exception =>
             // reference behavior: log and keep the loop alive (worker.py:32-34)

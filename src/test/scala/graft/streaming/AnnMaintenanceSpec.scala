@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.search.AnnIndex
+import org.apache.spark.sql.functions.col
+
+/** Streaming index maintenance (VERDICT r8 #5): promotion must leave the
+  * ANN index in exactly the state a from-scratch rebuild over Tier-2
+  * produces — across a kill/restart and under a forced batch replay —
+  * so freshly promoted anomalies are probe-visible without a manual
+  * rebuild and a crash can never double index rows. */
+class AnnMaintenanceSpec extends SparkSpec {
+
+  private val th = StatefulDetector.Thresholds(
+    noveltyMinCount = 2, freqMinCount = 2, freqSigma = 1.0, stdFloor = 0.5)
+  private val Dim = graft.functions.EmbedText.Dim
+  private val Rp = graft.queries.VectorOps.rpRowsFor(Dim)
+
+  /** Probe with the near-dup lookup a triage user runs: q = one stored
+    * dense vector (same sign bucket by construction, so the bucketed
+    * probe must surface it); projection via the same ascending fold
+    * matVec uses. */
+  private def probeRows(path: String, q: Seq[Double]): Seq[String] = {
+    val qProj = Rp.map(r => r.indices.foldLeft(0.0)((a, i) => a + r(i) * q(i)))
+    AnnIndex.probe(spark, path, q = q, qProj = qProj)
+      .collect().map(_.toString).toSeq
+  }
+
+  private def storedVector(indexPath: String): Seq[Double] =
+    spark.read.parquet(indexPath).select("embedding")
+      .orderBy(col("vec_id")).head.getSeq[Float](0).map(_.toDouble).toSeq
+
+  test("stop/restart stream: probe(streamed index) == probe(rebuild), no dupes") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ann-maint").toString
+    val base = 1700000000L
+    def writeT1(rows: Seq[(String, Long)]): Unit =
+      rows.zipWithIndex.map { case ((h, ts), i) =>
+        (h, ts, "auth", "INFO", s"evt $i at $ts")
+      }.toDF("rhythm_hash", "ts_sec", "service", "severity", "body")
+        .write.mode("append").parquet(s"$tmp/tier1")
+
+    // phase 1 (novelty window for h1), stream stopped between phases —
+    // the PromotionRecoverySpec choreography with the index wired in
+    writeT1(Seq.tabulate(3)(i => ("h1", base + i)))
+    writeT1(Seq(("close1", base + 75)))
+    val q1 = PromotionStream.start(spark, s"$tmp/tier1", s"$tmp/tier2",
+      s"$tmp/ckpt", rules = None, windowSec = 60,
+      watermarkDelay = "10 seconds", thresholds = th,
+      triggerMs = 100, stateTtlMs = None, annIndexPath = Some(s"$tmp/ann"))
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 (frequency burst) arrives while no query runs
+    writeT1(Seq.tabulate(8)(i => ("h1", base + 120 + i)))
+    writeT1(Seq(("close2", base + 4000)))
+    val q2 = PromotionStream.start(spark, s"$tmp/tier1", s"$tmp/tier2",
+      s"$tmp/ckpt", rules = None, windowSec = 60,
+      watermarkDelay = "10 seconds", thresholds = th,
+      triggerMs = 100, stateTtlMs = None, annIndexPath = Some(s"$tmp/ann"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val tier2 = spark.read.parquet(s"$tmp/tier2")
+    assert(tier2.count() >= 2, "both anomaly branches must have promoted")
+
+    // no dupes: the index holds exactly one row per promoted Tier-2 row
+    val idx = spark.read.parquet(s"$tmp/ann/index")
+    assert(idx.count() == tier2.count(),
+      s"index rows ${idx.count()} != tier2 rows ${tier2.count()}")
+
+    // rebuild reference: same rows, from-scratch build (bucket layout)
+    AnnIndex.build(
+      tier2.select(col("rhythm_hash").as("vec_id"),
+        col("severity").as("label"), col("dense").as("embedding")),
+      s"$tmp/ann_rebuild", rpRows = Rp)
+    val q = storedVector(s"$tmp/ann/index")
+    val got = probeRows(s"$tmp/ann", q)
+    val want = probeRows(s"$tmp/ann_rebuild", q)
+    assert(got.nonEmpty, "probe over the streamed index found nothing")
+    assert(got == want,
+      s"streamed index diverged from rebuild:\n got=$got\n want=$want")
+  }
+
+  test("a replayed batch does not duplicate index rows") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ann-replay").toString
+    val base = 1700000000L
+    Seq.tabulate(3)(i => ("h1", base + i)).zipWithIndex
+      .map { case ((h, ts), i) => (h, ts, "auth", "INFO", s"evt $i") }
+      .toDF("rhythm_hash", "ts_sec", "service", "severity", "body")
+      .write.parquet(s"$tmp/tier1")
+    val anoms = StatefulDetector.detect(
+      spark.read.parquet(s"$tmp/tier1").select("rhythm_hash", "ts_sec"),
+      60, thresholds = th).toDF()
+
+    def run(): Unit = PromotionStream.promoteBatchIdempotent(
+      spark, anoms, 7L, s"$tmp/tier1", s"$tmp/tier2", None, 60,
+      annIndexPath = Some(s"$tmp/ann"))
+    run()
+    val q = storedVector(s"$tmp/ann/index")
+    val once = probeRows(s"$tmp/ann", q)
+    val onceN = spark.read.parquet(s"$tmp/ann/index").count()
+    assert(once.nonEmpty && onceN > 0)
+    run() // crash-replay: same batchId, same input
+    assert(probeRows(s"$tmp/ann", q) == once, "replay changed probe results")
+    assert(spark.read.parquet(s"$tmp/ann/index").count() == onceN,
+      "replay duplicated index rows")
+  }
+}
