@@ -479,12 +479,27 @@ object TextOps {
           graft.GraftFunctions.columnOf(
             org.apache.spark.sql.catalyst.expressions.XxHash64(
               Seq(graft.GraftFunctions.exprOf($"gram")), 0x6a616366L)).as("h2"))
+      // `df` (true document frequency) rides the same census exchange as
+      // one extra long per gram — the saturating set alone cannot report
+      // how MUCH volume the cap diverted, and the observe point below is
+      // the cap telemetry: jaccard_pairs_cap.over_cap_groups counts the
+      // hot grams routed to the broadcast membership path (NOT dropped —
+      // this query's score is exact), over_cap_rows their total
+      // memberships. Observed pre-split, so both census consumers see
+      // the full relation (observe is a pushdown barrier).
       val census = gramFps
         .groupBy($"h1", $"h2")
         .agg(graft.GraftFunctions.columnOf(
           graft.functions.BoundedCollectSet(
             graft.GraftFunctions.exprOf($"doc_id"),
-            JaccardDfCap + 1).toAggregateExpression()).as("ds"))
+            JaccardDfCap + 1).toAggregateExpression()).as("ds"),
+          count(lit(1)).as("df"))
+        .observe("jaccard_pairs_cap",
+          size(collect_set(when($"df" > JaccardDfCap, struct($"h1", $"h2"))))
+            .as("over_cap_groups"),
+          aggregate(
+            collect_set(when($"df" > JaccardDfCap, struct($"h1", $"h2", $"df"))),
+            lit(0L), (acc, x) => acc + x.getField("df")).as("over_cap_rows"))
       // discriminative grams (2 <= df <= cap): explode each ds into its
       // unordered pairs; the groupBy both dedups pairs AND counts each
       // pair's shared discriminative grams
@@ -663,12 +678,24 @@ object TextOps {
           graft.GraftFunctions.columnOf(
             org.apache.spark.sql.catalyst.expressions.XxHash64(
               Seq(graft.GraftFunctions.exprOf($"gram")), 0x6a616366L)).as("h2"))
+      // cap telemetry (see jaccard_pairs): here over-cap grams ARE
+      // excluded from the score by definition, so over_cap_rows is the
+      // exact count of (doc, gram) memberships the cap removed from this
+      // corpus's post-cap universe — the recall price of the skew guard,
+      // readable per query run instead of guessed
       val census = gramFps
         .groupBy($"h1", $"h2")
         .agg(graft.GraftFunctions.columnOf(
           graft.functions.BoundedCollectSet(
             graft.GraftFunctions.exprOf($"doc_id"),
-            JaccardDfCap + 1).toAggregateExpression()).as("ds"))
+            JaccardDfCap + 1).toAggregateExpression()).as("ds"),
+          count(lit(1)).as("df"))
+        .observe("jaccard_capped_cap",
+          size(collect_set(when($"df" > JaccardDfCap, struct($"h1", $"h2"))))
+            .as("over_cap_groups"),
+          aggregate(
+            collect_set(when($"df" > JaccardDfCap, struct($"h1", $"h2", $"df"))),
+            lit(0L), (acc, x) => acc + x.getField("df")).as("over_cap_rows"))
         .filter(size($"ds") <= JaccardDfCap) // post-cap universe
       // per-doc sizes over the POST-CAP gram sets (df=1 grams count here
       // but cannot pair)

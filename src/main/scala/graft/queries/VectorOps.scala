@@ -411,11 +411,23 @@ object VectorOps {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .withColumn("bucket", packSignBits($"embedding", NeardupBits))
-      // bucket census: at most 2^NeardupBits rows — always broadcast-able
-      val kept = e.groupBy($"bucket").agg(count(lit(1)).as("bn"))
-        .filter($"bn" <= NeardupBucketCap)
-        .select($"bucket")
-      val pruned = e.join(broadcast(kept), "bucket")
+      // bucket census: at most 2^NeardupBits rows — always broadcast-able.
+      // The flag join carries the cap verdict onto the corpus side, where
+      // the telemetry observe point must live (see semdedupMember):
+      // neardup_cap.over_cap_groups/.over_cap_rows report exactly what
+      // the bucket cap excluded from pair formation on this corpus — the
+      // 100 TB operator's signal that NeardupBits is too coarse. The
+      // collect_set-of-structs form keeps the values idempotent under
+      // branch recomputation; state is ≤ 2^NeardupBits rows.
+      val censusF = e.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+        .select($"bucket", $"bn", ($"bn" <= NeardupBucketCap).as("under"))
+      val overSet = collect_set(when(!$"under", struct($"bucket", $"bn")))
+      val pruned = e.join(broadcast(censusF), "bucket")
+        .observe("neardup_cap",
+          size(overSet).as("over_cap_groups"),
+          aggregate(overSet, lit(0L),
+            (acc, x) => acc + x.getField("bn")).as("over_cap_rows"))
+        .filter($"under")
       val a = pruned.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
       val b = pruned.select($"vec_id".as("b_id"), $"bucket".as("bb"), $"embedding".as("eb"))
       a.join(b, $"bucket" === $"bb" && $"a_id" < $"b_id")
@@ -523,8 +535,13 @@ object VectorOps {
   }
 
   /** Shared front half of both semdedup variants: one-scan centroid
-    * assignment (`member`: vec_id, embedding, cid) plus the broadcast
-    * under-cap cluster census (`small`: cid). */
+    * assignment (`member`: vec_id, embedding, cid) plus `flagged` —
+    * member carrying an `under` cap flag from the broadcast cluster
+    * census, with the cap telemetry observe point attached (see
+    * [[CapMetrics]]): `semdedup_cap.over_cap_groups` / `.over_cap_rows`
+    * report how many clusters (and member rows) the [[SemClusterCap]]
+    * recall guard excluded from pair formation on THIS corpus — the
+    * number a 100 TB operator reads to decide whether nlist must grow. */
   private def semdedupMember(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
@@ -543,10 +560,24 @@ object VectorOps {
     val member = e.select($"vec_id", $"embedding",
       element_at(typedlit(centRows.map(_._1)),
         array_position(cs, array_max(cs)).cast("int")).as("cid"))
-    // cluster census: at most nlist rows — always broadcast-able
-    val small = member.groupBy($"cid").agg(count(lit(1)).as("cn"))
-      .filter($"cn" <= SemClusterCap).select($"cid")
-    (member, small)
+    // cluster census: at most nlist rows — always broadcast-able. The
+    // flag join (instead of a filtered-id inner + left_anti pair) lets
+    // ONE corpus-side relation carry the cap flag, which is where the
+    // telemetry must sit: a CollectMetrics inside a broadcast subtree
+    // does not surface in observedMetrics. Both metrics derive from a
+    // collect_set of per-cluster (cid, cn) structs — set semantics make
+    // the values IDEMPOTENT when plan branches recompute the observed
+    // relation against one shared accumulator (a plain sum here measured
+    // 2× on the two-branch gate plan); state is bounded by nlist rows.
+    val censusF = member.groupBy($"cid").agg(count(lit(1)).as("cn"))
+      .select($"cid", $"cn", ($"cn" <= SemClusterCap).as("under"))
+    val overSet = collect_set(when(!$"under", struct($"cid", $"cn")))
+    val flagged = member.join(broadcast(censusF), "cid")
+      .observe("semdedup_cap",
+        size(overSet).as("over_cap_groups"),
+        aggregate(overSet, lit(0L),
+          (acc, x) => acc + x.getField("cn")).as("over_cap_rows"))
+    (member, flagged)
   }
 
   /** The opt-in JL-slimmed pair stage (see the semdedup scaladoc for the
@@ -559,8 +590,8 @@ object VectorOps {
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val (member, small) = semdedupMember(s, dir)
-    val paired = member.join(broadcast(small), "cid")
+    val (member, flagged) = semdedupMember(s, dir)
+    val paired = flagged.filter($"under")
       .withColumn("p", matVec($"embedding", SemProjBasis))
       .withColumn("nv", l2Norm($"embedding"))
       .withColumn("rn", sqrt(greatest(lit(0.0), $"nv" * $"nv" -
@@ -591,20 +622,21 @@ object VectorOps {
     "semdedup",
     (s, dir) => {
       import s.implicits._
-      val (member, small) = semdedupMember(s, dir)
+      val (_, flagged) = semdedupMember(s, dir)
       // under-cap clusters: vectors cross ONE exchange (the cid
       // collect_list), then one SemPairDropExpr kernel call per cluster
       // decides every member's verdict — no pair join, no distinct, no
       // corpus-wide verdict join (the fused form; pair arithmetic and
       // the round-6 drop rule are bit-identical to the relational plan,
       // SemdedupSpec's independent recompute unchanged)
-      val verdicts = member.join(broadcast(small), "cid")
+      val verdicts = flagged.filter($"under")
         .groupBy($"cid")
         .agg(collect_list(struct($"vec_id", $"embedding")).as("ms"))
         .select($"cid", explode(semPairDrop($"ms", SemdedupTau)).as("v"))
         .select($"v.vec_id".as("vec_id"), $"cid", $"v.kept".as("kept"))
-      // over-cap clusters skip pair formation entirely: all kept
-      val overCap = member.join(broadcast(small), Seq("cid"), "left_anti")
+      // over-cap clusters skip pair formation entirely: all kept —
+      // exactly the rows semdedup_cap.over_cap_rows counts
+      val overCap = flagged.filter(!$"under")
         .select($"vec_id", $"cid", lit(true).as("kept"))
       verdicts.unionByName(overCap).orderBy($"vec_id")
     },

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{SparkEntry, SparkSpec}
+import graft.{ObservedMetrics, SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
 /** jaccard_capped under hot grams: a stop-phrase present in EVERY document
@@ -101,5 +101,45 @@ class JaccardHotGramSpec extends SparkSpec {
     assert(got.toSeq.map(t => (t._1, t._2)).toSet ==
       capped.map(t => (t._1, t._2)).toSet)
     assert(got.toSeq != capped, "exact scores must differ from post-cap scores")
+  }
+
+  test("cap telemetry: both jaccard queries report the df-cap's exclusions") {
+    import spark.implicits._
+    val hot = "alpha beta gamma delta epsilon"
+    val docs = (0 until 60).map { i =>
+      val g = i / 3
+      (i.toLong,
+        s"$hot shared$g phrase$g tokens$g joint$g here$g " +
+          s"filler$i token$i word$i extra$i more$i",
+        "en", "synth", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("hotgram3").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.parquet(s"$dir/documents.parquet")
+
+    // brute-force expectation: grams with df > cap, and their memberships
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    }
+    val df = docs.flatMap(d => grams(d._2)).groupBy(identity).view.mapValues(_.size)
+    val overGrams = df.values.count(_ > TextOps.JaccardDfCap).toLong
+    val overRows = df.values.filter(_ > TextOps.JaccardDfCap).map(_.toLong).sum
+    assert(overGrams > 0, "fixture must contain hot grams")
+
+    for (q <- Seq("jaccard_pairs", "jaccard_capped")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains(s"CollectMetrics ${q}_cap"),
+        s"$q must surface its cap telemetry in the plan:\n${plan.take(800)}")
+      val m = ObservedMetrics.capture(spark) {
+        SparkEntry.queries(q)(spark, dir).collect()
+      }
+      val row = m.getOrElse(s"${q}_cap", fail(s"no ${q}_cap metrics in $m"))
+      assert(row.getAs[Int]("over_cap_groups").toLong == overGrams,
+        s"$q over_cap_groups: ${row} vs $overGrams")
+      assert(row.getAs[Long]("over_cap_rows") == overRows,
+        s"$q over_cap_rows: ${row} vs $overRows")
+    }
   }
 }
