@@ -25,15 +25,41 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (`nanosAsLong`). We expose it plus a derived `ts_sec` (epoch
-    * seconds, exact integer division — double division would lose precision
-    * above 2^53). DuckDB oracle equivalent: `CAST(floor(epoch(ts)) AS BIGINT)`.
+  /** `events.ts` arrives as either parquet TIMESTAMP(NANOS) — which Spark
+    * only reads as a raw long (`nanosAsLong`) — or TIMESTAMP(MICROS),
+    * Spark-native `TimestampType` (the driver's generator has produced both
+    * layouts across rounds). Downstream operators never touch `ts` raw;
+    * they use the two canonical columns derived here, identical under both
+    * layouts because the fixture timestamps carry no sub-microsecond part:
+    *   - `ts_us`  — epoch MICROseconds (long; the finest cross-engine
+    *     precision: DuckDB truncates nanos to micros anyway)
+    *   - `ts_sec` — epoch seconds (long, exact integer division — double
+    *     division would lose precision on epoch nanos ~1.7e18 > 2^53)
+    * DuckDB oracle equivalents: `epoch_us(ts)` / `CAST(floor(epoch(ts)) AS
+    * BIGINT)`, both layout-independent on the oracle side too.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_sec", org.apache.spark.sql.functions.expr("ts div 1000000000"))
+    val raw = load(spark, dir, "events")
+    val withUs = raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as raw nanos
+        raw.withColumn("ts_us", expr("ts div 1000"))
+      case TimestampType =>
+        raw.withColumn("ts_us", expr("unix_micros(ts)"))
+      case TimestampNTZType =>
+        // A naive timestamp's wall clock IS the epoch instant (DuckDB's
+        // epoch_us convention). Re-render the NTZ wall clock into the
+        // session zone before the instant-cast so the result is the same
+        // under ANY session timezone, not just UTC.
+        raw.withColumn("ts_us", expr(
+          "unix_micros(cast(convert_timezone('UTC', current_timezone(), ts) as timestamp))"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected nanos-long or timestamp)")
+    }
+    withUs.withColumn("ts_sec", expr("ts_us div 1000000"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * §2.2 P8 is the range predicate; these are its stateful/ordered
   * cousins).
   *
-  * Precision contract: the parquet `ts` is TIMESTAMP(NANOS); DuckDB reads
-  * it truncated to microseconds, so every cross-engine comparison here
-  * works at MICROsecond precision (`ts div 1000` ≡ `epoch_us(ts)`), at
+  * Precision contract: every cross-engine comparison here works at
+  * MICROsecond precision — `Tables.events.ts_us` ≡ DuckDB `epoch_us(ts)`
+  * under both parquet timestamp layouts the driver has produced — at
   * which (user_id, ts_us) is unique in the fixtures — order within a user
   * is total, making both operators deterministic.
   *
@@ -45,9 +45,7 @@ object SessionOps {
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val prev = lag($"ts_sec", 1).over(w)
       Tables.events(s, dir)
-        // integer div, not `/`: double division loses precision on epoch
-        // nanos (~1.7e18 > 2^53), same contract as Tables.events.ts_sec
-        .select($"user_id", expr("ts div 1000").as("ts_us"),
+        .select($"user_id", $"ts_us",
           $"ts_sec",
           round($"value" * 100).cast("long").as("cents"))
         .withColumn("brk",
@@ -152,8 +150,7 @@ object SessionOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
         .filter($"event_type".isin("click", "error"))
-        .select($"event_id", $"user_id",
-          expr("ts div 1000").as("ts_us"),
+        .select($"event_id", $"user_id", $"ts_us",
           ($"event_type" === "error").as("is_err"))
         .withColumn("last_err_us",
           last(when($"is_err", $"ts_us"), ignoreNulls = true).over(w))
@@ -192,7 +189,7 @@ object SessionOps {
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val last3 = w.rowsBetween(-2, Window.currentRow)
       Tables.events(s, dir)
-        .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+        .select($"event_id", $"user_id", $"ts_us",
           round($"value" * 100).cast("long").as("cents"))
         .select($"event_id", $"user_id",
           round(sum($"cents").over(cum) / 100.0, 2).as("cum_value"),

@@ -12,7 +12,7 @@ class SessionOpsSpec extends SparkSpec {
 
   private def rawEvents() =
     Tables.events(spark, SfDir)
-      .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us",
+      .selectExpr("event_id", "user_id", "ts_us",
         "ts_sec", "event_type", "value")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

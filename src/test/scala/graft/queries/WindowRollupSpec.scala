@@ -95,7 +95,7 @@ class WindowRollupSpec extends SparkSpec {
     def r(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
     val events = Tables.events(spark, SfDir)
-      .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us", "value")
+      .selectExpr("event_id", "user_id", "ts_us", "value")
       .collect()
       .map(e => (e.getLong(0), e.getLong(1), e.getLong(2), e.getDouble(3)))
     val expected = events.groupBy(_._2).values.flatMap { evs =>

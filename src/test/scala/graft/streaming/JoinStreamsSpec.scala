@@ -25,7 +25,7 @@ class JoinStreamsSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rows = Tables.events(s, SfDir)
-      .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us", "event_type")
+      .selectExpr("event_id", "user_id", "ts_us", "event_type")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(_._3)
@@ -56,7 +56,7 @@ class JoinStreamsSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rows = Tables.events(s, SfDir)
-      .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us", "event_type")
+      .selectExpr("event_id", "user_id", "ts_us", "event_type")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(_._3)

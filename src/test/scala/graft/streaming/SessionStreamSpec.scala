@@ -55,7 +55,7 @@ class SessionStreamSpec extends SparkSpec {
 
     val SfDir = "/root/testdata/sf0.001"
     val rows = Tables.events(spark, SfDir)
-      .selectExpr("user_id", "ts div 1000 AS ts_us", "value")
+      .selectExpr("user_id", "ts_us", "value")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._2)
