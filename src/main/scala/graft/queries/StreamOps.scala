@@ -43,9 +43,16 @@ object StreamOps {
         FROM events
         GROUP BY 1, 2),
       st AS (
+        -- prev_mean from EXACT integer sum/count (one IEEE division), and
+        -- the 4-dp baseline via integer-floor HALF_UP — identical to the
+        -- detector's BigDecimal(sum)/windows; avg(n)+round(double) here
+        -- drifted a ulp from the iterative fold and flipped a 4-dp
+        -- boundary at the sf1 sweep
         SELECT rhythm_hash, window_start, n,
           count(*) OVER w AS prev_windows,
-          avg(n) OVER w AS prev_mean
+          CAST(sum(n) OVER w AS BIGINT) AS prev_sum,
+          CAST(sum(n) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+            AS prev_mean
         FROM wc
         WINDOW w AS (PARTITION BY rhythm_hash ORDER BY window_start
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
@@ -53,7 +60,9 @@ object StreamOps {
         CASE WHEN prev_windows = 0 THEN 'novelty' ELSE 'frequency' END AS anomaly_type,
         n,
         CASE WHEN prev_windows = 0 THEN NULL
-          ELSE round(prev_mean, 4) END AS baseline_mean
+          ELSE CAST((2 * 10000 * prev_sum + prev_windows)
+                 // (2 * prev_windows) AS BIGINT) / 10000.0
+          END AS baseline_mean
       FROM st
       WHERE (prev_windows = 0 AND n >= ${Th.noveltyMinCount})
         OR (prev_windows > 0

@@ -21,7 +21,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulDetector {
 
   case class WindowCount(rhythmHash: String, windowStart: Long, n: Long)
-  case class HashState(windows: Long, mean: Double)
+
+  /** Per-hash baseline as EXACT integers (closed windows, summed counts);
+    * the mean is derived by one IEEE division. An iterative running double
+    * mean here was a cross-engine landmine: after thousands of folds its
+    * ulp drift vs the oracle's sum/count lands on a 4-dp rounding boundary
+    * (~1/10^4 rows; found by the r9 sf1 sweep) — integer state makes the
+    * summation order-independent and the boundary decision identical on
+    * both engines. */
+  case class HashState(windows: Long, sum: Long) {
+    def mean: Double =
+      if (windows == 0) 0.0 else sum.toDouble / windows.toDouble
+  }
   case class Anomaly(rhythm_hash: String, window_start: Long,
       anomaly_type: String, n: Long, baseline_mean: Option[Double])
 
@@ -57,23 +68,26 @@ object StatefulDetector {
       return Iterator.empty
     }
     val sorted = counts.toSeq.sortBy(_.windowStart)
-    var st = state.getOption.getOrElse(HashState(0L, 0.0))
+    var st = state.getOption.getOrElse(HashState(0L, 0L))
     val out = Seq.newBuilder[Anomaly]
     sorted.foreach { wc =>
       if (st.windows == 0) {
         if (wc.n >= th.noveltyMinCount)
           out += Anomaly(key, wc.windowStart, "novelty", wc.n, None)
       } else {
-        val std = math.max(th.stdFloor, math.sqrt(st.mean))
-        if (wc.n > st.mean + th.freqSigma * std && wc.n >= th.freqMinCount)
+        val mean = st.mean
+        val std = math.max(th.stdFloor, math.sqrt(mean))
+        if (wc.n > mean + th.freqSigma * std && wc.n >= th.freqMinCount)
           out += Anomaly(key, wc.windowStart, "frequency", wc.n,
-            // HALF_UP to match SQL round() semantics (oracle parity)
-            Some(BigDecimal(st.mean)
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            // exact-rational HALF_UP at 4 dp (sum/windows as BigDecimal,
+            // not round-of-double) — the oracle's integer-floor form
+            // computes the identical value; see HashState
+            Some(new java.math.BigDecimal(st.sum)
+              .divide(new java.math.BigDecimal(st.windows), 4,
+                java.math.RoundingMode.HALF_UP).doubleValue()))
       }
-      // fold the window into the baseline (running mean over windows)
-      st = HashState(st.windows + 1,
-        (st.mean * st.windows + wc.n) / (st.windows + 1))
+      // fold the window into the baseline (exact integer accumulation)
+      st = HashState(st.windows + 1, st.sum + wc.n)
     }
     state.update(st)
     ttlMs.foreach(state.setTimeoutDuration)

@@ -32,7 +32,7 @@ class StatefulDetectorTtlSpec extends AnyFunSuite {
 
   test("timeout invocation removes the idle state") {
     val st = TestGroupState.create[HashState](
-      Optional.of(HashState(5, 10.0)),
+      Optional.of(HashState(5, 50L)),
       GroupStateTimeout.ProcessingTimeTimeout(), 1000L, Optional.empty(), true)
     val out = classify(th, ttl)("h1", Iterator.empty, st).toList
     assert(out.isEmpty, "a timeout fires no anomalies")
@@ -42,7 +42,7 @@ class StatefulDetectorTtlSpec extends AnyFunSuite {
   test("an evicted hash re-enters as novelty") {
     // before eviction: baseline exists -> high count flags as frequency
     val before = TestGroupState.create[HashState](
-      Optional.of(HashState(10, 2.0)),
+      Optional.of(HashState(10, 20L)),
       GroupStateTimeout.ProcessingTimeTimeout(), 1000L, Optional.empty(), false)
     val f = classify(th, ttl)("h1", Iterator(WindowCount("h1", 120, 9)), before).toList
     assert(f.map(_.anomaly_type) == List("frequency"))
