@@ -50,11 +50,20 @@ object Tables {
         raw.withColumn("ts_us", expr("unix_micros(ts)"))
       case TimestampNTZType =>
         // A naive timestamp's wall clock IS the epoch instant (DuckDB's
-        // epoch_us convention). Re-render the NTZ wall clock into the
+        // epoch_us convention). Under a UTC session (every graft entry
+        // point) the NTZ→instant cast is already that — take the cheap
+        // per-row path. Otherwise re-render the NTZ wall clock into the
         // session zone before the instant-cast so the result is the same
-        // under ANY session timezone, not just UTC.
-        raw.withColumn("ts_us", expr(
-          "unix_micros(cast(convert_timezone('UTC', current_timezone(), ts) as timestamp))"))
+        // under ANY session timezone (captured at load time; TablesSpec
+        // pins fast-path ≡ general-path).
+        val zone = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone")).getRules
+        val sessionIsUtc = zone.isFixedOffset &&
+          zone.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+        val usExpr =
+          if (sessionIsUtc) "unix_micros(cast(ts as timestamp))"
+          else "unix_micros(cast(convert_timezone('UTC', current_timezone(), ts) as timestamp))"
+        raw.withColumn("ts_us", expr(usExpr))
       case other =>
         throw new IllegalStateException(
           s"events.ts has unsupported type $other (expected nanos-long or timestamp)")
