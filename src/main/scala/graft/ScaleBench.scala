@@ -28,8 +28,9 @@ import graft.search.{AnnIndex, DedupIndex, IvfIndex, TextIndex}
   * from a 64-word vocab that includes `text_match`'s query tokens, so the
   * text legs do real selective work.
   *
-  * Usage: `sbt "runMain graft.ScaleBench [embSizes] [docSizes]"`, sizes
-  * comma-separated (defaults below: sf0.1-equivalent → 200× that).
+  * Usage: `sbt "runMain graft.ScaleBench [embSizes] [docSizes] [legs]"`,
+  * sizes comma-separated (defaults below: sf0.1-equivalent → 200× that);
+  * `legs` optionally restricts to named legs (e.g. `semdedup`).
   */
 object ScaleBench {
 
@@ -142,6 +143,9 @@ object ScaleBench {
       .split(",").map(_.trim.toLong).toSeq
     val docSizes = (if (args.length > 1) args(1) else "5000,50000,200000,1000000")
       .split(",").map(_.trim.toLong).toSeq
+    val legs: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def want(l: String) = legs.forall(_.contains(l))
     val root = "target/scalebench"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -173,6 +177,7 @@ object ScaleBench {
       val dir = s"$root/emb_n$n"
       genEmbeddings(spark, dir, n)
 
+      if (want("ann_rerank")) {
       val annPath = s"$dir/annidx"
       val (annBuild, _) = time {
         AnnIndex.build(Tables.embeddings(spark, dir), annPath); 0L }
@@ -181,7 +186,9 @@ object ScaleBench {
       val annIndexed = profile(3) {
         AnnIndex.probe(spark, annPath).collect().length.toLong }
       record("ann_rerank", n, annBuild, annInline, annIndexed)
+      }
 
+      if (want("ann_ivf")) {
       val ivfPath = s"$dir/ivfidx"
       val (ivfBuild, _) = time {
         IvfIndex.build(Tables.embeddings(spark, dir), ivfPath); 0L }
@@ -190,6 +197,30 @@ object ScaleBench {
       val ivfIndexed = profile(3) {
         IvfIndex.probe(spark, ivfPath).collect().length.toLong }
       record("ann_ivf", n, ivfBuild, ivfInline, ivfIndexed)
+      }
+
+      if (want("semdedup")) {
+      // semdedup production-lever scaling: nlist grows with the corpus so
+      // expected occupancy stays ~5k (< SemClusterCap) — per-cluster pair
+      // work constant, total work ~linear in n. The "inline" leg is the
+      // gate's FIXED 16 centroids (occupancy grows with n until the cap
+      // guard disables pair formation entirely — the shape the cap
+      // telemetry exists to flag); "indexed" is the scaled-nlist form.
+      def cents(occupancy: Long): Seq[Long] = {
+        val nlist = math.max(16L, n / occupancy)
+        (0L until nlist).map(i => i * (n / nlist))
+      }
+      val semFixed = profile(2) {
+        graft.queries.VectorOps.semdedupFused(spark, dir).count() }
+      val semScaled = profile(2) {
+        graft.queries.VectorOps.semdedupFused(spark, dir, cents(5000L)).count() }
+      record("semdedup", n, 0.0, semFixed, semScaled)
+      // the occupancy lever: pair work is O(n x occupancy), so a tighter
+      // semantic granularity is CHEAPER — recorded as its own leg
+      val semOcc1k = profile(2) {
+        graft.queries.VectorOps.semdedupFused(spark, dir, cents(1000L)).count() }
+      record("semdedup_occ1k", n, 0.0, semOcc1k, semOcc1k)
+      }
     }
 
     docSizes.foreach { n =>
@@ -197,6 +228,7 @@ object ScaleBench {
       genDocuments(spark, dir, n)
       val corpus = Tables.documents(spark, dir)
 
+      if (want("dedup_probe")) {
       val dedupPath = s"$dir/dedupidx"
       val (dedupBuild, _) = time { DedupIndex.build(corpus, dedupPath); 0L }
       val sh = shard(spark)
@@ -205,7 +237,9 @@ object ScaleBench {
       val dedupIndexed = profile(3) {
         DedupIndex.probe(spark, dedupPath, sh).collect().length.toLong }
       record("dedup_probe", n, dedupBuild, dedupInline, dedupIndexed)
+      }
 
+      if (want("text_match")) {
       val textPath = s"$dir/textidx"
       val (textBuild, _) = time { TextIndex.build(corpus, textPath); 0L }
       val textInline = profile(3) {
@@ -216,6 +250,7 @@ object ScaleBench {
             Seq("doc_id"), "left_semi")
           .select($"doc_id").count() }
       record("text_match", n, textBuild, textInline, textIndexed)
+      }
     }
     spark.stop()
   }

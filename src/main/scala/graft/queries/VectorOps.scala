@@ -542,13 +542,14 @@ object VectorOps {
     * report how many clusters (and member rows) the [[SemClusterCap]]
     * recall guard excluded from pair formation on THIS corpus — the
     * number a 100 TB operator reads to decide whether nlist must grow. */
-  private def semdedupMember(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  private[graft] def semdedupMember(s: org.apache.spark.sql.SparkSession,
+      dir: String, centroids: Seq[Long] = SemCentroids)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     // bounded metadata collect (nlist rows — IvfIndex.probe's declared
     // pattern): centroid vectors become constant kernel arguments
-    val centRows = e.filter($"vec_id".isin(SemCentroids: _*))
+    val centRows = e.filter($"vec_id".isin(centroids: _*))
       .select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
       .sortBy(_._1).toSeq
@@ -618,28 +619,36 @@ object VectorOps {
       .orderBy($"vec_id")
   }
 
+  /** The fused gate form, parameterized on the centroid set so the
+    * production lever (nlist grows with the corpus, keeping expected
+    * occupancy under [[SemClusterCap]]) is the same code path
+    * `ScaleBench` measures at 200× the gate corpus. */
+  private[graft] def semdedupFused(s: org.apache.spark.sql.SparkSession,
+      dir: String, centroids: Seq[Long] = SemCentroids)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (_, flagged) = semdedupMember(s, dir, centroids)
+    // under-cap clusters: vectors cross ONE exchange (the cid
+    // collect_list), then one SemPairDropExpr kernel call per cluster
+    // decides every member's verdict — no pair join, no distinct, no
+    // corpus-wide verdict join (the fused form; pair arithmetic and
+    // the round-6 drop rule are bit-identical to the relational plan,
+    // SemdedupSpec's independent recompute unchanged)
+    val verdicts = flagged.filter($"under")
+      .groupBy($"cid")
+      .agg(collect_list(struct($"vec_id", $"embedding")).as("ms"))
+      .select($"cid", explode(semPairDrop($"ms", SemdedupTau)).as("v"))
+      .select($"v.vec_id".as("vec_id"), $"cid", $"v.kept".as("kept"))
+    // over-cap clusters skip pair formation entirely: all kept —
+    // exactly the rows semdedup_cap.over_cap_rows counts
+    val overCap = flagged.filter(!$"under")
+      .select($"vec_id", $"cid", lit(true).as("kept"))
+    verdicts.unionByName(overCap).orderBy($"vec_id")
+  }
+
   private val semdedup = QueryDef(
     "semdedup",
-    (s, dir) => {
-      import s.implicits._
-      val (_, flagged) = semdedupMember(s, dir)
-      // under-cap clusters: vectors cross ONE exchange (the cid
-      // collect_list), then one SemPairDropExpr kernel call per cluster
-      // decides every member's verdict — no pair join, no distinct, no
-      // corpus-wide verdict join (the fused form; pair arithmetic and
-      // the round-6 drop rule are bit-identical to the relational plan,
-      // SemdedupSpec's independent recompute unchanged)
-      val verdicts = flagged.filter($"under")
-        .groupBy($"cid")
-        .agg(collect_list(struct($"vec_id", $"embedding")).as("ms"))
-        .select($"cid", explode(semPairDrop($"ms", SemdedupTau)).as("v"))
-        .select($"v.vec_id".as("vec_id"), $"cid", $"v.kept".as("kept"))
-      // over-cap clusters skip pair formation entirely: all kept —
-      // exactly the rows semdedup_cap.over_cap_rows counts
-      val overCap = flagged.filter(!$"under")
-        .select($"vec_id", $"cid", lit(true).as("kept"))
-      verdicts.unionByName(overCap).orderBy($"vec_id")
-    },
+    (s, dir) => semdedupFused(s, dir),
     Some {
       val cos = (a: String, b: String, na: String, nb: String) =>
         s"""CASE WHEN $na * $nb = 0 THEN 0.0
