@@ -2,7 +2,7 @@ package graft.control
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** C4-C7/T4/J3 — the adaptive control plane: suppressions (TTL) and
@@ -68,6 +68,20 @@ final class Rules(spark: SparkSession, path: String) {
   def enforce(df: DataFrame, nowSec: Long): DataFrame =
     df.join(broadcast(active(nowSec).select("rhythm_hash").distinct()),
       Seq("rhythm_hash"), "left_anti")
+
+  /** [[enforce]] with a PER-ROW clock: drops rows whose hash has a rule
+    * active at that row's own `nowSecCol` — the multi-window batch form
+    * (a catch-up promotion trigger carries many closed windows, each with
+    * its own expiry instant; one anti-join replaces a per-window loop).
+    * Same lazy-TTL semantics: `enforceAt(df, lit(t))` ≡ `enforce(df, t)`. */
+  def enforceAt(df: DataFrame, nowSecCol: Column): DataFrame = {
+    val r = load().filter(col("is_active"))
+      .select(col("rhythm_hash").as("__r_hash"), col("expires_at"))
+    df.join(broadcast(r),
+      df("rhythm_hash") === col("__r_hash") &&
+        (col("expires_at").isNull || col("expires_at") > nowSecCol),
+      "left_anti")
+  }
 }
 
 object Rules {

@@ -54,6 +54,11 @@ object PromotionStream {
   }
 
   /** [[promoteBatch]] with an IDEMPOTENT sink — the streaming form.
+    * Precondition: `window_start` values lie on the epoch-aligned
+    * `windowSec` tumbling grid (what [[StatefulDetector.detect]]'s
+    * `window()` emits) — the one-scan form below re-derives each Tier-1
+    * row's window by integer division, so a non-grid window would not
+    * match its own points.
     * `foreachBatch` + a plain parquet append is only at-least-once: a
     * crash after the append but before the checkpoint commit replays the
     * batch and doubles its rows. Here every window's rollup in the trigger
@@ -75,19 +80,26 @@ object PromotionStream {
       annIndexPath: Option[String] = None): Unit = {
     if (anomalies.isEmpty) return
     val t1 = spark.read.parquet(tier1Path)
-    val windows = anomalies.select("window_start").distinct()
-      .collect().map(_.getLong(0)).sorted
-    val rollups = windows.toSeq.map { w =>
-      val nowSec = w + windowSec
-      val anomsW0 = anomalies.filter(col("window_start") === w)
-        .select("rhythm_hash", "anomaly_type", "n", "baseline_mean")
-      val anomsW = rules.fold(anomsW0)(r => r.enforce(anomsW0, nowSec))
-      val points = DtPrune(
-        t1.filter(col("ts_sec") >= w && col("ts_sec") < nowSec), w, nowSec)
-      Promoter.rollup(anomsW, points)
-    }
-    if (rollups.nonEmpty) {
-      val combined = rollups.reduce(_.unionByName(_))
+    // window bounds: one control-plane aggregate (needed for dt pruning
+    // anyway), NOT a per-window plan loop — a catch-up trigger draining N
+    // closed windows (restart backlog) must cost one Tier-1 scan, not N
+    // (measured: 120-window batch went ~200 s → one-scan form below)
+    val b = anomalies.agg(
+      min(col("window_start")), max(col("window_start"))).head()
+    val (wMin, wMax) = (b.getLong(0), b.getLong(1))
+    val points = DtPrune(
+      t1.filter(col("ts_sec") >= wMin && col("ts_sec") < wMax + windowSec),
+      wMin, wMax + windowSec)
+      .withColumn("window_start",
+        expr(s"ts_sec div $windowSec * $windowSec"))
+    // per-row clock: each window's rules expire at ITS close, same lazy
+    // TTL the per-window enforce applied
+    val anomsW = rules.fold(anomalies)(r =>
+        r.enforceAt(anomalies, col("window_start") + windowSec))
+      .select("rhythm_hash", "anomaly_type", "n", "baseline_mean",
+        "window_start")
+    locally {
+      val combined = Promoter.rollupWindows(anomsW, points)
       combined
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -114,7 +126,14 @@ object PromotionStream {
   }
 
   /** Start the end-to-end stream: Tier-1 file stream → watermarked keyed
-    * detection → per-window promotion into Tier-2. */
+    * detection → per-window promotion into Tier-2.
+    *
+    * `stateTtlMs`: the default arms ProcessingTimeTimeout, which makes the
+    * engine schedule timeout-check batches for as long as the query runs —
+    * correct for a long-running deployment, but a caller that drives the
+    * query with `processAllAvailable()` + `stop()` (tests, benchmarks,
+    * drain-and-exit jobs) must pass `None`, or processAllAvailable never
+    * settles between the recurring non-data batches. */
   def start(
       spark: SparkSession,
       tier1Path: String,

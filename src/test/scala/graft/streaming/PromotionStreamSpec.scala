@@ -107,4 +107,69 @@ class PromotionStreamSpec extends SparkSpec {
     assert(sv.nonEmpty && sv.forall(v => math.abs(v - 1.0f) < 1e-6f),
       s"corpus-avgdl weights expected in the streaming Tier-2 write, got $sv")
   }
+
+  test("catch-up idempotent promotion (many windows, one scan) == per-window loop") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-promo-catchup").toString
+    // aligned to the 60 s tumbling grid: promoteBatchIdempotent's one-scan
+    // join keys points by epoch-aligned window, the contract the detector's
+    // window() guarantees upstream
+    val base = 1700000040L
+    val windowSec = 60L
+
+    // Tier-1: two hashes across 5 consecutive windows, distinct bodies so
+    // per-window avgdl and min_by representatives differ between windows
+    val t1rows = for {
+      w <- 0 until 5
+      h <- Seq("ha", "hb")
+      i <- 0 until (w + 2)
+    } yield (h, base + w * 60 + i, "auth", if (h == "ha") "INFO" else "WARN",
+      s"body $h window $w item $i with ${"x " * (w + 1)}tokens")
+    t1rows.toDF("rhythm_hash", "ts_sec", "service", "severity", "body")
+      .write.parquet(s"$tmp/tier1")
+
+    // a catch-up micro-batch: both hashes anomalous in every window
+    val anoms = (for {
+      w <- 0 until 5
+      h <- Seq("ha", "hb")
+    } yield (h, base + w * 60L, if (w == 0) "novelty" else "frequency",
+      (w + 2).toLong, if (w == 0) None else Some(1.5 + w)))
+      .toDF("rhythm_hash", "window_start", "anomaly_type", "n", "baseline_mean")
+
+    // suppression whose TTL expires MID-BATCH: hb is suppressed for the
+    // windows closing at/before base+180 and must re-appear after — the
+    // per-row clock enforceAt has to reproduce the per-window enforce
+    val rules = new graft.control.Rules(spark, s"$tmp/rules")
+    rules.suppress("hb", ttlSec = 181, nowSec = base) // expires_at = base+181
+
+    // reference: the pre-r9 per-window loop, verbatim
+    val t1 = spark.read.parquet(s"$tmp/tier1")
+    val windows = anoms.select("window_start").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val reference = windows.toSeq.map { w =>
+      val nowSec = w + windowSec
+      val a0 = anoms.filter($"window_start" === w)
+        .select("rhythm_hash", "anomaly_type", "n", "baseline_mean")
+      val aW = rules.enforce(a0, nowSec)
+      val pts = graft.analysis.DtPrune(
+        t1.filter($"ts_sec" >= w && $"ts_sec" < nowSec), w, nowSec)
+      graft.analysis.Promoter.rollup(aW, pts)
+    }.reduce(_ unionByName _)
+
+    PromotionStream.promoteBatchIdempotent(spark, anoms, batchId = 7L,
+      s"$tmp/tier1", s"$tmp/tier2", Some(rules), windowSec)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val d = df.drop("batch_id")
+      // parquet read-back reorders partition columns to the end
+      d.select(d.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    val got = canon(spark.read.parquet(s"$tmp/tier2"))
+    val want = canon(reference)
+    // hb's suppression (expires base+181) covers the windows CLOSING at
+    // base+60/120/180 -> 3 of hb's 5 windows drop: 5 (ha) + 2 (hb) = 7
+    assert(want.size == 7, s"expected 2 hashes x 5 windows - 3 suppressed: $want")
+    assert(got == want, s"catch-up parity broken:\ngot=$got\nwant=$want")
+  }
 }
