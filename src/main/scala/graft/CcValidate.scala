@@ -24,7 +24,8 @@ object CcValidate {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, sfDir)
     val assign = spark.read.parquet(assignDir)
-    val v = graft.queries.CcCheck.violations(docs, assign)
+    val v = graft.queries.CcCheck.violations(docs, assign) +
+      ("exact_mismatch" -> graft.queries.CcCheck.exactMismatch(docs, assign))
     println(s"[ccvalidate] ${v.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n" }.mkString(" ")}")
     val bad = v.values.sum
     println(if (bad == 0) "[ccvalidate] VALID fixpoint labeling"

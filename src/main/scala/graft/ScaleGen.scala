@@ -89,8 +89,11 @@ object ScaleGen {
           if (r == 0) d
           else d
             .withColumn("text", concat(lit(s"r$r "), col("text")))
+            // prefix length varies with the replica number ("r10 " is 4
+            // chars) — add the actual literal length, not a constant
             .withColumn("n_chars",
-              when(col("text").isNull, col("n_chars")).otherwise(col("n_chars") + lit(3L)))
+              when(col("text").isNull, col("n_chars"))
+                .otherwise(col("n_chars") + lit(s"r$r ".length.toLong)))
         }
         case "embeddings" => Some {
           val d = offsetKeys(src, r, Seq("vec_id"))

@@ -48,11 +48,15 @@ final class Via(spark: SparkSession, warehouse: String) {
   /** Compact Tier-1's small appended files (`sources/Layout.compact`).
     *
     * Tier-1 written by [[ingestBatch]] appends files INTO existing `dt=`
-    * leaves, so the open (lexically max) dt partition is skipped — a file
-    * committed there between compaction's listing and its swap would be
-    * lost with the trash; closed days are immutable and safe. Tier-1
-    * written by the STREAMING ingest ([[startIngest]], a FileStreamSink)
-    * carries a `_spark_metadata` sink log that pins file names —
+    * leaves — including CLOSED days, via late event-time rows — which
+    * `Layout.compact`'s late-append sweep preserves (a file committed
+    * between the listing and the swap is moved into the rewritten leaf,
+    * crash-covered by the trash manifest; CompactionSpec's race tests).
+    * The open (lexically max) dt partition is still skipped: it is the
+    * hot leaf, and compacting a partition mid-churn is wasted rewrite
+    * work, not a correctness need. Tier-1 written by the STREAMING
+    * ingest ([[startIngest]], a FileStreamSink) carries a
+    * `_spark_metadata` sink log that pins file names —
     * `Layout.compact` refuses such a store outright. */
   def compactTier1(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats = {
     import org.apache.hadoop.fs.Path

@@ -21,13 +21,21 @@ import org.apache.spark.sql.functions._
   *  - `edge_split`: no re-derived LSH candidate edge crosses two labels —
   *    equivalently one more neighbor-min propagation round would change
   *    nothing, i.e. the labeling is a true fixpoint (rules out
-  *    under-merging and premature convergence).
+  *    under-merging and premature convergence);
+  *  - `stray`: a doc labeled by a FOREIGN id must touch at least one
+  *    candidate edge — an edgeless doc can only ever self-label, so a
+  *    relabeled singleton (one over-merge shape) is caught here.
   *
-  * Over-merging (two components sharing a label) is impossible by
-  * construction — every propagation step only moves labels along edges —
-  * and is additionally bounded here by `root`+`label_bound`: a label must
-  * be a real doc that keeps itself, so distinct components could only
-  * share a label if an edge path linked them.
+  * The remaining over-merge shape — an entire edge-CONNECTED group
+  * relabeled to another component's root — passes all five distributed
+  * properties (its internal edges agree, the foreign root self-roots).
+  * [[exactMismatch]] closes that hole where validation runs: it
+  * recomputes ground-truth components with an INDEPENDENT algorithm
+  * (driver-side union-find over the collected edge list — candidate
+  * edges are band-bounded, millions at sf1, so the collect is
+  * validation-affordable) and compares the PARTITIONS, so any assignment
+  * that merges or splits components disagrees regardless of which label
+  * values it picked.
   */
 object CcCheck {
 
@@ -53,9 +61,47 @@ object CcCheck {
         .join(a.select($"doc_id".as("b_id"), $"cluster_id".as("lb")), "b_id")
         .filter($"la" =!= $"lb")
         .count()
+      val endpoints = pairs.select($"a_id".as("doc_id"))
+        .union(pairs.select($"b_id".as("doc_id"))).distinct()
+      val stray = a.filter($"doc_id" =!= $"cluster_id")
+        .join(endpoints, Seq("doc_id"), "left_anti")
+        .count()
       buckets.unpersist()
       Map("coverage" -> coverage, "label_bound" -> labelBound,
-        "root" -> root, "edge_split" -> edgeSplit)
+        "root" -> root, "edge_split" -> edgeSplit, "stray" -> stray)
     } finally a.unpersist()
+  }
+
+  /** Number of docs whose assignment partition disagrees with
+    * ground-truth components from an independent driver-side union-find
+    * over the collected candidate-edge list. Catches the over-merge
+    * shapes the distributed properties cannot (see object doc). Use at
+    * validation scale only — the edge list is collected to the driver
+    * (band-bounded; ~2M pairs at sf1). */
+  def exactMismatch(docs: DataFrame, assign: DataFrame): Long = {
+    import docs.sparkSession.implicits._
+    val buckets = TextOps.minhashBuckets(docs)
+    val edges = TextOps.pairsFromBuckets(buckets)
+      .as[(Long, Long)].collect()
+    buckets.unpersist()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // ground truth label = component min (find() roots at the min because
+    // unions always point the larger root at the smaller)
+    val got = assign.select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect()
+    got.count { case (id, lbl) => find(id) != lbl }
   }
 }

@@ -36,6 +36,15 @@ object AnnIndex {
     * per probe), so the probe's shortlist stage reads 16 doubles per row
     * and never touches the 64-d vectors until the rerank — the
     * "projections are write-time columns" claim of SCALE.md, executable. */
+  /** Bulk writes land under `batch_id = -1`: ONE partition layout —
+    * `(batch_id, bucket)` — for bulk builds, shard appends AND the
+    * streaming [[appendBatch]], so a store that mixes a bulk build with
+    * streaming maintenance (the natural build-then-maintain sequence)
+    * stays readable. Two top-level layouts (`bucket=` next to
+    * `batch_id=`) would fail Spark's partition discovery with
+    * "Conflicting directory structures". */
+  val BulkBatchId = -1L
+
   def build(embeddings: DataFrame, path: String,
       bits: Int = graft.queries.VectorOps.AnnBits,
       rpRows: Seq[Seq[Double]] = graft.queries.VectorOps.RpRows): Unit = {
@@ -43,8 +52,10 @@ object AnnIndex {
     embeddings
       .withColumn("bucket", packSignBits($"embedding", bits))
       .withColumn("proj", matVec($"embedding", rpRows))
+      .withColumn("batch_id", lit(BulkBatchId))
       .repartition($"bucket") // one task → one file per bucket partition
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
+      .write.mode("overwrite").partitionBy("batch_id", "bucket")
+      .parquet(s"$path/index")
   }
 
   /** Append a new shard of vectors to an existing index — the daily
@@ -62,8 +73,10 @@ object AnnIndex {
     newVectors
       .withColumn("bucket", packSignBits($"embedding", bits))
       .withColumn("proj", matVec($"embedding", rpRows))
+      .withColumn("batch_id", lit(BulkBatchId))
       .repartition($"bucket")
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
+      .write.mode("append").partitionBy("batch_id", "bucket")
+      .parquet(s"$path/index")
   }
 
   /** Batch-IDEMPOTENT append — the streaming-maintenance write
@@ -73,10 +86,11 @@ object AnnIndex {
     * the deterministic `batchId` as the OUTER partition level and uses
     * dynamic partition overwrite, so a replay of batch N rewrites
     * exactly the `(batch_id=N, bucket=*)` partitions it produced (same
-    * input → same rows) and touches no other batch — the Tier-2
-    * exactly-once trick applied to the index. Probes are layout-agnostic:
-    * they filter on `bucket`, which prunes at file-listing time under
-    * either layout (nested partition columns prune independently). */
+    * input → same rows) and touches no other batch (the bulk level
+    * `batch_id = -1` included) — the Tier-2 exactly-once trick applied
+    * to the index. Probes filter on `bucket`, which prunes at
+    * file-listing time at its nesting level regardless of how many
+    * batch_id levels exist above it. */
   def appendBatch(newVectors: DataFrame, path: String, batchId: Long,
       bits: Int = graft.queries.VectorOps.AnnBits,
       rpRows: Seq[Seq[Double]] = graft.queries.VectorOps.RpRows): Unit = {

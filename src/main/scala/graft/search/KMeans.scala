@@ -65,13 +65,50 @@ object KMeans {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    // Deterministic seeding: explicit ids, else k rows stride-spread
-    // across the sorted id range (decorrelated from any insertion-order
-    // clustering; one bounded metadata job).
+    // Deterministic BOUNDED seeding: explicit ids, else farthest-point
+    // selection over a hash-ordered candidate sample (k·8 rows via ONE
+    // TakeOrdered — k·8 × dim doubles to the driver, never the corpus:
+    // collecting every vec_id to stride over it would be O(corpus)
+    // driver memory, against the bounded-metadata discipline this
+    // trainer documents). The hash order is a pseudo-uniform draw
+    // decorrelated from insertion order and id clustering; the greedy
+    // max-min-distance sweep then spreads the k seeds like k-means++
+    // (deterministic: total order on (hash, id), fixed first pick).
     val ids: Seq[Long] = seedIds.getOrElse {
-      val all = emb.select($"vec_id").orderBy($"vec_id").as[Long].collect()
-      require(all.length >= k, s"k-means: k=$k > ${all.length} vectors")
-      (0 until k).map(i => all((i * all.length) / k))
+      val m = math.max(k * 8, 256)
+      val cand = emb.select($"vec_id", $"embedding")
+        .orderBy(pmod(hash($"vec_id"), lit(1000000007L)), $"vec_id")
+        .limit(m)
+        .collect()
+        .map(r => r.getLong(0) -> unit(r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray))
+      require(cand.length >= k, s"k-means: k=$k > ${cand.length} vectors")
+      def cosDist(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); i += 1 }
+        1.0 - d
+      }
+      val chosen = scala.collection.mutable.ArrayBuffer(0)
+      val minDist = Array.tabulate(cand.length)(i =>
+        cosDist(cand(i)._2, cand(0)._2))
+      while (chosen.length < k) {
+        var best = -1; var bestD = -1.0
+        var i = 0
+        while (i < cand.length) {
+          if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+          i += 1
+        }
+        chosen += best
+        i = 0
+        while (i < cand.length) {
+          val d = cosDist(cand(i)._2, cand(best)._2)
+          if (d < minDist(i)) minDist(i) = d
+          i += 1
+        }
+      }
+      chosen.map(cand(_)._1).toSeq
     }
     var cents: Array[Array[Double]] = emb
       .filter($"vec_id".isin(ids: _*))

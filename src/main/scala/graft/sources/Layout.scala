@@ -73,23 +73,26 @@ object Layout {
     *     deletes files the log references. compact() throws on such
     *     paths — stop-the-stream compaction of a sink-logged store needs
     *     a transactional log rewrite this helper does not attempt.
-    *   - Concurrent appenders must only CREATE NEW leaf dirs (the
+    *   - Concurrent appenders that only CREATE NEW leaf dirs (the
     *     new-`(batch_id, dt)`-leaf-per-batch layout PromotionStream
-    *     uses): compaction touches only leaves that existed at its
-    *     listing snapshot, so the two never write the same directory
-    *     (CompactionSpec proves content equality under a live appender).
-    *     An appender that adds files into EXISTING leaves (plain
-    *     `mode("append").partitionBy(dt)`) can commit a file between the
-    *     listing and the swap-out rename and lose it with the trash —
-    *     callers must exclude any leaf such an appender may still write
-    *     via `skipLeaf` (see [[graft.api.Via.compactTier1]], which skips
-    *     the open dt partition).
+    *     uses) never collide: compaction touches only leaves that
+    *     existed at its listing snapshot (CompactionSpec proves content
+    *     equality under a live appender). An appender that commits files
+    *     into an EXISTING leaf mid-compaction (late event-time rows into
+    *     a closed dt partition) is also safe: the rewrite reads exactly
+    *     the snapshot files, and the late-append sweep moves any
+    *     post-snapshot commit out of the trash into the rewritten leaf
+    *     before the trash is dropped — crash-covered by the
+    *     `_compact_snapshot` manifest that rides into the trash
+    *     (CompactionSpec's race test). `skipLeaf` remains useful to
+    *     avoid churning a hot open partition, not for correctness.
     *
     * Partition-column values live in the directory names, not the files,
     * so the rewrite round-trips them untouched. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long,
-      skipLeaf: org.apache.hadoop.fs.Path => Boolean = _ => false)
+      skipLeaf: org.apache.hadoop.fs.Path => Boolean = _ => false,
+      onBeforeSwap: org.apache.hadoop.fs.Path => Unit = _ => ())
       : CompactionStats = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
@@ -103,6 +106,7 @@ object Layout {
     def isData(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
     val Trash = "_compact-(.+)\\.old".r
+    val SnapshotManifest = "_compact_snapshot"
     // crash recovery: restore any stranded swap-out left by a previous
     // run that died between its two renames (leaf absent -> rename the
     // trash back; leaf present -> the swap-in succeeded, drop the trash)
@@ -113,7 +117,29 @@ object Layout {
           case Trash(leaf) =>
             val dest = new Path(dir, leaf)
             if (!fs.exists(dest)) { fs.rename(s.getPath, dest); recovered += 1 }
-            else fs.delete(s.getPath, true)
+            else {
+              // swap-in succeeded but the run died before its late-append
+              // sweep: preserve any trash file NOT in the snapshot
+              // manifest (a concurrent commit) before dropping the trash
+              val mfPath = new Path(s.getPath, SnapshotManifest)
+              if (fs.exists(mfPath)) {
+                val in = fs.open(mfPath)
+                val snap =
+                  try new String(
+                    org.apache.commons.io.IOUtils.toByteArray(in),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                    .split("\n").toSet
+                  finally in.close()
+                fs.listStatus(s.getPath)
+                  .filter(f => f.isFile && isData(f.getPath)
+                    && !snap.contains(f.getPath.getName))
+                  .foreach { late =>
+                    val to = new Path(dest, late.getPath.getName)
+                    if (!fs.exists(to)) fs.rename(late.getPath, to)
+                  }
+              }
+              fs.delete(s.getPath, true)
+            }
           case n if !n.startsWith(".") && !n.startsWith("_") =>
             recover(s.getPath)
           case _ => ()
@@ -144,15 +170,43 @@ object Layout {
           val tmp = new Path(dir.getParent, s".compact-${dir.getName}.tmp")
           val trash = new Path(dir.getParent, s"_compact-${dir.getName}.old")
           fs.delete(tmp, true); fs.delete(trash, true)
-          spark.read.parquet(dir.toString)
+          // rewrite exactly the SNAPSHOT files (not a re-listed dir):
+          // the late-file sweep below relies on "rewritten ≡ snapshot"
+          // to know which trash files were concurrent appends
+          spark.read.parquet(files.map(_.getPath.toString): _*)
             .coalesce(want.toInt)
             .write.mode("overwrite").parquet(tmp.toString)
+          // snapshot manifest rides INTO the trash with the rename: if a
+          // crash lands after the swap-in but before the late sweep, the
+          // next run's recovery can still tell snapshot files (rewritten,
+          // safe to drop) from late appends (must be preserved)
+          val mf = fs.create(new Path(dir, SnapshotManifest), true)
+          try mf.write(files.map(_.getPath.getName).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally mf.close()
+          onBeforeSwap(dir) // test seam: the listing→swap race window
           if (!fs.rename(dir, trash))
             throw new java.io.IOException(s"compact: cannot swap out $dir")
           if (!fs.rename(tmp, dir)) { // restore on failure — never lose data
             fs.rename(trash, dir)
             throw new java.io.IOException(s"compact: cannot swap in $dir")
           }
+          // LATE-APPEND SWEEP: an appender that commits into this leaf
+          // between the snapshot listing and the swap-out rename (late
+          // event-time rows landing in a closed dt partition) has its
+          // file sitting in the trash but not in the snapshot — move it
+          // into the rewritten leaf (file commits are rename-atomic, and
+          // part-file names are job-unique, so no collision) instead of
+          // deleting committed data with the trash.
+          val snapshot = files.map(_.getPath.getName).toSet
+          fs.listStatus(trash)
+            .filter(s => s.isFile && isData(s.getPath)
+              && !snapshot.contains(s.getPath.getName))
+            .foreach { late =>
+              if (!fs.rename(late.getPath, new Path(dir, late.getPath.getName)))
+                throw new java.io.IOException(
+                  s"compact: cannot preserve late append ${late.getPath}")
+            }
           fs.delete(trash, true)
           compacted += 1
           after += dataFiles().length

@@ -80,26 +80,50 @@ object PromotionStream {
       annIndexPath: Option[String] = None): Unit = {
     if (anomalies.isEmpty) return
     val t1 = spark.read.parquet(tier1Path)
-    // window bounds: one control-plane aggregate (needed for dt pruning
-    // anyway), NOT a per-window plan loop — a catch-up trigger draining N
-    // closed windows (restart backlog) must cost one Tier-1 scan, not N
-    // (measured: 120-window batch went ~200 s → one-scan form below)
-    val b = anomalies.agg(
-      min(col("window_start")), max(col("window_start"))).head()
-    val (wMin, wMax) = (b.getLong(0), b.getLong(1))
-    val points = DtPrune(
-      t1.filter(col("ts_sec") >= wMin && col("ts_sec") < wMax + windowSec),
-      wMin, wMax + windowSec)
-      .withColumn("window_start",
-        expr(s"ts_sec div $windowSec * $windowSec"))
+    // the distinct closed windows: control-plane sized (bounded by the
+    // trigger's backlog), collected ONCE and reused for both pruning
+    // bounds and the day set — NOT a per-window plan loop (a catch-up
+    // trigger draining N windows must cost one Tier-1 scan, not N;
+    // measured: a 120-window batch went ~200 s → 14.5 s one-scan)
+    val windows = anomalies.select("window_start").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (wMin, wMax) = (windows.head, windows.last)
+    // prune to the windows' DAYS, not the [wMin, wMax] span: a backlog
+    // holding one month-old replayed window plus current ones must not
+    // admit every intermediate day's partitions into the scan. One
+    // representative window per epoch-day; dtOf(lit(w)) is foldable, so
+    // the OR of equalities constant-folds to date literals the scan can
+    // partition-prune on (and stays correct under any session timezone,
+    // same as DtPrune)
+    // each window contributes its start AND end instants: a window that
+    // spans midnight touches two dt partitions (the per-window DtPrune
+    // range covered both)
+    val dayReps = windows.flatMap(w => Seq(w, w + windowSec - 1))
+      .groupBy(s => Math.floorDiv(s, 86400L))
+      .values.map(_.head).toSeq.sorted
+    val t1Ranged =
+      t1.filter(col("ts_sec") >= wMin && col("ts_sec") < wMax + windowSec)
+    val points =
+      (if (t1.columns.contains("dt"))
+         t1Ranged.filter(dayReps.map(w =>
+           col("dt") === DtPrune.dtOf(lit(w))).reduce(_ || _))
+       else t1Ranged)
+        .withColumn("window_start",
+          expr(s"ts_sec div $windowSec * $windowSec"))
     // per-row clock: each window's rules expire at ITS close, same lazy
     // TTL the per-window enforce applied
     val anomsW = rules.fold(anomalies)(r =>
         r.enforceAt(anomalies, col("window_start") + windowSec))
       .select("rhythm_hash", "anomaly_type", "n", "baseline_mean",
         "window_start")
-    locally {
-      val combined = Promoter.rollupWindows(anomsW, points)
+    // materialize the rollup ONCE: the Tier-2 write and the index append
+    // below must see the SAME rows — re-executing the plan would pay the
+    // Tier-1 scan twice and, worse, min_by ties could pick different
+    // representatives per execution, breaking the replay-identical
+    // idempotency argument. The rollup is control-plane sized (one row
+    // per promoted anomaly), so an eager localCheckpoint is bounded.
+    val combined = Promoter.rollupWindows(anomsW, points).localCheckpoint()
+    try {
       combined
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -122,7 +146,7 @@ object PromotionStream {
           rpRows = graft.queries.VectorOps.rpRowsFor(
             graft.functions.EmbedText.Dim))
       }
-    }
+    } finally combined.unpersist()
   }
 
   /** Start the end-to-end stream: Tier-1 file stream → watermarked keyed

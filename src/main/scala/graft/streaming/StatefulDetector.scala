@@ -28,7 +28,12 @@ object StatefulDetector {
     * ulp drift vs the oracle's sum/count lands on a 4-dp rounding boundary
     * (~1/10^4 rows; found by the r9 sf1 sweep) — integer state makes the
     * summation order-independent and the boundary decision identical on
-    * both engines. */
+    * both engines.
+    *
+    * STATE SCHEMA v2 (r9): field 2 changed Double→Long. A stream restarted
+    * from a pre-r9 checkpoint fails the state-store schema check; restart
+    * with a fresh checkpoint (baselines re-learn; an evicted-then-relearned
+    * baseline is already this detector's documented TTL behavior). */
   case class HashState(windows: Long, sum: Long) {
     def mean: Double =
       if (windows == 0) 0.0 else sum.toDouble / windows.toDouble

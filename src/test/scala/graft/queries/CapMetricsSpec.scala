@@ -40,7 +40,8 @@ class CapMetricsSpec extends SparkSpec {
     assert(q(spark, dir).queryExecution.optimizedPlan.toString
         .contains("CollectMetrics neardup_cap"),
       "neardup_cosine must surface its cap telemetry in the plan")
-    val m = ObservedMetrics.capture(spark) { q(spark, dir).collect() }
+    val m = ObservedMetrics.capture(spark, Set("neardup_cap")) {
+      q(spark, dir).collect() }
     val row = m.getOrElse("neardup_cap", fail(s"no neardup_cap in $m"))
     assert(row.getAs[Int]("over_cap_groups") == 1, row.toString)
     assert(row.getAs[Long]("over_cap_rows") == cap + 37, row.toString)
@@ -74,7 +75,8 @@ class CapMetricsSpec extends SparkSpec {
     assert(q(spark, dir).queryExecution.optimizedPlan.toString
         .contains("CollectMetrics semdedup_cap"),
       "semdedup must surface its cap telemetry in the plan")
-    val m = ObservedMetrics.capture(spark) { q(spark, dir).collect() }
+    val m = ObservedMetrics.capture(spark, Set("semdedup_cap")) {
+      q(spark, dir).collect() }
     val row = m.getOrElse("semdedup_cap", fail(s"no semdedup_cap in $m"))
     assert(row.getAs[Int]("over_cap_groups") == 1, row.toString)
     // the over-cap cluster holds its planted rows plus centroid 1 itself
@@ -89,7 +91,7 @@ class CapMetricsSpec extends SparkSpec {
   test("under-cap corpora report zeros (sf0.001 gate data)") {
     for ((q, name) <- Seq("neardup_cosine" -> "neardup_cap",
         "semdedup" -> "semdedup_cap")) {
-      val m = ObservedMetrics.capture(spark) {
+      val m = ObservedMetrics.capture(spark, Set(name)) {
         SparkEntry.queries(q)(spark, SfDir).collect()
       }
       val row = m.getOrElse(name, fail(s"no $name in $m"))

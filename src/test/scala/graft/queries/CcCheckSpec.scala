@@ -46,4 +46,28 @@ class CcCheckSpec extends SparkSpec {
 
     good.unpersist()
   }
+
+  test("exactMismatch catches whole-component over-merge the properties miss") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir)
+    val good = CurationOps.connectedComponents(docs).cache()
+    assert(CcCheck.exactMismatch(docs, good) == 0L)
+
+    // merge one whole non-singleton component into another component's
+    // root: internal edges still agree, the foreign root self-roots, and
+    // the label is below every member id — all five distributed
+    // properties pass; only the independent union-find sees it
+    val roots = good.filter($"cluster_id" =!= $"doc_id")
+      .select($"cluster_id").distinct().orderBy($"cluster_id")
+      .as[Long].collect()
+    assume(roots.length >= 2, "fixture needs two non-singleton components")
+    val (keep, victim) = (roots(0), roots(1))
+    val merged = good.withColumn("cluster_id",
+      when($"cluster_id" === victim, keep).otherwise($"cluster_id"))
+    assert(CcCheck.violations(docs, merged).values.sum == 0L,
+      "the distributed properties are expected to MISS this corruption")
+    assert(CcCheck.exactMismatch(docs, merged) > 0L)
+
+    good.unpersist()
+  }
 }

@@ -132,7 +132,7 @@ class JaccardHotGramSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
       assert(plan.contains(s"CollectMetrics ${q}_cap"),
         s"$q must surface its cap telemetry in the plan:\n${plan.take(800)}")
-      val m = ObservedMetrics.capture(spark) {
+      val m = ObservedMetrics.capture(spark, Set(s"${q}_cap")) {
         SparkEntry.queries(q)(spark, dir).collect()
       }
       val row = m.getOrElse(s"${q}_cap", fail(s"no ${q}_cap metrics in $m"))

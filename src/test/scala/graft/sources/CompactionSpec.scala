@@ -166,4 +166,56 @@ class CompactionSpec extends SparkSpec {
         "compacted + appended Tier-2 diverged from the batch reference")
     } finally q.stop()
   }
+
+  test("a file committed into the leaf mid-compaction survives the swap") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-race").toString
+    (0 until 8).map(i => (i.toLong, s"row $i", "2026-01-01"))
+      .toDF("id", "body", "dt")
+      .repartition(8).write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    // the race, made deterministic via the test seam: a "late event"
+    // commit lands in the leaf AFTER the rewrite read its snapshot and
+    // BEFORE the swap-out rename
+    val stats = Layout.compact(spark, tmp, targetBytes = 1L << 30,
+      onBeforeSwap = { _ =>
+        Seq((99L, "late row", "2026-01-01")).toDF("id", "body", "dt")
+          .coalesce(1).write.mode("append").partitionBy("dt").parquet(tmp)
+      })
+    assert(stats.partitionsCompacted == 1)
+    val got = spark.read.parquet(tmp).select("id").as[Long].collect().toSet
+    assert(got == (0L until 8L).toSet + 99L,
+      s"late commit must survive compaction, got $got")
+  }
+
+  test("crash between swap-in and late sweep: recovery preserves the late file") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-crash2").toString
+    (0 until 6).map(i => (i.toLong, s"row $i", "2026-01-01"))
+      .toDF("id", "body", "dt")
+      .repartition(6).write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    // run a normal compaction-with-late-commit, but simulate the crash by
+    // reconstructing the post-swap-in pre-sweep state: rewritten leaf in
+    // place, trash holding snapshot + late file + manifest
+    val leaf = new java.io.File(s"$tmp/dt=2026-01-01")
+    val snapshotNames = leaf.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName)
+    Seq((99L, "late row", "2026-01-01")).toDF("id", "body", "dt")
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(tmp)
+    // manifest: the pre-late snapshot
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(leaf.toString, "_compact_snapshot"),
+      snapshotNames.mkString("\n"))
+    // "crash state": the whole leaf (snapshot + late + manifest) is the
+    // trash; the rewritten leaf is a fresh compaction of ONLY the snapshot
+    val trash = new java.io.File(s"$tmp/_compact-dt=2026-01-01.old")
+    assert(leaf.renameTo(trash))
+    spark.read.parquet(snapshotNames.map(n => s"$trash/$n"): _*)
+      .coalesce(1).write.parquet(leaf.toString)
+    // next run's recovery must move the late file into the leaf
+    Layout.compact(spark, tmp, targetBytes = 1L << 30)
+    assert(!trash.exists, "trash must be dropped after recovery")
+    val got = spark.read.parquet(tmp).select("id").as[Long].collect().toSet
+    assert(got == (0L until 6L).toSet + 99L,
+      s"recovery must preserve the late commit, got $got")
+  }
 }

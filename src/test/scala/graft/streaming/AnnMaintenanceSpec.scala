@@ -107,4 +107,33 @@ class AnnMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/ann/index").count() == onceN,
       "replay duplicated index rows")
   }
+
+  test("bulk build + streaming appendBatch share one layout: probe reads both") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ann-mixed").toString + "/idx"
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bulk = emb.filter($"vec_id" % 2 === 0L)
+    val streamed = emb.filter($"vec_id" % 2 =!= 0L)
+      .select($"vec_id", $"label", $"embedding")
+    // the natural operational sequence: one bulk build, then streaming
+    // maintenance into the SAME store — partition discovery must accept
+    // the union (one (batch_id, bucket) layout, bulk under batch_id=-1)
+    AnnIndex.build(bulk, tmp)
+    AnnIndex.appendBatch(streamed, tmp, batchId = 3L)
+    val rebuilt = Files.createTempDirectory("graft-ann-mixed-rb").toString + "/idx"
+    AnnIndex.build(emb, rebuilt)
+    // 64-d testdata vectors here (not EmbedText-dim): probe with the
+    // 64-d default basis
+    val q = storedVector(s"$rebuilt/index")
+    def rows(path: String): Seq[String] =
+      AnnIndex.probe(spark, path, q = q,
+        qProj = graft.queries.VectorOps.RpRows.map(r =>
+          r.indices.foldLeft(0.0)((a, i) => a + r(i) * q(i))))
+        .collect().map(_.toString).toSeq
+    assert(rows(tmp) == rows(rebuilt),
+      "mixed bulk+streamed store must probe identically to a rebuild")
+    // and a replay of the streaming batch still only rewrites its own level
+    AnnIndex.appendBatch(streamed, tmp, batchId = 3L)
+    assert(rows(tmp) == rows(rebuilt), "replay broke the mix")
+  }
 }
