@@ -51,18 +51,24 @@ object Tables {
       case TimestampNTZType =>
         // A naive timestamp's wall clock IS the epoch instant (DuckDB's
         // epoch_us convention). Under a UTC session (every graft entry
-        // point) the NTZ→instant cast is already that — take the cheap
-        // per-row path. Otherwise re-render the NTZ wall clock into the
-        // session zone before the instant-cast so the result is the same
-        // under ANY session timezone (captured at load time; TablesSpec
-        // pins fast-path ≡ general-path).
+        // point) the NTZ→instant cast is exactly that — take the cheap
+        // per-row path. Otherwise compute epoch micros purely from the
+        // wall-clock FIELDS (days-since-epoch, h/m, exact decimal
+        // seconds): every accessor is zone-independent on a naive
+        // timestamp, so the result holds under ANY session timezone —
+        // including the DST fold hour, where the previous
+        // convert-then-instant-cast round trip was ambiguous (the
+        // repeated wall hour casts back to one of two instants;
+        // ADVICE r9). TablesSpec pins fast-path ≡ field-path.
         val zone = java.time.ZoneId.of(
           spark.conf.get("spark.sql.session.timeZone")).getRules
         val sessionIsUtc = zone.isFixedOffset &&
           zone.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
         val usExpr =
           if (sessionIsUtc) "unix_micros(cast(ts as timestamp))"
-          else "unix_micros(cast(convert_timezone('UTC', current_timezone(), ts) as timestamp))"
+          else """unix_date(cast(ts as date)) * 86400000000L
+                  + hour(ts) * 3600000000L + minute(ts) * 60000000L
+                  + cast(date_part('SECOND', ts) * 1000000 as bigint)"""
         raw.withColumn("ts_us", expr(usExpr))
       case other =>
         throw new IllegalStateException(

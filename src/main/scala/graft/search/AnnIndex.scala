@@ -45,6 +45,27 @@ object AnnIndex {
     * "Conflicting directory structures". */
   val BulkBatchId = -1L
 
+  /** Fail fast if `path/index` was built with the pre-`batch_id` layout
+    * (top-level `bucket=` dirs). Appending the current `(batch_id,
+    * bucket)` layout next to it would poison the store: Spark's
+    * partition discovery throws "Conflicting directory structures" on
+    * the MIXED store only at read time, after the bad write already
+    * landed (ADVICE r9). Nothing migrates in place — partition values
+    * live in dir names, so a migration is a rewrite anyway; a rebuild
+    * IS the migration. */
+  private def requireBatchIdLayout(spark: SparkSession, path: String): Unit = {
+    val idx = new org.apache.hadoop.fs.Path(s"$path/index")
+    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(idx) &&
+        fs.listStatus(idx).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket="))) {
+      throw new IllegalStateException(
+        s"ANN index at $path has the legacy top-level bucket= layout; " +
+        "appends write (batch_id, bucket) and would corrupt partition " +
+        "discovery. Rebuild the index with AnnIndex.build(...) first.")
+    }
+  }
+
   def build(embeddings: DataFrame, path: String,
       bits: Int = graft.queries.VectorOps.AnnBits,
       rpRows: Seq[Seq[Double]] = graft.queries.VectorOps.RpRows): Unit = {
@@ -70,6 +91,7 @@ object AnnIndex {
       bits: Int = graft.queries.VectorOps.AnnBits,
       rpRows: Seq[Seq[Double]] = graft.queries.VectorOps.RpRows): Unit = {
     import newVectors.sparkSession.implicits._
+    requireBatchIdLayout(newVectors.sparkSession, path)
     newVectors
       .withColumn("bucket", packSignBits($"embedding", bits))
       .withColumn("proj", matVec($"embedding", rpRows))
@@ -95,6 +117,7 @@ object AnnIndex {
       bits: Int = graft.queries.VectorOps.AnnBits,
       rpRows: Seq[Seq[Double]] = graft.queries.VectorOps.RpRows): Unit = {
     import newVectors.sparkSession.implicits._
+    requireBatchIdLayout(newVectors.sparkSession, path)
     newVectors
       .withColumn("bucket", packSignBits($"embedding", bits))
       .withColumn("proj", matVec($"embedding", rpRows))

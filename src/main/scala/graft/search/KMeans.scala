@@ -91,16 +91,29 @@ object KMeans {
         1.0 - d
       }
       val chosen = scala.collection.mutable.ArrayBuffer(0)
+      // `taken` excludes chosen indices from the argmax: duplicate-heavy
+      // corpora (the NORMAL input of a dedup engine) and zero vectors
+      // (cosDist 1.0 to everything, themselves included) make every
+      // remaining min-distance tie with a chosen point's, and an
+      // unguarded argmax would re-select the same index — duplicate seed
+      // ids, isin resolving < k rows, and the require below aborting
+      // training (ADVICE r9). Ties among UNchosen candidates still break
+      // by candidate order (strict `>` keeps the first max), so the
+      // sweep stays deterministic; cand holds distinct vec_ids and
+      // cand.length >= k, so k distinct indices always exist.
+      val taken = new Array[Boolean](cand.length)
+      taken(0) = true
       val minDist = Array.tabulate(cand.length)(i =>
         cosDist(cand(i)._2, cand(0)._2))
       while (chosen.length < k) {
         var best = -1; var bestD = -1.0
         var i = 0
         while (i < cand.length) {
-          if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+          if (!taken(i) && minDist(i) > bestD) { bestD = minDist(i); best = i }
           i += 1
         }
         chosen += best
+        taken(best) = true
         i = 0
         while (i < cand.length) {
           val d = cosDist(cand(i)._2, cand(best)._2)

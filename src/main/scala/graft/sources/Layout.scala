@@ -79,20 +79,27 @@ object Layout {
     *     existed at its listing snapshot (CompactionSpec proves content
     *     equality under a live appender). An appender that commits files
     *     into an EXISTING leaf mid-compaction (late event-time rows into
-    *     a closed dt partition) is also safe: the rewrite reads exactly
-    *     the snapshot files, and the late-append sweep moves any
-    *     post-snapshot commit out of the trash into the rewritten leaf
-    *     before the trash is dropped — crash-covered by the
-    *     `_compact_snapshot` manifest that rides into the trash
-    *     (CompactionSpec's race test). `skipLeaf` remains useful to
-    *     avoid churning a hot open partition, not for correctness.
+    *     a closed dt partition) is also safe in EVERY window: a commit
+    *     before the swap-out rides into the trash and the late-append
+    *     sweep moves it into the rewritten leaf; a commit BETWEEN the
+    *     two renames recreates the leaf dir, and the swap-in folds its
+    *     files into the trash, clears the husk and retries (never
+    *     renaming onto an existing dir). Crash-covered by the
+    *     `_compact_snapshot` manifest that rides into the trash and
+    *     records both the snapshot AND the rewritten file names, so
+    *     recovery can verify a present leaf is the rewrite before it
+    *     drops the trash — an appender husk from a failed swap-in is
+    *     restored instead (CompactionSpec's race tests). `skipLeaf`
+    *     remains useful to avoid churning a hot open partition, not for
+    *     correctness.
     *
     * Partition-column values live in the directory names, not the files,
     * so the rewrite round-trips them untouched. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long,
       skipLeaf: org.apache.hadoop.fs.Path => Boolean = _ => false,
-      onBeforeSwap: org.apache.hadoop.fs.Path => Unit = _ => ())
+      onBeforeSwap: org.apache.hadoop.fs.Path => Unit = _ => (),
+      onAfterSwapOut: org.apache.hadoop.fs.Path => Unit = _ => ())
       : CompactionStats = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
@@ -107,29 +114,84 @@ object Layout {
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
     val Trash = "_compact-(.+)\\.old".r
     val SnapshotManifest = "_compact_snapshot"
-    // crash recovery: restore any stranded swap-out left by a previous
-    // run that died between its two renames (leaf absent -> rename the
-    // trash back; leaf present -> the swap-in succeeded, drop the trash)
+    def dataNames(dir: Path): Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir)
+        .filter(s => s.isFile && isData(s.getPath))
+        .map(_.getPath.getName).toSet
+    // Manifest: "v2" header, then "S <name>" (snapshot = files the
+    // rewrite read) and "R <name>" (files the rewrite PRODUCED) lines.
+    // The R section lets recovery verify that an existing leaf really IS
+    // the rewrite before it drops the trash — without it, a leaf
+    // recreated by a concurrent appender during a failed swap-in is
+    // indistinguishable from a successful swap, and dropping the trash
+    // would delete the only copy of the originals (ADVICE r9). A
+    // headerless manifest (pre-v2 crash remnant) parses as
+    // snapshot-only.
+    def readManifest(trashDir: Path): Option[(Set[String], Option[Set[String]])] = {
+      val mfPath = new Path(trashDir, SnapshotManifest)
+      if (!fs.exists(mfPath)) return None
+      val in = fs.open(mfPath)
+      val lines =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+        finally in.close()
+      if (lines.headOption.contains("v2"))
+        Some((lines.collect { case l if l.startsWith("S ") => l.drop(2) }.toSet,
+          Some(lines.collect { case l if l.startsWith("R ") => l.drop(2) }.toSet)))
+      else Some((lines.toSet, None))
+    }
+    // crash recovery: resolve any stranded swap left by a previous run.
+    //   leaf absent              -> rename the trash back (swap-in never
+    //                               happened)
+    //   leaf present, NOT the rewrite (v2 manifest's R-files missing)
+    //                            -> an appender recreated it during a
+    //                               failed swap-in: fold its files into
+    //                               the trash and restore the trash
+    //   leaf present, is the rewrite (or no rewrite info to check)
+    //                            -> swap-in succeeded; sweep late files
+    //                               out of the trash, then drop it
+    // Any failed rename leaves the trash in place for the next run —
+    // recovery never deletes data it has not verified as rewritten.
     var recovered = 0
     def recover(dir: Path): Unit =
       fs.listStatus(dir).filter(_.isDirectory).foreach { s =>
         s.getPath.getName match {
           case Trash(leaf) =>
             val dest = new Path(dir, leaf)
-            if (!fs.exists(dest)) { fs.rename(s.getPath, dest); recovered += 1 }
-            else {
+            val staleTmp = new Path(dir, s".compact-$leaf.tmp")
+            val manifest = readManifest(s.getPath)
+            val snap = manifest.map(_._1).getOrElse(Set.empty[String])
+            val destIsRewrite = manifest.flatMap(_._2) match {
+              case Some(rw) => rw.nonEmpty && rw.subsetOf(dataNames(dest))
+              case None => true // pre-v2 / no manifest: keep the old behavior
+            }
+            if (!fs.exists(dest)) {
+              if (fs.rename(s.getPath, dest)) { recovered += 1; fs.delete(staleTmp, true) }
+            } else if (!destIsRewrite) {
+              // dest is an appender husk from the failed-swap window:
+              // its files are committed appends -> preserve them in the
+              // trash (they are not in the snapshot, so the late sweep
+              // logic finds them again), clear the husk, restore
+              fs.listStatus(dest)
+                .filter(f => f.isFile && isData(f.getPath))
+                .foreach { f =>
+                  val to = new Path(s.getPath, f.getPath.getName)
+                  if (!fs.exists(to)) fs.rename(f.getPath, to)
+                }
+              if (dataNames(dest).isEmpty && fs.delete(dest, true)
+                  && fs.rename(s.getPath, dest)) {
+                recovered += 1
+                fs.delete(staleTmp, true)
+              }
+            } else {
               // swap-in succeeded but the run died before its late-append
               // sweep: preserve any trash file NOT in the snapshot
-              // manifest (a concurrent commit) before dropping the trash
-              val mfPath = new Path(s.getPath, SnapshotManifest)
-              if (fs.exists(mfPath)) {
-                val in = fs.open(mfPath)
-                val snap =
-                  try new String(
-                    org.apache.commons.io.IOUtils.toByteArray(in),
-                    java.nio.charset.StandardCharsets.UTF_8)
-                    .split("\n").toSet
-                  finally in.close()
+              // manifest (a concurrent commit) before dropping the trash.
+              // No manifest at all -> nothing to distinguish late files
+              // by; skip the sweep (the pre-manifest behavior).
+              if (manifest.isDefined)
                 fs.listStatus(s.getPath)
                   .filter(f => f.isFile && isData(f.getPath)
                     && !snap.contains(f.getPath.getName))
@@ -137,8 +199,8 @@ object Layout {
                     val to = new Path(dest, late.getPath.getName)
                     if (!fs.exists(to)) fs.rename(late.getPath, to)
                   }
-              }
               fs.delete(s.getPath, true)
+              fs.delete(staleTmp, true)
             }
           case n if !n.startsWith(".") && !n.startsWith("_") =>
             recover(s.getPath)
@@ -179,17 +241,52 @@ object Layout {
           // snapshot manifest rides INTO the trash with the rename: if a
           // crash lands after the swap-in but before the late sweep, the
           // next run's recovery can still tell snapshot files (rewritten,
-          // safe to drop) from late appends (must be preserved)
+          // safe to drop) from late appends (must be preserved). v2 also
+          // records the REWRITTEN file names so recovery can verify a
+          // present leaf is really the rewrite (see readManifest).
+          val rewrittenNames = dataNames(tmp)
           val mf = fs.create(new Path(dir, SnapshotManifest), true)
-          try mf.write(files.map(_.getPath.getName).mkString("\n")
+          try mf.write(("v2" +:
+            (files.map(f => s"S ${f.getPath.getName}") ++
+              rewrittenNames.toSeq.sorted.map(n => s"R $n"))).mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally mf.close()
           onBeforeSwap(dir) // test seam: the listing→swap race window
           if (!fs.rename(dir, trash))
             throw new java.io.IOException(s"compact: cannot swap out $dir")
-          if (!fs.rename(tmp, dir)) { // restore on failure — never lose data
-            fs.rename(trash, dir)
-            throw new java.io.IOException(s"compact: cannot swap in $dir")
+          onAfterSwapOut(dir) // test seam: the swap-out→swap-in race window
+          // Swap-in, tolerating an appender that recreates the leaf
+          // between the two renames (its commit lands in a fresh dir):
+          // fold the appender's committed files into the trash — they are
+          // not in the snapshot, so the late-append sweep below carries
+          // them into the rewritten leaf — clear the husk, and retry.
+          // Never rename onto an existing dir: local-FS Hadoop rename
+          // nests src INTO an existing dst instead of failing.
+          var attempts = 0
+          var swapped = false
+          while (!swapped && attempts < 5) {
+            if (fs.exists(dir)) {
+              fs.listStatus(dir)
+                .filter(s => s.isFile && isData(s.getPath))
+                .foreach { f =>
+                  val to = new Path(trash, f.getPath.getName)
+                  if (!fs.exists(to) && !fs.rename(f.getPath, to))
+                    throw new java.io.IOException(
+                      s"compact: cannot preserve concurrent append ${f.getPath}")
+                }
+              fs.delete(dir, false) // husk only: fails if refilled, then retry
+            }
+            swapped = !fs.exists(dir) && fs.rename(tmp, dir)
+            attempts += 1
+          }
+          if (!swapped) { // restore on failure — never lose data
+            if (!fs.exists(dir) && !fs.rename(trash, dir))
+              throw new java.io.IOException(
+                s"compact: swap-in and restore both failed for $dir; " +
+                  s"originals are intact in $trash (next compact() recovers)")
+            throw new java.io.IOException(
+              s"compact: cannot swap in $dir (originals restored or " +
+                "recoverable from trash)")
           }
           // LATE-APPEND SWEEP: an appender that commits into this leaf
           // between the snapshot listing and the swap-out rename (late

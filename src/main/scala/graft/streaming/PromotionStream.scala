@@ -90,23 +90,24 @@ object PromotionStream {
     val (wMin, wMax) = (windows.head, windows.last)
     // prune to the windows' DAYS, not the [wMin, wMax] span: a backlog
     // holding one month-old replayed window plus current ones must not
-    // admit every intermediate day's partitions into the scan. One
-    // representative window per epoch-day; dtOf(lit(w)) is foldable, so
-    // the OR of equalities constant-folds to date literals the scan can
-    // partition-prune on (and stays correct under any session timezone,
-    // same as DtPrune)
-    // each window contributes its start AND end instants: a window that
+    // admit every intermediate day's partitions into the scan. EVERY
+    // endpoint contributes a dtOf(lit(s)) equality — no driver-side
+    // dedup by UTC epoch-day, because dt = dtOf(...) is SESSION-timezone
+    // local: two endpoints in one UTC day can straddle a local midnight
+    // and need two dt partitions (ADVICE r9). dtOf(lit(s)) is foldable,
+    // so Catalyst constant-folds the OR into distinct date literals the
+    // scan partition-prunes on; the endpoint list is control-plane sized
+    // (2 per closed window in the trigger), so the predicate stays small.
+    // Each window contributes its start AND last instant: a window that
     // spans midnight touches two dt partitions (the per-window DtPrune
-    // range covered both)
-    val dayReps = windows.flatMap(w => Seq(w, w + windowSec - 1))
-      .groupBy(s => Math.floorDiv(s, 86400L))
-      .values.map(_.head).toSeq.sorted
+    // range covered both).
+    val endpoints = windows.flatMap(w => Seq(w, w + windowSec - 1)).distinct
     val t1Ranged =
       t1.filter(col("ts_sec") >= wMin && col("ts_sec") < wMax + windowSec)
     val points =
       (if (t1.columns.contains("dt"))
-         t1Ranged.filter(dayReps.map(w =>
-           col("dt") === DtPrune.dtOf(lit(w))).reduce(_ || _))
+         t1Ranged.filter(endpoints.map(s =>
+           col("dt") === DtPrune.dtOf(lit(s))).reduce(_ || _))
        else t1Ranged)
         .withColumn("window_start",
           expr(s"ts_sec div $windowSec * $windowSec"))

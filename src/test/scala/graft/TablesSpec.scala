@@ -38,6 +38,33 @@ class TablesSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, saved)
   }
 
+  test("ts_us is invariant under a non-UTC session even in the DST fold hour") {
+    // 2025-11-02 01:30:00 lies in America/New_York's REPEATED wall hour
+    // (the clocks-back fold): an NTZ→instant cast there resolves to one
+    // of two instants, so any loader path that round-trips through an
+    // instant cast is ambiguous (ADVICE r9). The field-based path must
+    // return the UTC reading exactly. The driver fixture avoids fold
+    // hours, so this plants its own one-row events.parquet.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fold").toString
+    spark.sql(
+      """select 1L as event_id,
+                timestamp_ntz'2025-11-02 01:30:00' as ts,
+                1L as user_id, 'click' as event_type,
+                1.0d as value, '{}' as props""")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expectUs = 1762047000000000L // 2025-11-02T01:30:00Z
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      Seq("UTC", "America/New_York").foreach { tz =>
+        spark.conf.set(tzKey, tz)
+        val got = Tables.events(spark, dir)
+          .selectExpr("ts_us").collect().map(_.getLong(0)).toSeq
+        assert(got == Seq(expectUs), s"session tz $tz")
+      }
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("ts_us matches the parquet wall clock read as UTC") {
     // Independent recompute from wall-clock FIELDS (all zone-independent
     // on a naive timestamp): days-since-epoch, h/m, and exact decimal

@@ -187,6 +187,63 @@ class CompactionSpec extends SparkSpec {
       s"late commit must survive compaction, got $got")
   }
 
+  test("a file committed BETWEEN the two swap renames survives (leaf recreated by appender)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-race2").toString
+    (0 until 8).map(i => (i.toLong, s"row $i", "2026-01-01"))
+      .toDF("id", "body", "dt")
+      .repartition(8).write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    // the ADVICE r9 window: the appender commits AFTER the swap-out
+    // rename (the leaf dir is gone, the append recreates it) and BEFORE
+    // the swap-in — the swap-in must fold the recreated leaf's files
+    // into the trash and still land the rewrite, and the late-append
+    // sweep must carry the commit into the rewritten leaf
+    val stats = Layout.compact(spark, tmp, targetBytes = 1L << 30,
+      onAfterSwapOut = { _ =>
+        Seq((99L, "between-renames row", "2026-01-01"))
+          .toDF("id", "body", "dt")
+          .coalesce(1).write.mode("append").partitionBy("dt").parquet(tmp)
+      })
+    assert(stats.partitionsCompacted == 1)
+    val got = spark.read.parquet(tmp).select("id").as[Long].collect().toSet
+    assert(got == (0L until 8L).toSet + 99L,
+      s"between-renames commit must survive compaction, got $got")
+    assert(!new java.io.File(s"$tmp/_compact-dt=2026-01-01.old").exists,
+      "trash must be dropped after a successful swap")
+  }
+
+  test("recovery restores originals when the leaf is an appender husk, not the rewrite") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-crash3").toString
+    (0 until 6).map(i => (i.toLong, s"row $i", "2026-01-01"))
+      .toDF("id", "body", "dt")
+      .repartition(6).write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    val leaf = new java.io.File(s"$tmp/dt=2026-01-01")
+    val originals = leaf.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    // crash state after a FAILED swap-in (ADVICE r9): originals sit in
+    // the trash with a v2 manifest whose R-files never landed; the leaf
+    // dir was recreated by a concurrent appender and holds ONLY its
+    // commit. Pre-fix recovery mistook the husk for the rewrite and
+    // deleted the trash — every original row.
+    val trash = new java.io.File(s"$tmp/_compact-dt=2026-01-01.old")
+    assert(leaf.renameTo(trash))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(trash.toString, "_compact_snapshot"),
+      ("v2" +: (originals.map(n => s"S $n") :+
+        "R part-rewrite-that-never-landed.parquet")).mkString("\n"))
+    Seq((99L, "appender row", "2026-01-01")).toDF("id", "body", "dt")
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(tmp)
+    assert(leaf.exists, "fixture: appender must have recreated the leaf")
+
+    val stats = Layout.compact(spark, tmp, targetBytes = 1L << 30)
+    assert(stats.trashRecovered == 1, stats.toString)
+    assert(!trash.exists, "trash must be consumed by the restore")
+    val got = spark.read.parquet(tmp).select("id").as[Long].collect().toSet
+    assert(got == (0L until 6L).toSet + 99L,
+      s"recovery must restore originals AND keep the appender commit, got $got")
+  }
+
   test("crash between swap-in and late sweep: recovery preserves the late file") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-compact-crash2").toString
