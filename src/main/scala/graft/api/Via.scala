@@ -45,27 +45,42 @@ final class Via(spark: SparkSession, warehouse: String) {
 
   // --- store maintenance (no reference verb — the operational task its
   // daily-collection rollover performs implicitly) -----------------------
-  /** Compact Tier-1's small appended files (`sources/Layout.compact`).
+  /** Compact Tier-1's small appended files (`sources/Layout.compact`) —
+    * works on BOTH ingest paths, including under live streaming ingest.
     *
-    * Tier-1 written by [[ingestBatch]] appends files INTO existing `dt=`
-    * leaves — including CLOSED days, via late event-time rows — which
-    * `Layout.compact`'s late-append sweep preserves (a file committed
-    * between the listing and the swap is moved into the rewritten leaf,
-    * crash-covered by the trash manifest; CompactionSpec's race tests).
-    * The open (lexically max) dt partition is still skipped: it is the
-    * hot leaf, and compacting a partition mid-churn is wasted rewrite
-    * work, not a correctness need. Tier-1 written by the STREAMING
-    * ingest ([[startIngest]], a FileStreamSink) carries a
-    * `_spark_metadata` sink log that pins file names —
-    * `Layout.compact` refuses such a store outright. */
+    * [[ingestBatch]] and [[startIngest]]'s `foreachBatch` sink both
+    * append plain files INTO existing `dt=` leaves — including CLOSED
+    * days, via late event-time rows — which `Layout.compact`'s
+    * late-append sweep preserves (a file committed between the listing
+    * and the swap is moved into the rewritten leaf, crash-covered by the
+    * trash manifest; CompactionSpec's race tests). The open (lexically
+    * max) dt partition is still skipped: it is the hot leaf, and
+    * compacting a partition mid-churn is wasted rewrite work, not a
+    * correctness need.
+    *
+    * Streaming-ingest interplay: a `b<id>-` file with `id` ABOVE the
+    * commit ledger's high-water mark belongs to an in-flight or
+    * crashed-attempt micro-batch — the replay protocol deletes such
+    * files BY NAME before re-landing them
+    * ([[graft.streaming.IngestPipeline.appendBatchIdempotent]]), so
+    * compaction must not fold them into a rewrite (the replay would miss
+    * them and duplicate rows). They are excluded via `skipFile` and pass
+    * through the swap untouched; committed files compact freely because
+    * a committed batch is never replayed. */
   def compactTier1(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tier1Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val openDt = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("dt=")).sorted.lastOption
+    val committedMax = IngestPipeline.committedMax(fs, root)
+    val UncommittedBatchFile = "b(\\d+)-.*".r
     graft.sources.Layout.compact(spark, tier1Path, targetBytes,
-      skipLeaf = dir => openDt.contains(dir.getName))
+      skipLeaf = dir => openDt.contains(dir.getName),
+      skipFile = f => f.getName match {
+        case UncommittedBatchFile(id) => id.toLong > committedMax
+        case _ => false
+      })
   }
 
   /** Compact Tier-2. Safe under the live [[PromotionStream]] appender:
@@ -96,6 +111,8 @@ final class Via(spark: SparkSession, warehouse: String) {
       triggerMs: Long = 10000,
       stateTtlMs: Option[Long] =
         Some(graft.streaming.StatefulDetector.DefaultStateTtlMs)): StreamingQuery = {
+    graft.streaming.StatefulDetector.ensureStateVersion(spark,
+      s"$warehouse/checkpoints/stateful")
     val schema = spark.read.parquet(tier1Path).schema
     val logs = spark.readStream.schema(schema).parquet(tier1Path)
       .select("rhythm_hash", "ts_sec")

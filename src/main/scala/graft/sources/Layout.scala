@@ -99,7 +99,8 @@ object Layout {
       targetBytes: Long,
       skipLeaf: org.apache.hadoop.fs.Path => Boolean = _ => false,
       onBeforeSwap: org.apache.hadoop.fs.Path => Unit = _ => (),
-      onAfterSwapOut: org.apache.hadoop.fs.Path => Unit = _ => ())
+      onAfterSwapOut: org.apache.hadoop.fs.Path => Unit = _ => (),
+      skipFile: org.apache.hadoop.fs.Path => Boolean = _ => false)
       : CompactionStats = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
@@ -222,8 +223,15 @@ object Layout {
     leaves(root).foreach { dir =>
       if (skipLeaf(dir)) skipped += 1
       else {
+        // skipFile excludes a file from the rewrite SNAPSHOT entirely: it
+        // rides into the trash un-rewritten and the late-append sweep
+        // (not-in-snapshot) carries it back into the rewritten leaf
+        // untouched. Callers use it for files a concurrent protocol may
+        // still delete-by-name (an ingest replay's uncommitted `b<id>-`
+        // leftovers) — folding those into a rewrite would strand rows the
+        // protocol believes it removed.
         def dataFiles() = fs.listStatus(dir)
-          .filter(s => s.isFile && isData(s.getPath))
+          .filter(s => s.isFile && isData(s.getPath) && !skipFile(s.getPath))
         val files = dataFiles()
         val bytes = files.map(_.getLen).sum
         val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)

@@ -40,9 +40,121 @@ object IngestPipeline {
   def ingestBatch(rawJsonLines: DataFrame, jsonCol: String = "value"): DataFrame =
     derive(OTel.parseJson(rawJsonLines, jsonCol))
 
+  /** Commit-marker directory under the Tier-1 root (underscore-prefixed:
+    * parquet partition discovery ignores it). One empty file per committed
+    * micro-batch, pruned to a bounded tail — "is batch N committed" is
+    * `N <= max(marker ids)`, which survives pruning because Structured
+    * Streaming commits micro-batches SERIALLY: at most the single latest
+    * batch can ever be uncommitted-with-files. */
+  val CommitLedgerDir = "_graft_commits"
+  /** Markers kept behind the newest one (any longer replay gap is
+    * impossible under serial micro-batches; the tail is only kept so a
+    * reader diagnosing the store can see recent history). */
+  val LedgerRetention = 128L
+
+  /** Highest committed ingest batch id at `tier1Path`, or -1 for a store
+    * with no ledger (batch-only or brand new). */
+  def committedMax(fs: org.apache.hadoop.fs.FileSystem,
+      tier1Root: org.apache.hadoop.fs.Path): Long = {
+    val ledger = new org.apache.hadoop.fs.Path(tier1Root, CommitLedgerDir)
+    if (!fs.exists(ledger)) -1L
+    else fs.listStatus(ledger).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** IDEMPOTENT day-partitioned append of one ingest micro-batch — the
+    * Tier-1 sink, replacing the previous `FileStreamSink` (whose
+    * `_spark_metadata` log pinned file names and made `Layout.compact`
+    * refuse the store — VERDICT r9 item 1: the engine's highest-volume
+    * store had no working small-files answer).
+    *
+    * Protocol per batch id N:
+    *   1. marker `_graft_commits/N` present → a previous attempt fully
+    *      committed; the replay is a NO-OP (exactly-once content).
+    *   2. stage: write the batch `partitionBy(dt)` under a dot-prefixed
+    *      sibling (invisible to readers).
+    *   3. per staged `dt=` leaf: delete `bN-*` leftovers of a crashed
+    *      prior attempt (same input → same rows → same dt set, so
+    *      sweeping only the STAGED leaves finds every leftover), then
+    *      rename the staged files in as `bN-p<i>.parquet` — rename is
+    *      atomic per file, and the deterministic names mean a replay
+    *      converges on the same paths.
+    *   4. write marker N; prune markers older than N - retention.
+    *
+    * Crash anywhere before step 4 → the replay wipes `bN-*` and redoes
+    * the moves; crash after → step 1 skips. The only non-atomicity a
+    * reader can observe is a partially-visible IN-FLIGHT batch (the same
+    * at-least-once window any file appender has); committed batches are
+    * never mutated. Downstream streaming readers key seen-files by PATH,
+    * and replayed paths are identical, so a replay never double-feeds
+    * them. Compaction interplay: `Via.compactTier1` skips `b<id>-` files
+    * with `id > committedMax` (in-flight/crashed), so the replay's
+    * delete-by-prefix always finds its leftovers un-merged; committed
+    * files may be freely rewritten because step 1 never touches them
+    * again. The leaf-recreation races with a concurrent `Layout.compact`
+    * swap are the ones its CompactionSpec race tests pin. */
+  def appendBatchIdempotent(batch: DataFrame, tier1Path: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val root = new Path(tier1Path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgerDir = new Path(root, CommitLedgerDir)
+    val marker = new Path(ledgerDir, batchId.toString)
+    if (fs.exists(marker)) return
+    val staging = new Path(root, s".staging-$batchId")
+    fs.delete(staging, true)
+    batch.write.mode("overwrite").partitionBy("dt").parquet(staging.toString)
+    val prefix = s"b$batchId-"
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .foreach { leaf =>
+        val dest = new Path(root, leaf.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(dest)
+          .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+          .foreach(s => fs.delete(s.getPath, false))
+        val files = fs.listStatus(leaf.getPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".")
+            && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath).sortBy(_.getName)
+        files.zipWithIndex.foreach { case (f, i) =>
+          val to = new Path(dest, s"${prefix}p$i.parquet")
+          // tolerate a compaction swap renaming the leaf away between our
+          // mkdirs and this rename: recreate and retry (the swap-in folds
+          // a recreated leaf's files into its trash and re-lands them)
+          var attempts = 0
+          var ok = false
+          while (!ok && attempts < 5) {
+            fs.mkdirs(dest)
+            ok = fs.rename(f, to)
+            attempts += 1
+          }
+          if (!ok) throw new java.io.IOException(
+            s"ingest: cannot commit staged file $f to $to")
+        }
+      }
+    fs.delete(staging, true)
+    fs.mkdirs(ledgerDir)
+    fs.create(marker, true).close()
+    fs.listStatus(ledgerDir).foreach { s =>
+      val id = scala.util.Try(s.getPath.getName.toLong).getOrElse(Long.MaxValue)
+      if (id < batchId - LedgerRetention) fs.delete(s.getPath, false)
+    }
+  }
+
   /** Start the streaming ingest: JSONL files under `inputDir` → Tier-1
     * parquet at `tier1Path`, day-partitioned. `maxFilesPerTrigger` bounds
-    * micro-batch size (the reference's MAX_BATCH_SIZE analogue, T1). */
+    * micro-batch size (the reference's MAX_BATCH_SIZE analogue, T1).
+    *
+    * The sink is [[appendBatchIdempotent]] — idempotent batchId-keyed
+    * appends with NO `_spark_metadata` sink log, so `Via.compactTier1`
+    * can compact the store (including under live ingest). A store written
+    * by the pre-r10 `FileStreamSink` layout is refused with a migration
+    * message: its log pins exact file names, and appending outside the
+    * log would make log-resolved reads silently incomplete. */
   def start(
       spark: SparkSession,
       inputDir: String,
@@ -50,6 +162,16 @@ object IngestPipeline {
       checkpoint: String,
       triggerMs: Long = 500,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val root = new org.apache.hadoop.fs.Path(tier1Path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")))
+      throw new IllegalArgumentException(
+        s"ingest: $tier1Path is a legacy FileStreamSink store " +
+          "(_spark_metadata present). Its sink log pins exact file names; " +
+          "appending outside the log would make log-resolved reads miss " +
+          "rows. Re-materialize the store with a batch write (read + " +
+          "write to a fresh path), then restart ingest with a fresh " +
+          "checkpoint.")
     // read as TEXT, not .json(schema): parseJson keeps the ORIGINAL line in
     // full_log_json (a schema'd json read would re-serialize through
     // OTel.schema and drop unknown attributes / extra value arms — the
@@ -59,11 +181,11 @@ object IngestPipeline {
       .text(inputDir)
     derive(OTel.parseJson(raw))
       .writeStream
-      .format("parquet")
-      .option("path", tier1Path)
       .option("checkpointLocation", checkpoint)
-      .partitionBy("dt")
       .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatchIdempotent(b, tier1Path, id)
+      }
       .start()
   }
 
