@@ -171,6 +171,7 @@ object PromotionStream {
       triggerMs: Long = 1000,
       stateTtlMs: Option[Long] = Some(StatefulDetector.DefaultStateTtlMs),
       annIndexPath: Option[String] = None): StreamingQuery = {
+    StatefulDetector.ensureStateVersion(spark, checkpoint)
     val schema = spark.read.parquet(tier1Path).schema
     val logs = spark.readStream.schema(schema).parquet(tier1Path)
       .select("rhythm_hash", "ts_sec")

@@ -31,9 +31,10 @@ object StatefulDetector {
     * both engines.
     *
     * STATE SCHEMA v2 (r9): field 2 changed Double→Long. A stream restarted
-    * from a pre-r9 checkpoint fails the state-store schema check; restart
-    * with a fresh checkpoint (baselines re-learn; an evicted-then-relearned
-    * baseline is already this detector's documented TTL behavior). */
+    * from a pre-r9 checkpoint fails FAST at start with a migration message
+    * ([[ensureStateVersion]]); restart with a fresh checkpoint (baselines
+    * re-learn; an evicted-then-relearned baseline is already this
+    * detector's documented TTL behavior). */
   case class HashState(windows: Long, sum: Long) {
     def mean: Double =
       if (windows == 0) 0.0 else sum.toDouble / windows.toDouble
@@ -106,6 +107,56 @@ object StatefulDetector {
     * (it re-detects as novelty on return). Pass `stateTtl = None` to keep
     * state forever (test/batch comparisons). */
   val DefaultStateTtlMs: Long = 60 * 60 * 1000L
+
+  /** State-schema version of [[HashState]] (v2 = exact-integer fields,
+    * r9). Recorded as `_graft_state_version` in the checkpoint dir by the
+    * streams that own keyed state ([[PromotionStream.start]],
+    * `Via.startStatefulDetection`) and checked BEFORE the query starts. */
+  val StateVersion = 2
+
+  /** Fail FAST on a checkpoint whose keyed state this build cannot read
+    * (VERDICT r9 item 6) — at start, with a migration message, instead of
+    * a cryptic state-store schema error mid-batch:
+    *   - tag == [[StateVersion]] → ok
+    *   - tag != → name both versions, tell the operator to restart fresh
+    *   - no tag but the checkpoint HAS prior runs (`offsets/` exists) →
+    *     a pre-versioning (v1, running-Double baseline) checkpoint
+    *   - no tag, no prior runs → fresh checkpoint: stamp it */
+  def ensureStateVersion(spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = new Path(checkpoint)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = new Path(dir, "_graft_state_version")
+    val remedy = "Restart with a FRESH checkpoint directory; baselines " +
+      "re-learn from traffic (the same observable behavior as a TTL " +
+      "eviction, see HashState's Scaladoc)."
+    val found: Option[Int] =
+      if (!fs.exists(tag)) None
+      else {
+        val in = fs.open(tag)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          UTF_8).trim.toInt)
+        finally in.close()
+      }
+    found match {
+      case Some(v) if v == StateVersion => ()
+      case Some(v) => throw new IllegalStateException(
+        s"checkpoint $checkpoint holds HashState schema v$v but this " +
+          s"build reads/writes v$StateVersion. $remedy")
+      case None if fs.exists(new Path(dir, "offsets")) =>
+        throw new IllegalStateException(
+          s"checkpoint $checkpoint predates state-schema versioning " +
+            "(HashState v1: running-Double baseline). This build's " +
+            s"exact-integer HashState v$StateVersion cannot read it. $remedy")
+      case None =>
+        fs.mkdirs(dir)
+        val out = fs.create(tag, true)
+        try out.write(StateVersion.toString.getBytes(UTF_8))
+        finally out.close()
+    }
+  }
 
   def detect(
       logs: DataFrame,
