@@ -43,6 +43,13 @@ object Curation {
     */
   final case class Config(
       dedupNear: Boolean = true,
+      /** LSH bucket-size recall cap for the near-dup stage (entries kept
+        * per band bucket; `None` = uncapped). The default sits far above
+        * any healthy bucket — it exists so ONE degenerate boilerplate
+        * bucket at 100 TB cannot explode the candidate self-join
+        * quadratically. Its recall cost is surfaced per run by
+        * [[curateWithReport]] (`over_cap_entries`/`over_cap_buckets`). */
+      lshBucketCap: Option[Int] = Some(DefaultLshBucketCap),
       dropDupSpans: Boolean = false,
       /** Embedding-cosine decontamination threshold vs `evalDocs` —
         * `Some(τ)` drops training docs whose [[graft.functions.EmbedText]]
@@ -64,6 +71,23 @@ object Curation {
       packBudget: Long = CurationOps.PackBudget,
       packShards: Long = CurationOps.PackShards)
 
+  /** See [[Config.lshBucketCap]]. */
+  val DefaultLshBucketCap = 4096
+
+  /** One row of [[curateWithReport]]'s per-stage recall-cost report.
+    * `rowsExcluded` is the stage's drop count; `capExcluded` carries any
+    * recall-CAP telemetry the stage's kernel reported (entries a bounded
+    * candidate structure excluded — a recall cost invisible in the row
+    * counts, since a capped entry's doc usually survives the stage). */
+  final case class StageReport(stage: String, rowsIn: Long, rowsOut: Long,
+      capExcluded: Map[String, Long] = Map.empty) {
+    def rowsExcluded: Long = rowsIn - rowsOut
+    override def toString: String =
+      f"$stage%-24s in=$rowsIn%8d out=$rowsOut%8d dropped=$rowsExcluded%8d" +
+        (if (capExcluded.isEmpty) ""
+         else capExcluded.toSeq.sorted.map { case (k, v) => s" $k=$v" }.mkString)
+  }
+
   /** Curate `docs` (schema: doc_id, text, lang, ...) into packed training
     * rows (doc_id, lang, text, shard, n_tok, pack_id).
     *
@@ -72,7 +96,44 @@ object Curation {
     *                 dropped (decontamination)
     */
   def curate(docs: DataFrame, evalDocs: Option[DataFrame] = None,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    build(docs, evalDocs, cfg, (_, df) => df, (_, _) => ())
+
+  /** [[curate]] plus the per-stage recall-cost report (VERDICT r9 item
+    * 7): every ENABLED stage's rows in/out and any cap telemetry its
+    * kernel reported, in pipeline order — the one place a 100 TB
+    * operator reads what each stage (and each recall cap) cost this run.
+    *
+    * This is the AUDIT verb: it materializes (cache + count) each stage
+    * boundary, one extra counting pass per stage, where [[curate]] stays
+    * one lazy end-to-end plan. Run it on a sample or when the audit is
+    * worth a bounded multiple of the corpus scan; the returned frame is
+    * the (cached) final stage. */
+  def curateWithReport(docs: DataFrame, evalDocs: Option[DataFrame] = None,
+      cfg: Config = Config()): (DataFrame, Seq[StageReport]) = {
+    val report = scala.collection.mutable.ArrayBuffer.empty[StageReport]
+    val caps = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+    var prev: DataFrame = docs.cache()
+    var prevN = prev.count()
+    def chk(name: String, df: DataFrame): DataFrame =
+      if (df eq prev) df // stage disabled: nothing ran, nothing to report
+      else {
+        val cached = df.cache()
+        val n = cached.count()
+        report += StageReport(name, prevN, n, caps.getOrElse(name, Map.empty))
+        prev.unpersist()
+        prev = cached
+        prevN = n
+        cached
+      }
+    val out = build(docs, evalDocs, cfg, chk,
+      (stage, m) => caps(stage) = m)
+    (out, report.toSeq)
+  }
+
+  private def build(docs: DataFrame, evalDocs: Option[DataFrame],
+      cfg: Config, chk: (String, DataFrame) => DataFrame,
+      onCap: (String, Map[String, Long]) => Unit): DataFrame = {
     import docs.sparkSession.implicits._
     // Opting into the semantic gate without eval docs would silently run
     // no decontamination at all — refuse loudly instead.
@@ -85,30 +146,32 @@ object Curation {
       .groupBy(TextFunctions.fingerprint($"text").as("fp"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
-    val exact = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val exact = chk("exact_dedup",
+      docs.join(keepers, Seq("doc_id"), "left_semi"))
 
     // 2. near-dup clusters: keep each cluster's min id (iterative CC)
-    val near =
+    val near = chk("neardup_clusters",
       if (!cfg.dedupNear) exact
       else {
-        val own = CurationOps.connectedComponents(exact)
+        val own = CurationOps.connectedComponents(exact, cfg.lshBucketCap,
+            m => onCap("neardup_clusters", m))
           .filter($"doc_id" === $"cluster_id").select($"doc_id")
         exact.join(own, Seq("doc_id"), "left_semi")
-      }
+      })
 
     // 2b. optional substring dedup: rewrite every doc with duplicated
     // 8-token spans removed (global first occurrence kept), dropping docs
     // the rewrite empties — the doc-level dedups above can't catch
     // boilerplate runs shared between otherwise-distinct docs
-    val despanned =
+    val despanned = chk("drop_dup_spans",
       if (!cfg.dropDupSpans) near
       else near.drop("text")
         .join(graft.queries.CorpusOps.dropSpanRewrite(near)
           .filter($"n_kept" > 0)
-          .select($"doc_id", $"clean_text".as("text")), Seq("doc_id"))
+          .select($"doc_id", $"clean_text".as("text")), Seq("doc_id")))
 
     // 3. decontamination: drop docs sharing any 8-gram with the eval set
-    val clean = evalDocs.fold(despanned) { ev =>
+    val clean = chk("decontaminate", evalDocs.fold(despanned) { ev =>
       def grams(df: DataFrame) = df.select($"doc_id",
         explode(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
           graft.GraftFunctions.exprOf($"text"), CurationOps.DecontamN)))
@@ -117,7 +180,7 @@ object Curation {
       val contaminated = grams(despanned).join(evGrams, Seq("gram"))
         .select($"doc_id").distinct()
       despanned.join(contaminated, Seq("doc_id"), "left_anti")
-    }
+    })
 
     // 3b. optional SEMANTIC decontamination: drop docs whose embedding
     // reaches cosine >= tau to any eval doc — catches paraphrased
@@ -125,7 +188,8 @@ object Curation {
     // benchmark-sized, so its embeddings collect into ONE BestMatchExpr
     // reference object and the stage is a pure scan filter (no join, no
     // shuffle — the `decontaminate_semantic` shape).
-    val semClean = (cfg.semanticDecontamTau, evalDocs) match {
+    val semClean = chk("semantic_decontaminate",
+      (cfg.semanticDecontamTau, evalDocs) match {
       case (Some(tau), Some(ev)) =>
         val evEmb = ev
           .select($"doc_id", graft.GraftFunctions.columnOf(
@@ -141,71 +205,72 @@ object Curation {
               graft.functions.EmbedText(graft.GraftFunctions.exprOf($"text")))),
             evEmb.map(_._1), evEmb.map(_._2))).getField("sim") < tau)
       case _ => clean
-    }
+    })
 
     // 4. per-row quality gates (pure scan filters); the Gopher rule
     // battery is opt-in because its constants are corpus-tuned
-    val ruleFiltered = semClean
+    val ruleFiltered = chk("quality_gates", semClean
       .filter(TextFunctions.qualityScore($"text") >= cfg.minQuality)
-      .filter(CurationOps.repetitionCol($"text") <= cfg.maxRepetition)
-    val gated =
+      .filter(CurationOps.repetitionCol($"text") <= cfg.maxRepetition))
+    val gated = chk("gopher_rules",
       if (!cfg.gopherRules) ruleFiltered
-      else ruleFiltered.filter(graft.queries.CorpusOps.gopherKeepCol($"text"))
+      else ruleFiltered.filter(graft.queries.CorpusOps.gopherKeepCol($"text")))
 
     // 4b. optional corpus-statistical gate: unigram LM surprisal (one
     // extra vocabulary aggregate + token-keyed join over the survivors —
     // the model is fit on the gated corpus itself, CCNet-style)
-    val surpFiltered = cfg.maxSurprisal.fold(gated) { maxNll =>
+    val surpFiltered = chk("lm_surprisal", cfg.maxSurprisal.fold(gated) { maxNll =>
       val ok = graft.queries.TextOps
         .lmScores(gated.select($"doc_id", $"text"))
         .filter($"avg_nll" <= maxNll).select($"doc_id")
       gated.join(ok, Seq("doc_id"), "left_semi")
-    }
+    })
 
     // 4c. optional quality-weighted importance sampling: P(keep) = the
     // quality score, hash-decided (`weighted_sample` semantics) — the
     // soft counterpart of the hard minQuality gate above
-    val filtered =
+    val filtered = chk("quality_weighted_sample",
       if (!cfg.qualityWeighted) surpFiltered
       else surpFiltered.filter(
-        CurationOps.qualityWeightedKeep($"doc_id", $"text"))
+        CurationOps.qualityWeightedKeep($"doc_id", $"text")))
 
     // 5. PII masking (per-row regex, after the filters so quality scores
     // judged the original text; placeholders count as tokens downstream)
-    val scrubbed =
+    val scrubbed = chk("pii_scrub",
       if (!cfg.scrubPii) filtered
       else filtered.withColumn("text",
         regexp_replace(regexp_replace($"text",
           graft.queries.TextOps.EmailRe, "<EMAIL>"),
-          graft.queries.TextOps.PhoneRe, "<PHONE>"))
+          graft.queries.TextOps.PhoneRe, "<PHONE>")))
 
     // 6. stratified rebalance (pure scan filter); unlisted languages keep
     // cfg.sampleDefaultRate/1000 — lossless by default (see Config)
-    val sampled = cfg.sampleRates.fold(scrubbed)(r =>
+    val sampled = chk("stratified_sample", cfg.sampleRates.fold(scrubbed)(r =>
       scrubbed.filter(CurationOps.stratSampleKeep($"doc_id", $"lang", r,
-        cfg.sampleDefaultRate)))
+        cfg.sampleDefaultRate))))
 
     // 6b. optional domain-mixture rebalance to a target source mix
     // (`mix_sources` semantics: allowlist + downsample-only reweight);
     // requires a `source` column
-    val mixed = cfg.mixTargets.fold(sampled)(t =>
-      CurationOps.mixSourceFilter(sampled, t))
+    val mixed = chk("mix_sources", cfg.mixTargets.fold(sampled)(t =>
+      CurationOps.mixSourceFilter(sampled, t)))
 
     // 6c. optional chunk-to-context rewrite (`chunk_docs` semantics):
     // each surviving document becomes its overlapping context-window
     // chunks; chunk rows get a namespaced id so packing sees unique keys
     val prepacked =
       if (!cfg.chunkToContext) mixed.select($"doc_id", $"lang", $"text")
-      else graft.queries.CorpusOps
+      else chk("chunk_docs", graft.queries.CorpusOps
         .chunkRows(mixed.select($"doc_id", $"lang", $"text"), carry = Seq("lang"))
         .select(
           ($"doc_id" * graft.queries.CorpusOps.ChunkIdBase + $"chunk_id")
             .as("doc_id"),
-          $"lang", array_join($"chunk", " ").as("text"))
+          $"lang", array_join($"chunk", " ").as("text")))
 
     // 7. sequence packing
-    CurationOps.packColumns(prepacked, budget = cfg.packBudget,
-        shards = cfg.packShards)
-      .select($"doc_id", $"lang", $"text", $"shard", $"n_tok", $"pack_id")
+    chk("pack_sequences",
+      CurationOps.packColumns(prepacked, budget = cfg.packBudget,
+          shards = cfg.packShards)
+        .select($"doc_id", $"lang", $"text", $"shard", $"n_tok", $"pack_id"))
   }
 }

@@ -40,8 +40,13 @@ object MediaOps {
     * cannot decode — mp4 frame demux in [[sampleFrames]]. Every image
     * format goes through [[RealCodecs]] instead (the JDK's imageio
     * plugins are pure Java). Expands payload bytes into deterministic
-    * "pixel" data; replace `decodeBytes` with a real codec binding in
-    * production, every signature stays identical. */
+    * "pixel" data. PERMANENT DECLARED DEVIATION (like the V5 embedder
+    * stand-in): video frame decode needs an ffmpeg-class native codec no
+    * pure-JVM library provides, so the video leg ships as this stub by
+    * design, not as a roadmap item — the Spark-side surface (schema,
+    * partitioning, frame-sampling plan shape, feature kernels) is the
+    * real, tested artifact, and a codec binding would slot in behind
+    * `decodeBytes` without changing any signature. */
   object StubCodec {
     def decodeBytes(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
       val out = new Array[Float](w * h)

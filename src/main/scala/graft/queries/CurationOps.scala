@@ -87,9 +87,20 @@ object CurationOps {
     *
     * Reusable core of the `dedup_clusters` gate query, also composed by
     * [[graft.api.Curation]]. */
-  def connectedComponents(docs: DataFrame): DataFrame = {
+  def connectedComponents(docs: DataFrame): DataFrame =
+    connectedComponents(docs, None, _ => ())
+
+  /** [[connectedComponents]] with the optional LSH bucket-size recall cap
+    * (see `TextOps.minhashBuckets`' capped overload). When capped,
+    * `onCapMetrics` receives `over_cap_entries` / `over_cap_buckets`
+    * once the candidate graph has materialized — the recall-cost number
+    * the composed pipeline surfaces per stage ([[graft.api.Curation]]).
+    * The gate query passes no cap (its oracle models the full join). */
+  def connectedComponents(docs: DataFrame, bucketCap: Option[Int],
+      onCapMetrics: Map[String, Long] => Unit): DataFrame = {
     import docs.sparkSession.implicits._
-    val buckets = TextOps.minhashBuckets(docs)
+    val capObs = bucketCap.map(_ => org.apache.spark.sql.Observation())
+    val buckets = TextOps.minhashBuckets(docs, bucketCap, capObs)
     val pairs = TextOps.pairsFromBuckets(buckets)
     // both directions in ONE pass over the pair relation (a two-branch
     // union would recompute the LSH self-join once per direction),
@@ -104,6 +115,11 @@ object CurationOps {
     // release it now rather than leaking one cached relation per call in
     // a long-lived session (this is a reusable library entry point)
     buckets.unpersist()
+    // the edge checkpoint above materialized the (observed) bucket
+    // relation, so the cap metrics are final here — get() cannot block
+    capObs.foreach { o =>
+      onCapMetrics(o.get.collect { case (k, v: Long) => k -> v }.toMap)
+    }
     // seed = round 1 fused: lbl0(x) = min(x, min neighbor(x)), one
     // aggregate over the edge relation, graph nodes only
     var labels = edges.groupBy($"dst".as("id"))

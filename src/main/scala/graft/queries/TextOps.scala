@@ -784,15 +784,56 @@ object TextOps {
     * so minhashing runs once across the self-join's two sides, not to
     * outlive the query. */
   private[queries] def minhashBuckets(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minhashBuckets(docs, None, None)
+
+  /** [[minhashBuckets]] with an optional BUCKET-SIZE recall cap — the
+    * same degenerate-group guard the jaccard census and semdedup carry: a
+    * pathological band bucket (one boilerplate template shared by
+    * millions of docs at 100 TB) otherwise explodes the downstream
+    * self-join quadratically. `bucketCap = Some(c)` keeps each
+    * `(band_idx, band_hash)` bucket's `c` LOWEST doc_ids (deterministic;
+    * one row_number window over the keys the relation already shuffles
+    * on) and drops the rest FROM PAIR FORMATION ONLY — a dropped entry's
+    * doc still pairs through its other bands. `capObs` (required iff
+    * capped) reports the recall cost before the filter:
+    * `over_cap_entries` = band-entries dropped, `over_cap_buckets` =
+    * buckets that hit the cap. Gate queries (`lsh_pairs`,
+    * `dedup_clusters`) pass None — their oracles model the uncapped
+    * join; the cap is the composed-pipeline scale path
+    * ([[graft.api.Curation]]). */
+  private[queries] def minhashBuckets(
+      docs: org.apache.spark.sql.DataFrame,
+      bucketCap: Option[Int],
+      capObs: Option[org.apache.spark.sql.Observation])
+      : org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     val withMh = docs
       .select($"doc_id", baseHashes($"text").as("hs"))
       .select($"doc_id", minhashArr($"hs").as("mh"))
     val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*)
-    withMh
+    val exploded = withMh
       .select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
-      .cache()
+    bucketCap match {
+      case None => exploded.cache()
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_idx", $"band_hash").orderBy($"doc_id")
+        val ranked = exploded.withColumn("rn", row_number().over(w))
+        val observed = capObs.fold(ranked)(o => ranked.observe(o,
+          coalesce(sum(when($"rn" > cap, 1L)), lit(0L)).as("over_cap_entries"),
+          // each over-cap bucket contributes exactly one rn == cap+1 row
+          coalesce(sum(when($"rn" === cap + 1, 1L)), lit(0L))
+            .as("over_cap_buckets")))
+        val capped = observed.filter($"rn" <= cap).drop("rn").cache()
+        // materialize the cache NOW, with one action: the downstream
+        // self-join scans this relation twice in one stage, and two
+        // concurrent first-scans would each run the observe (accumulator
+        // metrics double). After count() both sides hit the populated
+        // cache and the telemetry is exact.
+        capped.count()
+        capped
+    }
   }
 
   /** The bucket self-join of [[minhashBuckets]]: distinct unordered

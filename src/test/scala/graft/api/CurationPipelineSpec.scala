@@ -309,4 +309,78 @@ class CurationPipelineSpec extends SparkSpec {
       assert(r.getLong(2) <= graft.queries.CorpusOps.ChunkC.toLong)
     }
   }
+
+  test("curateWithReport: per-stage recall-cost report with planted over-cap fixture") {
+    import spark.implicits._
+    // 5 NEAR-identical docs (one trailing token differs, so exact dedup
+    // keeps all 5 but every minhash band bucket holds all of them) + 20
+    // distinct docs. With lshBucketCap = 2 each shared bucket keeps the 2
+    // lowest ids: the over-cap telemetry must report the other 3 entries
+    // per bucket, and docs 3..5 fall out of the candidate graph (the
+    // recall cost the report exists to surface).
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the rain falls on the quiet grey town tonight"
+    val nearDups = (1L to 5L).map(i => (i, s"$base token$i", "en"))
+    // genuinely dissimilar filler docs: per-doc hashed token streams so
+    // no two share a shingle (template-y filler text near-dups itself)
+    val distinct = (100L until 120L).map { i =>
+      val words = (0 until 18).map(j => s"tok${(i * 1315423911L + j * 2654435761L) % 100000}q$j")
+      (i, words.mkString(" "), "en")
+    }
+    val docs = (nearDups ++ distinct).toDF("doc_id", "text", "lang")
+    val cfg = Curation.Config(lshBucketCap = Some(2),
+      sampleRates = None, scrubPii = false)
+
+    val (out, report) = Curation.curateWithReport(docs, cfg = cfg)
+    val byStage = report.map(r => r.stage -> r).toMap
+
+    // stage order and enablement: disabled stages are absent
+    assert(report.map(_.stage) == Seq("exact_dedup", "neardup_clusters",
+      "quality_gates", "pack_sequences"), report.map(_.stage).toString)
+
+    // exact dedup drops nothing here (all texts distinct)
+    assert(byStage("exact_dedup").rowsIn == 25
+      && byStage("exact_dedup").rowsOut == 25, byStage("exact_dedup").toString)
+
+    // the planted over-cap bucket fired: every band bucket held 5 docs,
+    // cap 2 -> 3 entries excluded per bucket
+    val cap = byStage("neardup_clusters").capExcluded
+    assert(cap.getOrElse("over_cap_buckets", 0L) > 0, s"cap must fire: $cap")
+    // each over-cap bucket excludes 1..3 entries (buckets hold 3..5 of
+    // the planted docs; cap 2). The upper bound also catches the
+    // double-fired-observe failure mode (2x would read 6+ per bucket).
+    val entries = cap.getOrElse("over_cap_entries", 0L)
+    assert(entries >= cap("over_cap_buckets")
+      && entries <= 3 * cap("over_cap_buckets"),
+      s"entries per over-cap bucket out of [1,3]: $cap")
+
+    // recall cost made concrete: the capped graph loses SOME planted
+    // pairs (which bands survive the cap depends on band membership, so
+    // assert the shape, not exact ids): keeper 1 survives, and fewer
+    // planted docs are deduped than the family's 4 duplicates
+    val nearRep = byStage("neardup_clusters")
+    assert(nearRep.rowsExcluded >= 1 && nearRep.rowsExcluded < 4,
+      nearRep.toString)
+    val kept = out.select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L), s"cluster keeper must survive: $kept")
+
+    // an UNCAPPED run dedups the whole near-dup family (keeps only doc
+    // 1 of the 5): the survivor delta IS the cap's recall cost, and its
+    // report carries no cap metrics
+    val (outFull, reportFull) = Curation.curateWithReport(docs,
+      cfg = cfg.copy(lshBucketCap = None))
+    assert(reportFull.map(r => r.stage -> r.capExcluded).toMap
+      .apply("neardup_clusters").isEmpty)
+    val keptFull = outFull.select($"doc_id").as[Long].collect().toSet
+    assert((2L to 5L).forall(!keptFull.contains(_)),
+      s"uncapped run must dedup the whole planted family: $keptFull")
+    assert(kept.size > keptFull.size,
+      s"capped run must keep strictly more docs: ${kept.size} vs ${keptFull.size}")
+
+    // report counts agree with the lazy verb's output
+    val lazyCount = Curation.curate(docs, cfg = cfg).count()
+    assert(byStage("pack_sequences").rowsOut == out.count()
+      && out.count() == lazyCount)
+    out.unpersist(); outFull.unpersist()
+  }
 }
