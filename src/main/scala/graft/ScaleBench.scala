@@ -199,6 +199,49 @@ object ScaleBench {
       record("ann_ivf", n, ivfBuild, ivfInline, ivfIndexed)
       }
 
+      if (want("ann_fold")) {
+      // Streaming-maintenance fragmentation and its counterweight: 24
+      // per-batch appends (one (batch_id, bucket) leaf each — the
+      // PromotionStream write shape), probe the fragmented store, then
+      // AnnIndex.fold and probe again. The few-files caveat recorded at
+      // r9 (`4372fe5`) predicted listing overhead dominates probes on
+      // fragmented stores; this leg measures what the fold buys back.
+      val foldPath = s"$dir/annfold"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(foldPath))
+      AnnIndex.build(Tables.embeddings(spark, dir), foldPath)
+      val batches = 24
+      val shardN = math.max(100L, n / 50)
+      (0 until batches).foreach { b =>
+        val shard = spark.range(n + b * shardN, n + (b + 1) * shardN).select(
+          $"id".as("vec_id"),
+          expr("transform(sequence(0, 63), i -> cast((pmod(hash(id * 64 + i), 2001) - 1000) / 1000.0 as float))")
+            .as("embedding"),
+          pmod(hash($"id"), lit(100)).cast("int").as("label"))
+        AnnIndex.appendBatch(shard, foldPath, b.toLong)
+      }
+      val fragProbe = profile(3) {
+        AnnIndex.probe(spark, foldPath).collect().length.toLong }
+      val (foldS, _) = time { AnnIndex.fold(spark, foldPath); 0L }
+      val foldedProbe = profile(3) {
+        AnnIndex.probe(spark, foldPath).collect().length.toLong }
+      record("ann_fold", n, foldS, fragProbe, foldedProbe)
+      }
+
+      if (want("ann_graph")) {
+      // Graph-ANN build + probe at scale: the recall leg's cost profile
+      // (build is the expensive half; probes are bounded beam walks)
+      val gPath = s"$dir/graphidx"
+      val (gBuild, _) = time {
+        graft.search.GraphIndex.build(Tables.embeddings(spark, dir), gPath)
+        0L }
+      val gInline = profile(1) {
+        SparkEntry.queries("ann_graph")(spark, dir).collect().length.toLong }
+      val gIndexed = profile(3) {
+        graft.search.GraphIndex.probe(spark, gPath).collect().length.toLong }
+      record("ann_graph", n, gBuild, gInline, gIndexed)
+      }
+
       if (want("semdedup")) {
       // semdedup production-lever scaling: nlist grows with the corpus so
       // expected occupancy stays ~5k (< SemClusterCap) — per-cluster pair

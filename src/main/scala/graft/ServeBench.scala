@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.Via
+
+/** Concurrent-query serving benchmark (VERDICT r9 #4) — the load shape
+  * the reference actually serves: its Radar/Atlas UIs fire cluster /
+  * triage / tail queries concurrently against a store the 60 s analysis
+  * worker keeps mutating (`/root/reference/ui.py:160-189,397-441`).
+  * Every other bench here is sequential single-query; this one measures
+  * what N parallel callers see.
+  *
+  * Method: one warehouse (StreamBench's OTel generator → batch ingest →
+  * an analysis sweep that populates Tier-2 clusters), then for each
+  * concurrency level N: N threads loop a fixed query mix (clusters /
+  * triage / tail — the three UI verbs) for `durationSec`, under Spark's
+  * FAIR scheduler (each caller tags its own pool, so one heavy plan
+  * cannot convoy the rest — the config fix this bench exists to
+  * motivate/validate). Reported: aggregate QPS + per-verb p50/p95
+  * latency. A final level repeats with the 60 s analysis loop running
+  * (interval compressed to 5 s) — the contention case.
+  *
+  * Usage: `sbt "runMain graft.ServeBench [nEvents] [durationSec]"`.
+  * One JSON line per (level, verb) to stdout and
+  * `target/servebench/results.jsonl`; SCALE.md records the table.
+  */
+object ServeBench {
+
+  private final case class Obs(verb: String, micros: Long)
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val durationSec = if (args.length > 1) args(1).toInt else 20
+    val root = "target/servebench"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // FAIR across pools: each serving thread tags its own pool below,
+      // so task slots round-robin across in-flight queries instead of
+      // FIFO-convoying behind whichever query submitted first
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(root))
+    val resultsPath = Paths.get(s"$root/results.jsonl")
+
+    // ---- warehouse setup: generate, ingest, analyze into Tier-2 ----
+    val work = Files.createTempDirectory("servebench").toString
+    val via = new Via(spark, work)
+    val base = 1700000000L
+    val raw = spark.range(n).selectExpr(
+      s"""format_string(
+        '{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc%d"}}]},"scopeLogs":[{"logRecords":[{"timeUnixNano":"%d000000000","severityText":"%s","body":{"stringValue":"op %d completed in %d ms for user %d"}}]}]}]}',
+        pmod(hash(id), 8),
+        $base + pmod(hash(id, 1), 7200),
+        element_at(array('INFO','INFO','INFO','WARN','ERROR'), int(pmod(hash(id, 2), 5)) + 1),
+        pmod(hash(id, 3), 25),
+        pmod(hash(id, 4), 500),
+        pmod(hash(id, 5), 10000)) AS value""")
+    via.ingestBatch(raw)
+    // analysis sweep: populate Tier-2 with clusters across the event span
+    val nowSec = base + 7200
+    (1 to 20).foreach(i => via.analyzeOnce(base + i * 360L))
+    val nClusters =
+      try spark.read.parquet(s"$work/tier2").count()
+      catch { case _: Exception => 0L }
+    println(s"[servebench] warehouse ready: $n events, $nClusters tier2 rows")
+
+    // one triage seed: any promoted rhythm hash
+    val seedHash = via.clusters(nowSec).select("rhythm_hash")
+      .limit(1).collect().headOption.map(_.getString(0)).getOrElse("")
+
+    def runLevel(level: Int, withAnalysis: Boolean): Unit = {
+      val analysisQ =
+        if (withAnalysis) Some(via.startAnalysis(intervalSec = 5)) else None
+      val verbs = Array("clusters", "triage", "tail")
+      val stop = new AtomicBoolean(false)
+      val obs = new java.util.concurrent.ConcurrentLinkedQueue[Obs]()
+      val pool = Executors.newFixedThreadPool(level)
+      val ready = new CountDownLatch(level)
+      (0 until level).foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            // per-thread FAIR pool: queries from different callers share
+            // task slots instead of queueing
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+              s"serve-$t")
+            ready.countDown(); ready.await()
+            var i = t
+            while (!stop.get()) {
+              val verb = verbs(i % verbs.length)
+              val t0 = System.nanoTime()
+              verb match {
+                case "clusters" => via.clusters(nowSec).collect()
+                case "triage" =>
+                  if (seedHash.nonEmpty) via.triage(Seq(seedHash), Nil).collect()
+                  else via.clusters(nowSec).collect()
+                case "tail" =>
+                  via.tail(n = 100, filter = Some("completed")).collect()
+              }
+              obs.add(Obs(verb, (System.nanoTime() - t0) / 1000))
+              i += 1
+            }
+          }
+        })
+      }
+      Thread.sleep(durationSec * 1000L)
+      stop.set(true)
+      pool.shutdown(); pool.awaitTermination(120, TimeUnit.SECONDS)
+      analysisQ.foreach { q => q.stop() }
+      import scala.jdk.CollectionConverters._
+      val all = obs.asScala.toSeq
+      val totalSec = durationSec.toDouble
+      val qps = all.size / totalSec
+      def pct(xs: Seq[Long], p: Double): Double =
+        if (xs.isEmpty) 0.0
+        else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt)) / 1000.0
+      val tag = if (withAnalysis) "_with_analysis" else ""
+      verbs.foreach { v =>
+        val xs = all.filter(_.verb == v).map(_.micros)
+        val line =
+          f"""{"leg":"serve$tag","level":$level,"verb":"$v","calls":${xs.size},""" +
+          f""""p50_ms":${pct(xs, 0.5)}%.1f,"p95_ms":${pct(xs, 0.95)}%.1f,""" +
+          f""""qps_total":$qps%.2f}"""
+        println(s"[servebench] $line")
+        Files.writeString(resultsPath, line + "\n",
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+    }
+
+    // warm: JIT + codegen + parquet footers
+    via.clusters(nowSec).collect()
+    via.tail(n = 10).collect()
+
+    Seq(1, 4, 8, 16).foreach(runLevel(_, withAnalysis = false))
+    runLevel(8, withAnalysis = true)
+    spark.stop()
+  }
+}

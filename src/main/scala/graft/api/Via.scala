@@ -141,10 +141,21 @@ final class Via(spark: SparkSession, warehouse: String) {
       windowSec: Long = 60,
       watermarkDelay: String = "2 minutes",
       thresholds: graft.streaming.StatefulDetector.Thresholds =
-        graft.streaming.StatefulDetector.Thresholds()): StreamingQuery =
+        graft.streaming.StatefulDetector.Thresholds(),
+      annIndexPath: Option[String] = None): StreamingQuery =
     graft.streaming.PromotionStream.start(spark, tier1Path, tier2Path,
       s"$warehouse/checkpoints/promotion", Some(rules), windowSec,
-      watermarkDelay, thresholds)
+      watermarkDelay, thresholds, annIndexPath = annIndexPath)
+
+  /** Fold a streaming-maintained ANN index's per-batch levels into its
+    * bulk level ([[graft.search.AnnIndex.fold]]) — the periodic
+    * counterweight for the one-leaf-per-micro-batch appends
+    * [[startStreamingPromotion]] produces when `annIndexPath` is wired.
+    * Fold only past the stream's committed checkpoint (the fold doc's
+    * replay caveat); on the promotion stream that is every batch but the
+    * in-flight one. */
+  def foldAnnIndex(path: String): graft.search.AnnIndex.FoldStats =
+    graft.search.AnnIndex.fold(spark, path)
 
   // --- POST /analysis/tier2/clusters (V1/V6/A5/A6/J3/J4) --------------
   def clusters(

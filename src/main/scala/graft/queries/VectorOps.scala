@@ -17,8 +17,9 @@ object VectorOps {
 
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
-      int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk, randProjTopk,
-      rerankTopk, annRerank, annRerankIndexed, mmrTopk, decontamSemantic)
+      annGraph, int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk,
+      randProjTopk, rerankTopk, annRerank, annRerankIndexed, mmrTopk,
+      decontamSemantic)
 
   /** Deterministic 64-d query vector (same literals on both engines). */
   val Q: Seq[Double] = (0 until 64).map(i => ((i * 37) % 101) / 50.0 - 1.0)
@@ -248,6 +249,36 @@ object VectorOps {
       LIMIT $IvfK
     """
     })
+
+  /** ANN top-k, GRAPH variant — the recall leg of the family (the
+    * reference's searches run on Qdrant's HNSW, qdrant_service.py:44-95):
+    * a partitioned navigable-small-world graph ([[graft.search.GraphIndex]])
+    * probed by bounded beam walk. Unlike `ann_lsh` / `ann_ivf`, recall
+    * comes from graph connectivity, not bucket coverage — measured
+    * uniform recall@10 ≥ 0.95 while VISITING a corpus fraction that
+    * falls with corpus size (RecallSpec / SCALE.md). The gate beam
+    * ([[graft.search.GraphIndex.GateEf]]) provably covers the exact
+    * top-10 at gate SFs (GraphIndexSpec asserts it at all three), so the
+    * oracle is the EXACT cosine top-10 — the strongest possible check
+    * for an approximate operator. Candidates are rescored through the
+    * same `cosineToConst` expression as `cosine_topk`, keeping the
+    * arithmetic byte-identical to the exact-scan family. */
+  val GraphK = 10
+
+  private val annGraph = QueryDef(
+    "ann_graph",
+    (s, dir) =>
+      graft.search.GraphIndex.inlineTopK(Tables.embeddings(s, dir), Q, GraphK),
+    Some(s"""
+      WITH sc AS (
+        SELECT vec_id, label, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+        FROM embeddings)
+      SELECT vec_id, label, ${cosSql("embedding", QSql, QNorm.toString)} AS score
+      FROM sc
+      ORDER BY score DESC, vec_id
+      LIMIT $GraphK
+    """))
 
   /** V7 — INT8-quantized cosine top-k: vectors stored 4x smaller as
     * (tinyint[], scale), scored with pure integer dot products (scales

@@ -129,6 +129,131 @@ object AnnIndex {
       .parquet(s"$path/index")
   }
 
+  case class FoldStats(batchesFolded: Int, filesBefore: Long,
+      filesAfter: Long)
+
+  /** Fold every streaming batch level into the bulk `batch_id = -1`
+    * level — the maintenance counterweight for [[appendBatch]], which
+    * creates a NEW `(batch_id, bucket)` leaf per micro-batch per touched
+    * bucket. Leaf-level [[graft.sources.Layout.compact]] cannot help
+    * here (each leaf already holds one file; the fragmentation is ACROSS
+    * batch levels), so the fold rewrites the whole snapshot into one
+    * file per bucket under the bulk level — the segment-merge every
+    * LSM-shaped index (Lucene, Qdrant) schedules periodically.
+    *
+    * Crash safety (mirrors `Layout.compact`'s trash+manifest design):
+    * the rewrite lands in `_fold.tmp` with a manifest naming the
+    * snapshotted batch dirs, written only after the rewrite completes;
+    * the swap moves snapshot dirs into `_fold.trash`, renames the
+    * rewritten bulk in, then drops trash+tmp. Recovery at the next
+    * [[fold]] rolls FORWARD iff the manifest exists (the rewrite holds
+    * all snapshot rows) and BACK otherwise; the manifest also
+    * disambiguates whether a present `batch_id=-1` is the old bulk or
+    * the rewrite. Probes racing the swap can transiently miss
+    * partitions (the `Layout.compact` caveat); batches appended AFTER
+    * the snapshot listing are untouched and survive the fold. Do not
+    * fold while a crashed stream may still REPLAY a snapshotted batch:
+    * the replay would re-create a folded batch dir and double its rows —
+    * fold after the stream checkpoint passes the batches being folded
+    * (PromotionStream commits its checkpoint after the index write, so
+    * any batch older than the last committed one is safe). */
+  def fold(spark: SparkSession, path: String): FoldStats = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val idx = new Path(root, "index")
+    val tmp = new Path(root, "_fold.tmp")
+    val trash = new Path(root, "_fold.trash")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifestPath = new Path(tmp, "_fold_manifest")
+
+    def listBatchDirs(): Seq[Path] =
+      if (!fs.exists(idx)) Seq.empty
+      else fs.listStatus(idx).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id=")).map(_.getPath).toSeq
+    def countFiles(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map { s =>
+        if (s.isDirectory) countFiles(s.getPath)
+        else if (!s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")) 1L else 0L
+      }.sum
+
+    // ---- recovery of a stranded fold ----
+    if (fs.exists(manifestPath)) {
+      // rewrite completed; roll FORWARD from wherever the swap stopped
+      val in = fs.open(manifestPath)
+      val names =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+        finally in.close()
+      if (fs.exists(trash) ||
+          !names.forall(n => fs.exists(new Path(idx, n)))) {
+        // swap started (trash exists, or some snapshot dir already moved)
+        fs.mkdirs(trash)
+        names.foreach { n =>
+          val src = new Path(idx, n)
+          if (!fs.exists(new Path(trash, n)) && fs.exists(src))
+            if (!fs.rename(src, new Path(trash, n)))
+              throw new java.io.IOException(s"fold recovery: cannot move $src")
+        }
+        val bulkTmp = new Path(tmp, s"batch_id=$BulkBatchId")
+        val bulkIdx = new Path(idx, s"batch_id=$BulkBatchId")
+        if (fs.exists(bulkTmp) && !fs.exists(bulkIdx))
+          if (!fs.rename(bulkTmp, bulkIdx))
+            throw new java.io.IOException(
+              s"fold recovery: cannot swap in $bulkIdx")
+        fs.delete(trash, true)
+        fs.delete(tmp, true)
+      } else {
+        // swap never started: the snapshot may be stale — roll back
+        fs.delete(tmp, true)
+      }
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true) // incomplete rewrite: roll back
+    }
+    // trash without a manifest cannot occur (trash is created only after
+    // the manifest); if an operator hand-deleted tmp, restore originals
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).foreach { s =>
+        val dest = new Path(idx, s.getPath.getName)
+        if (!fs.exists(dest)) fs.rename(s.getPath, dest)
+      }
+      fs.delete(trash, true)
+    }
+
+    // ---- the fold itself ----
+    val snapshot = listBatchDirs()
+    if (snapshot.length <= 1) return FoldStats(0, countFiles(idx), countFiles(idx))
+    val before = countFiles(idx)
+    import spark.implicits._
+    spark.read.option("basePath", idx.toString)
+      .parquet(snapshot.map(_.toString): _*)
+      .drop("batch_id")
+      .withColumn("batch_id", lit(BulkBatchId))
+      .repartition($"bucket") // one task -> one file per bucket partition
+      .write.mode("overwrite").partitionBy("batch_id", "bucket")
+      .parquet(tmp.toString)
+    val mf = fs.create(manifestPath, true)
+    try mf.write(snapshot.map(_.getName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mf.close()
+    fs.mkdirs(trash)
+    snapshot.foreach { d =>
+      if (!fs.rename(d, new Path(trash, d.getName)))
+        throw new java.io.IOException(
+          s"fold: cannot move $d to trash (originals intact; " +
+            "next fold() recovers)")
+    }
+    if (!fs.rename(new Path(tmp, s"batch_id=$BulkBatchId"),
+        new Path(idx, s"batch_id=$BulkBatchId")))
+      throw new java.io.IOException(
+        s"fold: cannot swap in the folded bulk (originals in $trash; " +
+          "next fold() rolls forward)")
+    fs.delete(trash, true)
+    fs.delete(tmp, true)
+    FoldStats(snapshot.length, before, countFiles(idx))
+  }
+
   /** The multi-probe bucket set for query `q`: its own bucket plus every
     * 1-bit flip — the same set the inline `ann_lsh`/`ann_rerank` probe
     * filters on. Pure arithmetic; no IO. */

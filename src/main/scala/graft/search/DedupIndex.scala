@@ -56,6 +56,25 @@ object DedupIndex {
       .write.mode("append").partitionBy("band_idx").parquet(s"$path/bands")
   }
 
+  /** Merge per-append files in both signature tables — the periodic
+    * counterweight [[append]]'s Scaladoc promises. The band rewrite
+    * re-sorts by band_hash (probes lean on within-file hash order for
+    * row-group stats pruning; concatenated sorted files lose it); the
+    * flat fp table needs no ordering. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : graft.sources.Layout.CompactionStats = {
+    val fpStats = graft.sources.Layout.compact(spark, s"$path/fp", targetBytes)
+    val bandStats = graft.sources.Layout.compact(spark, s"$path/bands",
+      targetBytes, rewrite = _.sortWithinPartitions(col("band_hash")))
+    graft.sources.Layout.CompactionStats(
+      fpStats.partitionsCompacted + bandStats.partitionsCompacted,
+      fpStats.filesBefore + bandStats.filesBefore,
+      fpStats.filesAfter + bandStats.filesAfter,
+      fpStats.leavesSkipped + bandStats.leavesSkipped,
+      fpStats.trashRecovered + bandStats.trashRecovered)
+  }
+
   /** The persisted fingerprint table (fp: string). */
   def fingerprints(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/fp")

@@ -83,6 +83,17 @@ object IvfIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$path/index")
   }
 
+  /** Merge the one-file-per-append accumulation inside each centroid
+    * partition back toward one file per `targetBytes` — the periodic
+    * counterweight [[append]]'s Scaladoc promises, now wired
+    * ([[graft.sources.Layout.compact]] with its proven swap/recovery
+    * machinery; appends into existing `cid=` leaves are exactly the
+    * late-append race CompactionSpec covers). */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : graft.sources.Layout.CompactionStats =
+    graft.sources.Layout.compact(spark, s"$path/index", targetBytes)
+
   /** Top-k by cosine to `q` over the `nprobe` nearest centroid partitions
     * of a built index. */
   def probe(spark: SparkSession, path: String,

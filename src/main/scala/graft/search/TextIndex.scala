@@ -71,6 +71,17 @@ object TextIndex {
       .sortWithinPartitions(col("token"))
       .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
 
+  /** Merge per-append postings files inside each `tb=` bucket partition —
+    * the periodic counterweight [[append]]'s Scaladoc promises. The
+    * rewrite re-sorts by token: probes lean on within-file token order
+    * for row-group stats pruning, and concatenating sorted files would
+    * silently lose it. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : graft.sources.Layout.CompactionStats =
+    graft.sources.Layout.compact(spark, s"$path/postings", targetBytes,
+      rewrite = _.sortWithinPartitions(col("token")))
+
   /** doc_ids containing ALL of `query`'s word tokens (the `matchText`
     * AND semantics), via the pruned postings scan. Empty-token queries
     * match everything — callers short-circuit like the inline form. */

@@ -95,12 +95,19 @@ object Layout {
     *
     * Partition-column values live in the directory names, not the files,
     * so the rewrite round-trips them untouched. */
+  /** `rewrite` transforms the coalesced snapshot before it is written —
+    * indexes whose probes lean on within-file ordering for row-group
+    * stats pruning ([[graft.search.TextIndex]] sorts postings by token,
+    * [[graft.search.DedupIndex]] sorts band hashes) pass a
+    * `sortWithinPartitions` here, since concatenating sorted files
+    * yields an unsorted file and would silently degrade pruning. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long,
       skipLeaf: org.apache.hadoop.fs.Path => Boolean = _ => false,
       onBeforeSwap: org.apache.hadoop.fs.Path => Unit = _ => (),
       onAfterSwapOut: org.apache.hadoop.fs.Path => Unit = _ => (),
-      skipFile: org.apache.hadoop.fs.Path => Boolean = _ => false)
+      skipFile: org.apache.hadoop.fs.Path => Boolean = _ => false,
+      rewrite: DataFrame => DataFrame = identity)
       : CompactionStats = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
@@ -243,8 +250,8 @@ object Layout {
           // rewrite exactly the SNAPSHOT files (not a re-listed dir):
           // the late-file sweep below relies on "rewritten ≡ snapshot"
           // to know which trash files were concurrent appends
-          spark.read.parquet(files.map(_.getPath.toString): _*)
-            .coalesce(want.toInt)
+          rewrite(spark.read.parquet(files.map(_.getPath.toString): _*)
+            .coalesce(want.toInt))
             .write.mode("overwrite").parquet(tmp.toString)
           // snapshot manifest rides INTO the trash with the rename: if a
           // crash lands after the swap-in but before the late sweep, the

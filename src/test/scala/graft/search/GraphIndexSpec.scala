@@ -1,0 +1,141 @@
+package graft.search
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The partitioned NSW graph index: deterministic build, persisted-probe
+  * == inline-gate parity, gate-beam coverage of the EXACT top-10 at every
+  * gate SF (the property the `ann_graph` oracle rides on), and honest
+  * scan accounting. */
+class GraphIndexSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+  private val Q = graft.queries.VectorOps.Q
+
+  private def exactTop10(dir: String): Array[(Long, Int, Double)] =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.cosineToConst(
+          col("embedding").cast("array<double>"), Q), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+
+  test("beam kernel: full-ef beam on a tiny graph is exhaustive and counted") {
+    // 5 nodes on a line in 2-d; star graph from node 0
+    val vecs = Array(Array(1.0, 0.0), Array(0.9, 0.1), Array(0.5, 0.5),
+      Array(0.1, 0.9), Array(0.0, 1.0))
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val ids = Array(0L, 1L, 2L, 3L, 4L)
+    val adj = Array(Array(1, 2, 3, 4), Array(0), Array(0), Array(0), Array(0))
+    val q = Array(0.0, 1.0); val qn = 1.0
+    val (top, visited) = GraphIndex.beamSearch(vecs, norms, ids, adj, q, qn,
+      ef = 5, entry = 0)
+    assert(visited == 5)
+    // nearest to (0,1): node 4, then 3, 2, 1, 0
+    assert(top.toSeq == Seq(4, 3, 2, 1, 0))
+  }
+
+  test("build is deterministic: two builds of the same corpus are identical") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val p1 = java.nio.file.Files.createTempDirectory("g1").toString + "/g"
+    val p2 = java.nio.file.Files.createTempDirectory("g2").toString + "/g"
+    GraphIndex.build(emb, p1)
+    GraphIndex.build(emb, p2)
+    val a = spark.read.parquet(s"$p1/graph")
+      .select("vec_id", "nbrs", "part").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2))).sortBy(_._1)
+    val b = spark.read.parquet(s"$p2/graph")
+      .select("vec_id", "nbrs", "part").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    // every node is present exactly once, adjacency bounded by MMax
+    assert(a.length == emb.count())
+    assert(a.forall(_._2.length <= GraphIndex.MMax))
+  }
+
+  test("persisted probe == inline gate query") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val path = java.nio.file.Files.createTempDirectory("gidx").toString + "/g"
+    GraphIndex.build(emb, path)
+    val probed = GraphIndex.probe(spark, path, Q, k = 10,
+      ef = GraphIndex.GateEf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val inline = GraphIndex.inlineTopK(emb, Q, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(probed.sameElements(inline))
+  }
+
+  test("gate beam covers the exact top-10 at every gate SF") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val got = GraphIndex.inlineTopK(Tables.embeddings(spark, dir), Q, 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val want = exactTop10(dir)
+      assert(got.sameElements(want),
+        s"$sf: got ${got.mkString(",")} want ${want.mkString(",")}")
+    }
+  }
+
+  test("recall floors at 20k vectors: uniform + perturbed, scan bounded") {
+    // measured (seed-123 corpus, seed-42 uniform queries, defaults
+    // m=24/mMax=48/efC=96/alpha=1.2, parts=4): ef=48 recall@10 0.968 at
+    // 0.284 scanned; perturbed-source recall@1 1.000. Floors carry
+    // margin for float-summation order. The 100k/200k trend (recall >=
+    // 0.9 at a ~10% scan budget, ef rising with corpus) is recorded in
+    // SCALE.md — too slow for CI.
+    import spark.implicits._
+    val n = 20000
+    val rng = new scala.util.Random(123)
+    val emb = (0 until n).map { i =>
+      (i.toLong, Seq.fill(64)(rng.nextDouble() * 2 - 1), i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    val path = java.nio.file.Files.createTempDirectory("grec").toString + "/g"
+    GraphIndex.build(emb, path)
+    val graph = spark.read.parquet(s"$path/graph").cache(); graph.count()
+    val qs = RecallEval.queryVectors(50, seed = 42L)
+    val exact = RecallEval.exactTopK(emb,
+      RecallEval.queriesDf(spark, qs), 10).cache(); exact.count()
+    val recall = RecallEval.recallAt(
+      GraphIndex.topKMany(graph, qs, 10, ef = 48), exact)
+    assert(recall >= 0.94, s"uniform recall@10 $recall < 0.94")
+    val frac = GraphIndex.scanStats(graph, qs, ef = 48)
+    assert(frac <= 0.33, s"scanned fraction $frac > 0.33")
+    // the graph leg must dominate the bucket family's uniform recall
+    // (lsh ~0.12, ivf nprobe=8 ~0.80) — the reason it exists
+    assert(recall >= 0.90, s"graph leg lost its reason to exist: $recall")
+    // perturbed near-dup lookup: the query users actually run
+    val rng2 = new scala.util.Random(7)
+    val base = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ids = base.keys.toSeq.sorted
+    val qsB = (0 until 50).map { i =>
+      val src = ids(rng2.nextInt(ids.size))
+      i.toLong -> base(src).map(x => x + (rng2.nextDouble() - 0.5) * 0.02)
+    }
+    val exactB = RecallEval.exactTopK(emb,
+      RecallEval.queriesDf(spark, qsB), 1).cache(); exactB.count()
+    val r1 = RecallEval.recallAt(
+      GraphIndex.topKMany(graph, qsB, 1, ef = 48), exactB)
+    assert(r1 >= 0.98, s"perturbed recall@1 $r1 < 0.98")
+    graph.unpersist()
+  }
+
+  test("scan accounting: visited counts are real and the ef knob bounds them") {
+    // at gate SF (2000 vectors) a production-width beam rightly visits
+    // most of the corpus — the bounded-fraction claim lives at 20k+
+    // (recall-floors test above: 28% at ef=48; SCALE.md: 10.0% at 100k,
+    // 8.7% at 200k). Here: the counter is real (>0, <=1) and ef CONTROLS
+    // it — a quarter-width beam must visit materially less.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val path = java.nio.file.Files.createTempDirectory("gscan").toString + "/g"
+    GraphIndex.build(emb, path)
+    val graph = spark.read.parquet(s"$path/graph")
+    val qs = RecallEval.queryVectors(20, seed = 42L)
+    val wide = GraphIndex.scanStats(graph, qs, ef = GraphIndex.EfSearch)
+    val narrow = GraphIndex.scanStats(graph, qs, ef = 8)
+    assert(wide > 0.0 && wide <= 1.0, s"scanned fraction $wide")
+    assert(narrow < 0.6 * wide,
+      s"ef knob has no effect on visits: ef=8 -> $narrow, ef=72 -> $wide")
+  }
+}
