@@ -255,8 +255,9 @@ object VectorOps {
     * a partitioned navigable-small-world graph ([[graft.search.GraphIndex]])
     * probed by bounded beam walk. Unlike `ann_lsh` / `ann_ivf`, recall
     * comes from graph connectivity, not bucket coverage — measured
-    * uniform recall@10 ≥ 0.95 while VISITING a corpus fraction that
-    * falls with corpus size (RecallSpec / SCALE.md). The gate beam
+    * uniform recall@10 0.97 at 20k vectors and ≥ 0.9 at a ~10% visited
+    * budget as the corpus grows (GraphIndexSpec floors / SCALE.md
+    * trend table). The gate beam
     * ([[graft.search.GraphIndex.GateEf]]) provably covers the exact
     * top-10 at gate SFs (GraphIndexSpec asserts it at all three), so the
     * oracle is the EXACT cosine top-10 — the strongest possible check

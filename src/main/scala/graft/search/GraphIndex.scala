@@ -320,6 +320,26 @@ object GraphIndex {
     scoreHits(graph, walk(graph, Seq(0L -> q), ef), q, k)
   }
 
+  // path -> executor-resident graph relation. A plain probe re-reads the
+  // parquet store per query even though the walk VISITS a few percent of
+  // nodes — fine for batch jobs, wasteful for serving. This is the
+  // Qdrant/Lucene "segments stay resident" contract expressed as a
+  // cached relation (ScaleBench measures the per-query read it avoids).
+  private val resident =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[probe]] against an executor-resident copy of the graph (cached on
+    * first use per JVM) — the serving-path form. Invalidated by JVM
+    * restart, not by index rebuilds: serve from a versioned path. */
+  def probeCached(spark: SparkSession, path: String,
+      q: Seq[Double] = graft.queries.VectorOps.Q,
+      k: Int = 10, ef: Int = EfSearch): DataFrame = {
+    val graph = resident.computeIfAbsent(path, p => {
+      val g = spark.read.parquet(s"$p/graph").cache(); g.count(); g
+    })
+    scoreHits(graph, walk(graph, Seq(0L -> q), ef), q, k)
+  }
+
   /** Inline (no persistence) form for the gate row: partition, build
     * each sub-graph, walk it for the pinned query, all in one
     * mapPartitions — then score candidates with the shared cosine

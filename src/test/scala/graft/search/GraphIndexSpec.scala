@@ -77,6 +77,17 @@ class GraphIndexSpec extends SparkSpec {
     }
   }
 
+  test("probeCached == probe (the serving path serves the same rows)") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val path = java.nio.file.Files.createTempDirectory("gcache").toString + "/g"
+    GraphIndex.build(emb, path)
+    val plain = GraphIndex.probe(spark, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val cached = GraphIndex.probeCached(spark, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(cached.sameElements(plain))
+  }
+
   test("recall floors at 20k vectors: uniform + perturbed, scan bounded") {
     // measured (seed-123 corpus, seed-42 uniform queries, defaults
     // m=24/mMax=48/efC=96/alpha=1.2, parts=4): ef=48 recall@10 0.968 at
