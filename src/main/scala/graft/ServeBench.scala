@@ -135,9 +135,16 @@ object ServeBench {
       }
     }
 
-    // warm: JIT + codegen + parquet footers
-    via.clusters(nowSec).collect()
-    via.tail(n = 10).collect()
+    // serving stores are compacted (the maintenance verbs exist for
+    // exactly this), and EVERY verb is warmed repeatedly: the first
+    // executions pay whole-stage-codegen compilation that would
+    // otherwise contaminate whichever concurrency level runs first
+    via.compactTier1(); via.compactTier2()
+    (1 to 3).foreach { _ =>
+      via.clusters(nowSec).collect()
+      if (seedHash.nonEmpty) via.triage(Seq(seedHash), Nil).collect()
+      via.tail(n = 100, filter = Some("completed")).collect()
+    }
 
     Seq(1, 4, 8, 16).foreach(runLevel(_, withAnalysis = false))
     runLevel(8, withAnalysis = true)
