@@ -268,8 +268,12 @@ object VectorOps {
 
   private val annGraph = QueryDef(
     "ann_graph",
-    (s, dir) =>
-      graft.search.GraphIndex.inlineTopK(Tables.embeddings(s, dir), Q, GraphK),
+    // build-once-per-JVM (GraphIndex.indexFor), probe-only thereafter —
+    // the ann_rerank_indexed cost profile; probe(GateEf) == inlineTopK
+    // row-for-row (GraphIndexSpec)
+    (s, dir) => graft.search.GraphIndex.probe(
+      s, graft.search.GraphIndex.indexFor(s, dir), Q, GraphK,
+      ef = graft.search.GraphIndex.GateEf),
     Some(s"""
       WITH sc AS (
         SELECT vec_id, label, embedding,

@@ -397,6 +397,22 @@ object GraphIndex {
       .select(col("qid"), col("vec_id"))
   }
 
+  // dir → built index path: the gate query pays the build once per JVM
+  // and every later invocation is probe-only — the same build-once/
+  // probe-many cost profile AnnIndex.indexFor / TextIndex.indexFor give
+  // their gate rows, and the only honest way to bench an index.
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Graph index for the embeddings table under `dir`, building on
+    * first use (per JVM). */
+  def indexFor(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graphidx").toString
+      build(graft.Tables.embeddings(spark, dir), p)
+      p
+    })
+
   /** Mean fraction of the corpus VISITED per query (distance
     * evaluations / corpus size) — the honest scanned-fraction metric
     * the recall floors are conditioned on. */
