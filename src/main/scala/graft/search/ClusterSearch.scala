@@ -69,14 +69,23 @@ object ClusterSearch {
       limit: Int = TriageLimit): DataFrame = {
     import tier2.sparkSession.implicits._
     val dim = graft.functions.EmbedText.Dim
-    def avgOf(hashes: Seq[String]) = tier2
-      .filter($"rhythm_hash".isin(hashes: _*))
-      .agg(graft.functions.VectorFunctions.avgVector($"dense", dim).as("v"))
+    import graft.functions.VectorFunctions.avgVector
+    // both example averages fold in ONE tier2 scan (avg ignores the
+    // NULLs the `when` leaves on the other side) — a serving call pays
+    // two jobs (broadcast + main scan), not three; ServeBench showed the
+    // per-job floor, not the math, dominates triage latency
     val q =
-      if (negativeHashes.isEmpty) avgOf(positiveHashes).select($"v".as("qv"))
-      else avgOf(positiveHashes).crossJoin(
-        avgOf(negativeHashes).select($"v".as("nv")))
-        .select(zip_with($"v", $"nv", (p, n) => p * 2.0 - n).as("qv"))
+      if (negativeHashes.isEmpty)
+        tier2.filter($"rhythm_hash".isin(positiveHashes: _*))
+          .agg(avgVector($"dense", dim).as("qv"))
+      else tier2
+        .filter($"rhythm_hash".isin(positiveHashes ++ negativeHashes: _*))
+        .agg(
+          avgVector(when($"rhythm_hash".isin(positiveHashes: _*), $"dense"),
+            dim).as("pv"),
+          avgVector(when($"rhythm_hash".isin(negativeHashes: _*), $"dense"),
+            dim).as("nv"))
+        .select(zip_with($"pv", $"nv", (p, n) => p * 2.0 - n).as("qv"))
     tier2
       .filter(!$"rhythm_hash".isin((positiveHashes ++ negativeHashes): _*))
       .crossJoin(broadcast(q))
