@@ -290,6 +290,15 @@ object GraphIndex {
       (qid, v.toArray, norm(v.toArray)) }.toArray
     graph.select(col("vec_id"), col("label"), col("embedding"),
         col("nbrs"), col("part"))
+      // REQUIRED, not an optimization: once a part= file outgrows
+      // spark.sql.files.maxPartitionBytes the scan splits it at
+      // row-group boundaries, and a mapPartitions over the raw read
+      // would see each sub-graph as two partial views — half the
+      // adjacency silently dropped, wrong hits, no error. Hash
+      // partitioning on part puts every sub-graph wholly in one task
+      // at any file geometry (GraphIndexSpec pins it under a forced
+      // 64 KB split).
+      .repartition(col("part"))
       .as[GNode]
       .mapPartitions { it =>
         it.toSeq.groupBy(_.part).iterator.flatMap { case (part, rows) =>

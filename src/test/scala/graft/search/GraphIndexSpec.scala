@@ -77,6 +77,35 @@ class GraphIndexSpec extends SparkSpec {
     }
   }
 
+  test("probe is split-proof: forced tiny scan splits change nothing") {
+    // when a part= file outgrows maxPartitionBytes the scan splits it at
+    // row-group boundaries; without the walk's repartition-by-part a
+    // sub-graph would arrive as partial views with half its edges
+    // dropped — silently wrong hits. Force pathological splitting and
+    // require identical results.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val path = java.nio.file.Files.createTempDirectory("gsplit").toString + "/g"
+    GraphIndex.build(emb, path)
+    val whole = GraphIndex.probe(spark, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      val scan = spark.read.parquet(s"$path/graph")
+      assert(scan.rdd.getNumPartitions > GraphIndex.NumParts,
+        "split forcing failed — the guard is not being exercised")
+      val split = GraphIndex.probe(spark, path).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(split.sameElements(whole),
+        s"split scan changed probe results: ${split.toSeq} vs ${whole.toSeq}")
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", prev)
+      conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("probeCached == probe (the serving path serves the same rows)") {
     val emb = Tables.embeddings(spark, SfDir)
     val path = java.nio.file.Files.createTempDirectory("gcache").toString + "/g"
