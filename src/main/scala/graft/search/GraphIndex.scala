@@ -319,14 +319,98 @@ object GraphIndex {
       .toDF()
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental growth: the segment model (Lucene/Qdrant). A graph cannot
+  // be appended to file-by-file like the bucket indexes — inserting a
+  // node means mutating neighbors' adjacency — so fresh vectors land in
+  // a BRUTE-FORCE BUFFER next to the graph, probes score the buffer
+  // exactly (recall 1.0 for fresh rows by construction) and merge it
+  // with the beam hits, and a periodic [[rebuild]] folds the buffer into
+  // the sub-graphs. The buffer is small by contract — rebuild before it
+  // rivals a sub-graph, the same counterweight cadence as AnnIndex.fold.
+  // ---------------------------------------------------------------------
+
+  /** Append fresh vectors to the exact-scored buffer segment. */
+  def append(newVectors: DataFrame, path: String): Unit =
+    newVectors.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .write.mode("append").parquet(s"$path/buffer")
+
+  private def bufferDf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/buffer")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(_.isFile))
+      Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Fold the buffer into the sub-graphs: one fresh [[build]] over
+    * graph nodes ∪ buffer into a sibling dir, two-rename swap, then
+    * delete exactly the buffer files the rebuild SNAPSHOTTED (a
+    * concurrent append between snapshot and swap survives in the
+    * buffer). A crash between the renames strands `graph` in
+    * `_graph.old`; the next [[rebuild]] restores it before doing new
+    * work. Probes racing the swap can transiently miss the graph — the
+    * same documented window as `Layout.compact`/`AnnIndex.fold`. */
+  def rebuild(spark: SparkSession, path: String, numParts: Int = NumParts,
+      m: Int = M, mMax: Int = MMax, efC: Int = EfC,
+      alpha: Double = Alpha): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val graphDir = new Path(root, "graph")
+    val oldDir = new Path(root, "_graph.old")
+    val tmpRoot = new Path(root, "_rebuild.tmp")
+    // crash recovery: a stranded swap left the graph in _graph.old
+    if (!fs.exists(graphDir) && fs.exists(oldDir))
+      if (!fs.rename(oldDir, graphDir))
+        throw new java.io.IOException(s"rebuild recovery: cannot restore $graphDir")
+    fs.delete(oldDir, true); fs.delete(tmpRoot, true)
+    val nodes = spark.read.parquet(graphDir.toString)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val bufPath = new Path(root, "buffer")
+    val bufSnapshot =
+      if (fs.exists(bufPath))
+        fs.listStatus(bufPath).filter(_.isFile).map(_.getPath).toSeq
+      else Seq.empty
+    val all = bufSnapshot match {
+      case Seq() => nodes
+      case files => nodes.union(
+        spark.read.parquet(files.map(_.toString): _*)
+          .select(col("vec_id"), col("label"), col("embedding")))
+    }
+    build(all, tmpRoot.toString, numParts, m, mMax, efC, alpha)
+    if (!fs.rename(graphDir, oldDir))
+      throw new java.io.IOException(s"rebuild: cannot swap out $graphDir")
+    if (!fs.rename(new Path(tmpRoot, "graph"), graphDir)) {
+      if (!fs.rename(oldDir, graphDir))
+        throw new java.io.IOException(
+          s"rebuild: swap-in and restore both failed; graph is in $oldDir " +
+            "(next rebuild() recovers)")
+      throw new java.io.IOException(s"rebuild: cannot swap in $graphDir (restored)")
+    }
+    bufSnapshot.foreach(f => fs.delete(f, false))
+    fs.delete(oldDir, true); fs.delete(tmpRoot, true)
+  }
+
   /** Probe a persisted graph for one query: beam-walk all sub-graphs,
-    * merge, exact-cosine score (same `cosineToConst` arithmetic as
+    * brute-force the buffer segment (exact by construction), merge,
+    * exact-cosine score (same `cosineToConst` arithmetic as
     * `cosine_topk`) over the bounded candidate set. */
   def probe(spark: SparkSession, path: String,
       q: Seq[Double] = graft.queries.VectorOps.Q,
       k: Int = 10, ef: Int = EfSearch): DataFrame = {
     val graph = spark.read.parquet(s"$path/graph")
-    scoreHits(graph, walk(graph, Seq(0L -> q), ef), q, k)
+    val hits = walk(graph, Seq(0L -> q), ef).select(col("vec_id"))
+    bufferDf(spark, path) match {
+      case None => scoreHits(graph, hits, q, k)
+      case Some(buf) =>
+        // every buffer row is a candidate; the union source lets
+        // scoreHits resolve both segments' embeddings
+        scoreHits(
+          graph.select(col("vec_id"), col("label"), col("embedding"))
+            .union(buf.select(col("vec_id"), col("label"), col("embedding"))),
+          hits.union(buf.select(col("vec_id"))), q, k)
+    }
   }
 
   // path -> executor-resident graph relation. A plain probe re-reads the

@@ -77,6 +77,63 @@ class GraphIndexSpec extends SparkSpec {
     }
   }
 
+  test("append/rebuild: the segment model serves fresh vectors exactly") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, SfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val freshA = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val freshB = emb.filter(col("vec_id") >= 450)
+    val path = java.nio.file.Files.createTempDirectory("gseg").toString + "/g"
+    GraphIndex.build(base, path)
+    GraphIndex.append(freshA, path)
+    // buffered rows are exact candidates: probe == a from-scratch build's
+    // probe over the SAME corpus for the pinned query (gate beam)
+    val want = GraphIndex.inlineTopK(base.union(freshA), Q, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val got = GraphIndex.probe(spark, path, Q, 10, ef = GraphIndex.GateEf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.sameElements(want),
+      s"buffered probe diverged: ${got.toSeq} vs ${want.toSeq}")
+    // rebuild folds the buffer in: probe parity holds, buffer is empty,
+    // and a post-rebuild append is served again
+    GraphIndex.rebuild(spark, path)
+    assert(!java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$path/buffer")).iterator().hasNext ||
+      spark.read.parquet(s"$path/buffer").count() == 0,
+      "rebuild left buffered rows behind")
+    val afterRebuild = GraphIndex.probe(spark, path, Q, 10,
+      ef = GraphIndex.GateEf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(afterRebuild.sameElements(want))
+    GraphIndex.append(freshB, path)
+    val wantAll = GraphIndex.inlineTopK(emb, Q, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val gotAll = GraphIndex.probe(spark, path, Q, 10,
+      ef = GraphIndex.GateEf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(gotAll.sameElements(wantAll))
+  }
+
+  test("rebuild recovery: a crash between the swap renames is restored") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, SfDir)
+    val path = java.nio.file.Files.createTempDirectory("grec2").toString + "/g"
+    GraphIndex.build(emb.filter(col("vec_id") < 400), path)
+    GraphIndex.append(emb.filter(col("vec_id") >= 400), path)
+    val before = GraphIndex.probe(spark, path, Q, 10,
+      ef = GraphIndex.GateEf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // simulate the crash window: graph swapped out, swap-in never ran
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/graph"),
+      java.nio.file.Paths.get(s"$path/_graph.old"))
+    GraphIndex.rebuild(spark, path) // recovery restores, then rebuilds
+    val after = GraphIndex.probe(spark, path, Q, 10,
+      ef = GraphIndex.GateEf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(after.sameElements(before))
+  }
+
   test("probe is split-proof: forced tiny scan splits change nothing") {
     // when a part= file outgrows maxPartitionBytes the scan splits it at
     // row-group boundaries; without the walk's repartition-by-part a
