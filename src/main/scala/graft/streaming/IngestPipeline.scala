@@ -75,7 +75,8 @@ object IngestPipeline {
     *   2. stage: write the batch `partitionBy(dt)` under a dot-prefixed
     *      sibling (invisible to readers).
     *   3. per staged `dt=` leaf: delete `bN-*` leftovers of a crashed
-    *      prior attempt (same input → same rows → same dt set, so
+    *      prior attempt (same input → same rows up to the fresh
+    *      `point_id` uuids → same DT SET, which is all the sweep needs:
     *      sweeping only the STAGED leaves finds every leftover), then
     *      rename the staged files in as `bN-p<i>.parquet` — rename is
     *      atomic per file, and the deterministic names mean a replay
