@@ -234,14 +234,17 @@ object Curation {
       else surpFiltered.filter(
         CurationOps.qualityWeightedKeep($"doc_id", $"text")))
 
-    // 5. PII masking (per-row regex, after the filters so quality scores
-    // judged the original text; placeholders count as tokens downstream)
+    // 5. PII masking (after the filters so quality scores judged the
+    // original text; placeholders count as tokens downstream). The
+    // production path is the native single-pass kernel — byte-identical
+    // to the gate row's regexp_replace pair (PiiScrubKernelSpec fuzz
+    // proof) but without java.util.regex backtracking, the cost that put
+    // the regex form at ~15x DuckDB in the sf1 bench
     val scrubbed = chk("pii_scrub",
       if (!cfg.scrubPii) filtered
       else filtered.withColumn("text",
-        regexp_replace(regexp_replace($"text",
-          graft.queries.TextOps.EmailRe, "<EMAIL>"),
-          graft.queries.TextOps.PhoneRe, "<PHONE>")))
+        graft.GraftFunctions.columnOf(graft.functions.PiiScrubExpr(
+          graft.GraftFunctions.exprOf($"text")))))
 
     // 6. stratified rebalance (pure scan filter); unlisted languages keep
     // cfg.sampleDefaultRate/1000 — lossless by default (see Config)
