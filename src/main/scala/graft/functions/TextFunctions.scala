@@ -24,8 +24,19 @@ object TextFunctions {
   val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   val IntRe = "\\b\\d+\\b"
 
-  /** P1 — log de-parameterization: UUIDs, IPs, integers → `*`. */
+  /** P1 — log de-parameterization: UUIDs, IPs, integers → `*`. Served by
+    * the native [[TemplateExpr]] kernel — byte-identical to
+    * [[templateRegex]] (TemplateKernelSpec fuzz proof); the gate row's
+    * DuckDB RE2 oracle stays the cross-engine check. Runs per event on
+    * the always-on ingest path, so the kernel's ~6× matters there most. */
   def template(body: Column): Column =
+    graft.GraftFunctions.columnOf(
+      TemplateExpr(graft.GraftFunctions.exprOf(body)))
+
+  /** The built-in three-pass form of [[template]] — kept as the
+    * java.util.regex reference surface the kernel is parity-tested
+    * against (and for plans that want the pre-kernel shape). */
+  def templateRegex(body: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(body, UuidRe, "*"),
@@ -38,6 +49,13 @@ object TextFunctions {
       substring(sha2(template, 256), 1, 16),
       lit(":"),
       substring(sha2(concat_ws(":", service, severity), 256), 1, 16))
+
+  /** Single-key JSON extraction — byte-identical to
+    * `get_json_object(c, "$." + key)` for simple keys, as a native
+    * single-pass kernel ([[JsonGetExpr]]; JsonGetKernelSpec parity-fuzzed). */
+  def jsonGet(c: Column, key: String): Column =
+    graft.GraftFunctions.columnOf(
+      JsonGetExpr(graft.GraftFunctions.exprOf(c), key))
 
   /** Word tokens: lowercase, split on non-alphanumerics, drop empties.
     * Mirrors Qdrant's word tokenizer + lowercase text index
@@ -61,9 +79,19 @@ object TextFunctions {
     qTokens.map(t => array_contains(toks, t)).reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  /** Whitespace token count (training-pipeline token counting). */
+  /** Whitespace token count (training-pipeline token counting) — native
+    * count-only kernel, value-identical to
+    * `size(filter(split(text, "\\s+"), len > 0))` (TokenCountKernelSpec). */
   def tokenCountWs(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0))
+    graft.GraftFunctions.columnOf(
+      CountWsTokens(graft.GraftFunctions.exprOf(text)))
+
+  /** BPE-ish subword count over ALREADY-LOWERCASED text — native
+    * count-only kernel, value-identical to
+    * `size(regexp_extract_all(lowered, "[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]+"))`. */
+  def tokenCountSub(lowered: Column): Column =
+    graft.GraftFunctions.columnOf(
+      CountSubTokens(graft.GraftFunctions.exprOf(lowered)))
 
   /** BPE-ish subword-regex token count: word pieces of <=4 chars, digits,
     * punctuation runs — a deterministic stand-in for a real tokenizer's

@@ -37,7 +37,10 @@ object AnomalyOps {
     (s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir).select(
-        concat($"event_type", lit(":"), get_json_object($"props", "$.k"))
+        // native JSON kernel, byte-identical to get_json_object
+        // (JsonGetKernelSpec); the DuckDB oracle stays the cross-engine check
+        concat($"event_type", lit(":"),
+          graft.functions.TextFunctions.jsonGet($"props", "k"))
           .as("rhythm_hash"),
         $"ts_sec",
         $"event_id")

@@ -19,9 +19,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object LogOps {
 
   def queries: Seq[QueryDef] = Seq(
-    templateHash, jsonFilter, tailFilter, textMatch, textMatchIndexed, tsWindow,
-    severityMap, topkSort, rulesAntijoin, bglExtract, promoRollup,
-    top1PerGroup, groupedSearch)
+    templateHash, jsonFilter, jsonFilterKernel, tailFilter, textMatch,
+    textMatchIndexed, tsWindow, severityMap, topkSort, rulesAntijoin,
+    bglExtract, promoRollup, top1PerGroup, groupedSearch)
 
   /** DuckDB-side epoch seconds of the event timestamp; the Spark side uses
     * the exact-integer `ts_sec` column added by `Tables.events`. */
@@ -62,6 +62,31 @@ object LogOps {
       Tables.events(s, dir)
         .select($"event_id", $"event_type",
           get_json_object($"props", "$.k").cast("long").as("k"))
+        .filter($"k" < 10)
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 10
+      ORDER BY event_id
+    """))
+
+  /** P4+P5 through the native [[graft.functions.JsonGetExpr]] kernel — the
+    * same values as `json_filter` (kernel parity is fuzz-proven in
+    * JsonGetKernelSpec), same DuckDB oracle, one-pass scanner instead of a
+    * per-row Jackson parse. The built-in row stays as the cross-engine
+    * check of the general API; this row is the production extraction path
+    * and closes the sf1 bench's worst per-row-kernel flag (json_filter
+    * 7.1 s vs DuckDB 0.2 s). */
+  private val jsonFilterKernel = QueryDef(
+    "json_filter_kernel",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id", $"event_type",
+          jsonGet($"props", "k").cast("long").as("k"))
         .filter($"k" < 10)
         .orderBy($"event_id")
     },
@@ -345,8 +370,11 @@ object LogOps {
     "grouped_search",
     (s, dir) => {
       import s.implicits._
+      // payload probe through the native JSON kernel (byte-identical to
+      // get_json_object, JsonGetKernelSpec) — the DuckDB oracle remains the
+      // independent cross-engine check
       val hash = concat($"event_type", lit(":"),
-        get_json_object($"props", "$.k")).as("rhythm_hash")
+        jsonGet($"props", "k")).as("rhythm_hash")
       // top-1-per-group as a partial-aggregable max_by (map-side combine;
       // struct comparison is lexicographic, -event_id gives the asc
       // tie-break) — equivalent to the window row_number()=1 plan but with

@@ -322,10 +322,11 @@ object TextOps {
       import s.implicits._
       Tables.documents(s, dir)
         .select($"doc_id",
+          // both counts through the native count-only kernels
+          // (TokenCountKernelSpec parity); the DuckDB oracle keeps the
+          // regex forms as the cross-engine check
           tokenCountWs($"text").cast("long").as("n_ws"),
-          size(regexp_extract_all(lower($"text"),
-            lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
-            .cast("long").as("n_sub"))
+          tokenCountSub(lower($"text")).cast("long").as("n_sub"))
         .orderBy($"doc_id")
     },
     Some("""

@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The count-only token kernels must agree exactly with the built-in
+  * array-building forms they replace — java.util.regex is the engine
+  * behind `split`/`regexp_extract_all`, so parity against Pattern
+  * directly IS parity against the built-ins (the token_count gate row's
+  * DuckDB oracle stays the independent cross-engine check). */
+class TokenCountKernelSpec extends SparkSpec {
+
+  private val ws = Pattern.compile("\\s+")
+  private val sub = Pattern.compile("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]+")
+
+  private def regexWsCount(s: String): Int =
+    ws.split(s, -1).count(_.nonEmpty)
+  private def regexSubCount(s: String): Int = {
+    val m = sub.matcher(s); var c = 0; while (m.find()) c += 1; c
+  }
+
+  private def check(s: String): Unit = {
+    assert(CountWsTokens.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)) == regexWsCount(s),
+      s"ws count diverged on <$s>")
+    assert(CountSubTokens.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)) == regexSubCount(s),
+      s"sub count diverged on <$s>")
+  }
+
+  test("fixtures: runs, boundaries, greedy {1,4} splitting") {
+    Seq(
+      "", " ", "\t\n\f\r", "a", "a b", " a  b ", "abcd", "abcde",
+      "abcdefgh", "abcdefghi",                    // 4+4, 4+4+1 pieces
+      "a1b2", "12345", "1 2 3", "!!!", "a!b", "a !? 12b",
+      "hello world", "x".repeat(17), "ab1cd!ef gh",
+      "UPPER case MiXed",                          // A-Z fall in the 3rd class
+      "éé café",                    // non-ASCII: 3rd class
+      "aéb",                                  // letter runs broken by non-ASCII
+      "tab\tsep\nline", "  leading", "trailing  ",
+      "a5a5a5a5a5", "aaaa1111aaaa", "....a....",
+      "\u0000x\u0000"                              // NUL is 3rd-class, not ws
+    ).foreach(check)
+  }
+
+  test("25k-case random fuzz against java.util.regex") {
+    val rng = new scala.util.Random(20260814L)
+    val alphabet = "abcdefgz ABC 0189 \t\n!.,*é_--  "
+    (0 until 25000).foreach { _ =>
+      val len = rng.nextInt(50)
+      check((0 until len).map(_ => alphabet(rng.nextInt(alphabet.length)))
+        .mkString)
+    }
+  }
+
+  test("DataFrame parity: kernels equal built-in compositions incl. nulls") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5L)
+    val alphabet = "abcz 019 \t!.é"
+    val docs = (0 until 2000).map { i =>
+      if (i % 101 == 0) null
+      else (0 until rng.nextInt(40))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }
+    val df = docs.toDF("t").select(
+      TextFunctions.tokenCountWs($"t").as("k_ws"),
+      size(filter(split($"t", "\\s+"), x => length(x) > 0)).as("b_ws"),
+      TextFunctions.tokenCountSub(lower($"t")).as("k_sub"),
+      size(regexp_extract_all(lower($"t"),
+        lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]+"), lit(0))).as("b_sub"))
+    assert(df.filter(!($"k_ws" <=> $"b_ws") || !($"k_sub" <=> $"b_sub"))
+      .count() == 0)
+  }
+}
