@@ -170,4 +170,38 @@ object PiiScrub {
     * n_email/n_phone semantics) — spec-side verification surface. */
   def countEmails(text: String): Long = countAll(text, findEmail)
   def countPhones(text: String): Long = countAll(text, findPhone)
+
+  /** UTF8String forms reachable from generated Java code
+    * ([[PiiCountExpr]]). */
+  def countEmailsU(input: UTF8String): Long = countEmails(input.toString)
+  def countPhonesU(input: UTF8String): Long = countPhones(input.toString)
+}
+
+/** Count of email (or phone) matches — the kernel form of
+  * `size(regexp_extract_all(text, EmailRe|PhoneRe))`, sharing
+  * [[PiiScrub]]'s parity-proven finders; backs the `pii_scrub_kernel`
+  * gate row's evidence columns. */
+case class PiiCountExpr(child: Expression, emails: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pii_count requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String =
+    if (emails) "pii_count_emails" else "pii_count_phones"
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (emails) PiiScrub.countEmailsU(input.asInstanceOf[UTF8String])
+    else PiiScrub.countPhonesU(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (emails) "countEmailsU" else "countPhonesU"
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiScrub.$m($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PiiCountExpr =
+    copy(child = newChild)
 }

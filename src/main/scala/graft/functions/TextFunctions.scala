@@ -107,7 +107,10 @@ object TextFunctions {
     val toks = wordTokens(text)
     val nToks = greatest(size(toks).cast("double"), lit(1.0))
     val nStop = countInSet(toks, Stopwords).cast("double")
-    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+    // count-only kernel for the punctuation ratio (ArrayStatKernelSpec):
+    // the built-in form materialized a stripped copy of the text per row
+    val punct = graft.GraftFunctions.columnOf(
+      CountPunctChars(graft.GraftFunctions.exprOf(text))).cast("double")
     val lenScore = least(nChars / lit(500.0), lit(1.0))
     val stopScore = least(nStop / nToks * lit(3.0), lit(1.0))
     val punctPenalty = least(punct / greatest(nChars, lit(1.0)) * lit(5.0), lit(1.0))

@@ -213,11 +213,14 @@ object CorpusOps {
     * column arithmetic (identical trees collapse via codegen
     * subexpression elimination, so stacking them costs one tokenize). */
   def gopherNWords(ts: Column): Column = size(ts).cast("long")
+  // char-sum and alpha-count through the native array-stat kernels
+  // (ArrayStatKernelSpec parity) — the built-in forms ran an interpreted
+  // aggregate lambda and an rlike PER TOKEN
   def gopherMeanWlen(ts: Column): Column =
-    round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+    round(columnOf(graft.functions.SumStrLengths(exprOf(ts))).cast("double") /
       gopherNWords(ts), 4)
   def gopherAlphaFrac(ts: Column): Column =
-    round(size(filter(ts, t => t.rlike("^[a-z]+$"))).cast("double") /
+    round(columnOf(graft.functions.CountAlphaTokens(exprOf(ts))).cast("double") /
       gopherNWords(ts), 4)
   def gopherNStop(ts: Column): Column =
     columnOf(CountInSet(exprOf(ts), GopherStopwords))

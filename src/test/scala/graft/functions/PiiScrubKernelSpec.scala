@@ -90,4 +90,23 @@ class PiiScrubKernelSpec extends SparkSpec {
     assert(got.sameElements(want))
     assert(got.forall(s => s.contains("<EMAIL>") && s.contains("<PHONE>")))
   }
+
+  test("count expressions equal the regexp_extract_all sizes (codegen path)") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text")
+      .withColumn("planted", concat($"text",
+        lit(" a@b.cc x 123-456-7890 999.9999.9999 c@d.ee@f.gg ")))
+    val diverged = docs.select(
+        graft.GraftFunctions.columnOf(PiiCountExpr(
+          graft.GraftFunctions.exprOf($"planted"), emails = true)).as("ke"),
+        graft.GraftFunctions.columnOf(PiiCountExpr(
+          graft.GraftFunctions.exprOf($"planted"), emails = false)).as("kp"),
+        size(regexp_extract_all($"planted", lit(TextOps.EmailRe), lit(0)))
+          .cast("long").as("be"),
+        size(regexp_extract_all($"planted", lit(TextOps.PhoneRe), lit(0)))
+          .cast("long").as("bp"))
+      .filter($"ke" =!= $"be" || $"kp" =!= $"bp").count()
+    assert(diverged == 0)
+  }
 }
