@@ -1,6 +1,8 @@
 package graft
 
-import graft.functions.{EmbedText, Simhash64}
+import graft.functions.{CountAlphaTokens, CountPunctChars, CountSubTokens,
+  CountWsTokens, EmbedText, JsonGetExpr, PiiScrubExpr, Simhash64,
+  SumStrLengths, TemplateExpr}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,7 +30,47 @@ object GraftFunctions {
       (children: Seq[Expression]) => Simhash64(children.head)),
     (FunctionIdentifier("embed_text"),
       new ExpressionInfo(classOf[EmbedText].getName, "embed_text"),
-      (children: Seq[Expression]) => EmbedText(children.head)))
+      (children: Seq[Expression]) => EmbedText(children.head)),
+    // the per-row scanner/count kernels (see each expression's scaladoc
+    // for the built-in it is parity-proven against)
+    (FunctionIdentifier("template_kernel"),
+      new ExpressionInfo(classOf[TemplateExpr].getName, "template_kernel"),
+      (children: Seq[Expression]) => TemplateExpr(children.head)),
+    (FunctionIdentifier("pii_scrub_kernel"),
+      new ExpressionInfo(classOf[PiiScrubExpr].getName, "pii_scrub_kernel"),
+      (children: Seq[Expression]) => PiiScrubExpr(children.head)),
+    (FunctionIdentifier("count_ws_tokens"),
+      new ExpressionInfo(classOf[CountWsTokens].getName, "count_ws_tokens"),
+      (children: Seq[Expression]) => CountWsTokens(children.head)),
+    (FunctionIdentifier("count_sub_tokens"),
+      new ExpressionInfo(classOf[CountSubTokens].getName, "count_sub_tokens"),
+      (children: Seq[Expression]) => CountSubTokens(children.head)),
+    (FunctionIdentifier("count_punct_chars"),
+      new ExpressionInfo(classOf[CountPunctChars].getName, "count_punct_chars"),
+      (children: Seq[Expression]) => CountPunctChars(children.head)),
+    (FunctionIdentifier("sum_str_lengths"),
+      new ExpressionInfo(classOf[SumStrLengths].getName, "sum_str_lengths"),
+      (children: Seq[Expression]) => SumStrLengths(children.head)),
+    (FunctionIdentifier("count_alpha_tokens"),
+      new ExpressionInfo(classOf[CountAlphaTokens].getName, "count_alpha_tokens"),
+      (children: Seq[Expression]) => CountAlphaTokens(children.head)),
+    // json_get(col, 'key'): the key must be a foldable string literal —
+    // the scanner is specialized per key at plan time
+    (FunctionIdentifier("json_get"),
+      new ExpressionInfo(classOf[JsonGetExpr].getName, "json_get"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "json_get(col, 'key') takes 2 arguments")
+        val key = children(1) match {
+          case lit if lit.foldable && lit.dataType ==
+              org.apache.spark.sql.types.StringType =>
+            val v = lit.eval(null)
+            require(v != null, "json_get key must not be null")
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"json_get key must be a string literal, got $other")
+        }
+        JsonGetExpr(children.head, key)
+      }))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config — e.g. the driver's own harness). */

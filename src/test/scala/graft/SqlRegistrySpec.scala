@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every native kernel is reachable from SQL through GraftExtensions —
+  * the session-extension path a SQL-only user (spark-sql, JDBC,
+  * spark.sql(...)) takes. Each registered function must agree with its
+  * Column-API form on the same input. */
+class SqlRegistrySpec extends SparkSpec {
+
+  test("scanner/count kernels answer from SQL with Column-API values") {
+    import spark.implicits._
+    Seq(
+      ("a", "Call 1.2.3.4 or id deadbeef-dead-beef-dead-beefdeadbeef x 42 " +
+        "mail bob@x.org phone 123-456-7890 !!",
+        """{"k": 7, "j": "x"}"""),
+      ("b", "plain text, 100 tokens it is not", """{"k":"s"}"""),
+      ("c", "", "not json")
+    ).toDF("id", "t", "j").createOrReplaceTempView("sql_reg_docs")
+
+    val rows = spark.sql("""
+      SELECT id,
+        template_kernel(t) AS tpl,
+        pii_scrub_kernel(t) AS scrubbed,
+        count_ws_tokens(t) AS n_ws,
+        count_sub_tokens(lower(t)) AS n_sub,
+        count_punct_chars(t) AS n_punct,
+        sum_str_lengths(split(t, ' ')) AS chars,
+        count_alpha_tokens(split(t, ' ')) AS n_alpha,
+        json_get(j, 'k') AS k
+      FROM sql_reg_docs ORDER BY id
+    """)
+
+    val api = spark.table("sql_reg_docs").select($"id",
+      graft.functions.TextFunctions.template($"t").as("tpl"),
+      GraftFunctions.columnOf(graft.functions.PiiScrubExpr(
+        GraftFunctions.exprOf($"t"))).as("scrubbed"),
+      graft.functions.TextFunctions.tokenCountWs($"t").as("n_ws"),
+      graft.functions.TextFunctions.tokenCountSub(lower($"t")).as("n_sub"),
+      GraftFunctions.columnOf(graft.functions.CountPunctChars(
+        GraftFunctions.exprOf($"t"))).as("n_punct"),
+      GraftFunctions.columnOf(graft.functions.SumStrLengths(
+        GraftFunctions.exprOf(split($"t", " ")))).as("chars"),
+      GraftFunctions.columnOf(graft.functions.CountAlphaTokens(
+        GraftFunctions.exprOf(split($"t", " ")))).as("n_alpha"),
+      graft.functions.TextFunctions.jsonGet($"j", "k").as("k"))
+      .orderBy($"id")
+
+    assert(rows.collect().toSeq == api.collect().toSeq)
+    // spot values: the SQL path really computed something
+    val a = rows.collect()(0)
+    assert(a.getString(1).contains("*")) // template masked
+    assert(a.getString(2).contains("<EMAIL>") && a.getString(2).contains("<PHONE>"))
+    assert(a.getString(8) == "7")
+  }
+
+  test("json_get rejects a non-literal key") {
+    import spark.implicits._
+    Seq(("{}", "k")).toDF("j", "key").createOrReplaceTempView("sql_reg_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT json_get(j, key) FROM sql_reg_bad").collect()
+    }
+    assert(e.getMessage.contains("string literal") ||
+      e.getMessage.toLowerCase.contains("foldable"))
+  }
+}
