@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{CountAlphaTokens, CountPunctChars, CountSubTokens,
-  CountWsTokens, EmbedText, JsonGetExpr, PiiScrubExpr, Simhash64,
-  SumStrLengths, TemplateExpr}
+  CountWsTokens, EmbedText, JsonGetExpr, PiiCountExpr, PiiScrubExpr,
+  Simhash64, SumStrLengths, TemplateExpr}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,37 +23,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** A one-column-argument builder with an arity check (silent
+    * extra-argument swallowing via `children.head` was a review
+    * finding). */
+  private def unary(name: String)(
+      build: Expression => Expression): Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.length == 1, s"$name(col) takes exactly 1 argument")
+      build(children.head)
+    }
+
   private[graft] val descriptions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
-      (children: Seq[Expression]) => Simhash64(children.head)),
+      unary("simhash64")(Simhash64(_))),
     (FunctionIdentifier("embed_text"),
       new ExpressionInfo(classOf[EmbedText].getName, "embed_text"),
-      (children: Seq[Expression]) => EmbedText(children.head)),
+      unary("embed_text")(EmbedText(_))),
     // the per-row scanner/count kernels (see each expression's scaladoc
     // for the built-in it is parity-proven against)
     (FunctionIdentifier("template_kernel"),
       new ExpressionInfo(classOf[TemplateExpr].getName, "template_kernel"),
-      (children: Seq[Expression]) => TemplateExpr(children.head)),
+      unary("template_kernel")(TemplateExpr(_))),
     (FunctionIdentifier("pii_scrub_kernel"),
       new ExpressionInfo(classOf[PiiScrubExpr].getName, "pii_scrub_kernel"),
-      (children: Seq[Expression]) => PiiScrubExpr(children.head)),
+      unary("pii_scrub_kernel")(PiiScrubExpr(_))),
+    (FunctionIdentifier("pii_count_emails"),
+      new ExpressionInfo(classOf[PiiCountExpr].getName, "pii_count_emails"),
+      unary("pii_count_emails")(PiiCountExpr(_, emails = true))),
+    (FunctionIdentifier("pii_count_phones"),
+      new ExpressionInfo(classOf[PiiCountExpr].getName, "pii_count_phones"),
+      unary("pii_count_phones")(PiiCountExpr(_, emails = false))),
     (FunctionIdentifier("count_ws_tokens"),
       new ExpressionInfo(classOf[CountWsTokens].getName, "count_ws_tokens"),
-      (children: Seq[Expression]) => CountWsTokens(children.head)),
+      unary("count_ws_tokens")(CountWsTokens(_))),
     (FunctionIdentifier("count_sub_tokens"),
       new ExpressionInfo(classOf[CountSubTokens].getName, "count_sub_tokens"),
-      (children: Seq[Expression]) => CountSubTokens(children.head)),
+      unary("count_sub_tokens")(CountSubTokens(_))),
     (FunctionIdentifier("count_punct_chars"),
       new ExpressionInfo(classOf[CountPunctChars].getName, "count_punct_chars"),
-      (children: Seq[Expression]) => CountPunctChars(children.head)),
+      unary("count_punct_chars")(CountPunctChars(_))),
     (FunctionIdentifier("sum_str_lengths"),
       new ExpressionInfo(classOf[SumStrLengths].getName, "sum_str_lengths"),
-      (children: Seq[Expression]) => SumStrLengths(children.head)),
+      unary("sum_str_lengths")(SumStrLengths(_))),
     (FunctionIdentifier("count_alpha_tokens"),
       new ExpressionInfo(classOf[CountAlphaTokens].getName, "count_alpha_tokens"),
-      (children: Seq[Expression]) => CountAlphaTokens(children.head)),
+      unary("count_alpha_tokens")(CountAlphaTokens(_))),
     // json_get(col, 'key'): the key must be a foldable string literal —
     // the scanner is specialized per key at plan time
     (FunctionIdentifier("json_get"),

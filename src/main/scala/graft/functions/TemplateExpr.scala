@@ -24,10 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - three SEQUENTIAL passes (each over the previous pass's output —
   *    the `*` placeholders a pass inserts are non-word chars and thus
   *    form `\b` boundaries for the next pass);
-  *  - `\b` = transition between `[A-Za-z0-9_]` and non-word/edge, so
-  *    `abc123`/`123abc` digit runs do NOT match IntRe, and an UPPERCASE
-  *    or word-embedded UUID does not match UuidRe (the reference's own
-  *    lowercase-only behavior, pinned in SURVEY §2.2);
+  *  - `\b` = transition between a word code point (`'_'` or
+  *    `Character.isLetterOrDigit` — Java's `\b` is Unicode-aware even in
+  *    default mode) and non-word/edge, so `abc123`/`123abc`/`é123` digit
+  *    runs do NOT match IntRe, and an UPPERCASE or word-embedded UUID
+  *    does not match UuidRe (the reference's own lowercase-only
+  *    behavior, pinned in SURVEY §2.2);
   *  - IPv4's `\d{1,3}` greedy groups: a 4+-digit run fails every
   *    backtrack (no dot reachable), so `1234.1.2.3` is NOT an address,
   *    while `9.1.2.3.4` matches its first four octets and leaves `.4`;
@@ -63,22 +65,62 @@ case class TemplateExpr(child: Expression) extends UnaryExpression {
 
 object Template {
 
-  @inline private def isWord(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-      (c >= '0' && c <= '9') || c == '_'
+  /** java.util.regex's `\b` word character WITHOUT
+    * UNICODE_CHARACTER_CLASS (JDK Pattern.Bound): `'_' ||
+    * Character.isLetterOrDigit(codePoint)` — Unicode-aware even in
+    * default mode (é and ٣ are word chars; a combining mark, ³ or an
+    * emoji is not). NOT the ASCII `[A-Za-z0-9_]` — an earlier draft used
+    * that and diverged from the regex pipeline on any non-ASCII
+    * letter/digit adjacent to a digit run (caught by review; the fuzz
+    * alphabet now carries non-ASCII word and non-word chars). Note the
+    * DuckDB oracle's RE2 `\b` IS ASCII-only — the cross-engine check is
+    * valid on the ASCII fixtures, and the engine follows java.util.regex
+    * (= the Python reference's Unicode `\b`) where they diverge. */
+  @inline private def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
   @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
   @inline private def isHex(c: Char): Boolean =
     isDigit(c) || (c >= 'a' && c <= 'f')
 
+  /** JDK Bound's combining-mark rule (measured: `1́ 25` has NO
+    * boundary before the 25, `x́́ 25` none either, while
+    * `_́ 25` and `.́ 25` DO — and Mc/Me mark classes get no
+    * special treatment): a NON_SPACING_MARK counts as word-side iff
+    * walking back over the mark run reaches `Character.isLetterOrDigit`
+    * (note: NOT '_'). */
+  private def hasBase(s: String, from: Int): Boolean = {
+    var j = from
+    while (j > 0) {
+      val cp = s.codePointBefore(j)
+      if (Character.isLetterOrDigit(cp)) return true
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) return false
+      j -= Character.charCount(cp)
+    }
+    false
+  }
+
   /** `\b` before position i (i is the match start; its char is a word
-    * char in all three patterns, so the boundary is "start or non-word
-    * before"). */
-  @inline private def boundaryBefore(s: String, i: Int): Boolean =
-    i == 0 || !isWord(s.charAt(i - 1))
+    * char in all three patterns, so the boundary is "start or
+    * non-word-side before"). Surrogate pairs decode to one code point,
+    * like the regex engine. */
+  private def boundaryBefore(s: String, i: Int): Boolean = {
+    if (i == 0) return true
+    val cp = s.codePointBefore(i)
+    if (isWordCp(cp)) false
+    else if (Character.getType(cp) == Character.NON_SPACING_MARK)
+      !hasBase(s, i - Character.charCount(cp))
+    else true
+  }
 
   /** `\b` after exclusive end e (last matched char is a word char). */
-  @inline private def boundaryAfter(s: String, e: Int): Boolean =
-    e >= s.length || !isWord(s.charAt(e))
+  private def boundaryAfter(s: String, e: Int): Boolean = {
+    if (e >= s.length) return true
+    val cp = s.codePointAt(e)
+    if (isWordCp(cp)) false
+    else if (Character.getType(cp) == Character.NON_SPACING_MARK)
+      !hasBase(s, e)
+    else true
+  }
 
   /** Next UUID match at-or-after `from`, packed (start << 32 | end) or -1.
     * Shape: 8-4-4-4-12 lowercase hex, dashes at offsets 8/13/18/23,

@@ -41,20 +41,22 @@ case class CountWsTokens(child: Expression) extends UnaryExpression {
 }
 
 object CountWsTokens {
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  // \s bytes: space, \t, \n, \x0B, \f, \r. Bytes >= 0x80 (negative as
+  // Java bytes) are parts of multi-byte chars -> non-ws, so a byte scan
+  // gives the same run structure as a char scan with NO String copy.
+  @inline private def isWsB(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0D.toByte)
 
   def compute(input: UTF8String): Int = {
-    val s = input.toString
-    val n = s.length
+    val nb = input.numBytes()
     var i = 0
     var count = 0
-    while (i < n) {
-      if (isWs(s.charAt(i))) i += 1
+    while (i < nb) {
+      if (isWsB(input.getByte(i))) i += 1
       else {
         count += 1
         i += 1
-        while (i < n && !isWs(s.charAt(i))) i += 1
+        while (i < nb && !isWsB(input.getByte(i))) i += 1
       }
     }
     count
@@ -93,33 +95,37 @@ case class CountSubTokens(child: Expression) extends UnaryExpression {
 }
 
 object CountSubTokens {
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-  @inline private def isLower(c: Char): Boolean = c >= 'a' && c <= 'z'
-  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  // all three classes are ASCII; bytes >= 0x80 (negative) fall in the
+  // "other" class like the multi-byte chars they encode, so a byte scan
+  // preserves the run structure with NO String copy
+  @inline private def isWsB(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0D.toByte)
+  @inline private def isLowerB(b: Byte): Boolean =
+    b >= 'a'.toByte && b <= 'z'.toByte
+  @inline private def isDigitB(b: Byte): Boolean =
+    b >= '0'.toByte && b <= '9'.toByte
 
   def compute(input: UTF8String): Int = {
-    val s = input.toString
-    val n = s.length
+    val nb = input.numBytes()
     var i = 0
     var count = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (isLower(c)) {
+    while (i < nb) {
+      val b = input.getByte(i)
+      if (isLowerB(b)) {
         var run = 0
-        while (i < n && isLower(s.charAt(i))) { i += 1; run += 1 }
+        while (i < nb && isLowerB(input.getByte(i))) { i += 1; run += 1 }
         count += (run + 3) / 4 // greedy {1,4}: ceil(run/4) pieces
-      } else if (isDigit(c)) {
+      } else if (isDigitB(b)) {
         count += 1
         i += 1
-        while (i < n && isDigit(s.charAt(i))) i += 1
-      } else if (isWs(c)) {
+        while (i < nb && isDigitB(input.getByte(i))) i += 1
+      } else if (isWsB(b)) {
         i += 1
       } else {
         count += 1
         i += 1
-        while (i < n && {
-          val d = s.charAt(i); !isLower(d) && !isDigit(d) && !isWs(d)
+        while (i < nb && {
+          val d = input.getByte(i); !isLowerB(d) && !isDigitB(d) && !isWsB(d)
         }) i += 1
       }
     }

@@ -54,6 +54,27 @@ class SqlRegistrySpec extends SparkSpec {
     assert(a.getString(8) == "7")
   }
 
+  test("pii count functions answer from SQL") {
+    import spark.implicits._
+    Seq("mail a@b.cc and c@d.ee, call 123-456-7890", "nothing here")
+      .toDF("t").createOrReplaceTempView("sql_reg_pii")
+    val rows = spark.sql("""
+      SELECT pii_count_emails(t) AS e, pii_count_phones(t) AS p
+      FROM sql_reg_pii ORDER BY e DESC
+    """).collect()
+    assert(rows(0).getLong(0) == 2L && rows(0).getLong(1) == 1L)
+    assert(rows(1).getLong(0) == 0L && rows(1).getLong(1) == 0L)
+  }
+
+  test("single-arg kernels reject extra arguments instead of ignoring them") {
+    import spark.implicits._
+    Seq(("x", "y")).toDF("a", "b").createOrReplaceTempView("sql_reg_arity")
+    val e = intercept[Exception] {
+      spark.sql("SELECT template_kernel(a, b) FROM sql_reg_arity").collect()
+    }
+    assert(e.getMessage.contains("exactly 1 argument"))
+  }
+
   test("json_get rejects a non-literal key") {
     import spark.implicits._
     Seq(("{}", "k")).toDF("j", "key").createOrReplaceTempView("sql_reg_bad")

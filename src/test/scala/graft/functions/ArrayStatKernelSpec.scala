@@ -32,14 +32,35 @@ class ArrayStatKernelSpec extends SparkSpec {
     assert(diverged == 0)
   }
 
+  test("SumStrLengths: a null element poisons the sum to NULL, like aggregate") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq[String]("ab", "c")),
+      (2, Seq[String]("ab", null)),
+      (3, Seq[String](null)),
+      (4, Seq.empty[String])
+    ).toDF("id", "ts")
+    val out = df.select($"id",
+        columnOf(SumStrLengths(exprOf($"ts"))).as("k"),
+        aggregate($"ts", lit(0L), (acc, t) => acc + length(t)).as("b"))
+      .orderBy($"id").collect()
+    assert(out.forall(r => r.isNullAt(1) == r.isNullAt(2) &&
+      (r.isNullAt(1) || r.getLong(1) == r.getLong(2))))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1)) // null element → NULL
+    assert(out(0).getLong(1) == 3L && out(3).getLong(1) == 0L)
+  }
+
   test("CountAlphaTokens equals the rlike filter size") {
     // WordTokens yields lowercase alnum tokens; also test adversarial
-    // arrays with uppercase/unicode/empty elements directly
+    // arrays with uppercase/unicode/empty elements AND trailing line
+    // terminators ($ matches before a single final terminator)
     import spark.implicits._
     val arrays = Seq(
       Seq("abc", "a1b", "xyz", "", "ABC", "é", "aé", "z"),
       Seq.empty[String],
-      Seq("😀", "aaaa", "0", "az")
+      Seq("😀", "aaaa", "0", "az"),
+      Seq("abc\n", "abc\r", "abc\r\n", "abc\n\n", "abc\nx", "\n",
+        "abc", "abc ", "abc ", "abc\r\r", "a\nb")
     ).toDF("ts")
     val all = tokensDf.select(col("ts")).unionByName(arrays)
     val diverged = all.select(

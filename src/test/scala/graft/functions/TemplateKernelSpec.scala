@@ -61,9 +61,33 @@ class TemplateKernelSpec extends SparkSpec {
     ).foreach(check)
   }
 
+  test("Unicode \\b fixtures: Java's boundary is not ASCII") {
+    Seq(
+      "é123",                      // é1 — no boundary: é is a letter
+      "123é",
+      "é1.2.3.4", "1.2.3.4é",
+      "٣123",                      // Arabic-Indic digit: word char
+      "³123",                      // superscript 3: NOT letterOrDigit
+      "́123",                      // combining mark: NOT a word char
+      "😀123",                // emoji: non-word → boundary
+      "𝕒123",                // 𝕒 MATHEMATICAL letter (surrogate pair): word
+      "édeadbeef-dead-beef-dead-beefdeadbeef",
+      "é 42 ٣ 7 _8 ^9",
+      // the JDK Bound combining-mark rule (measured): a non-spacing
+      // mark is word-side iff its base (walking back over marks) is a
+      // letter/digit — '_' does NOT count as a base
+      "1́25", "́25", "x́25", ".́25", "_́25",
+      "25́", "25́x", "25́.", "x́́25",
+      "2́5", "1.2.3.4́", "9́.2.3.4",
+      // Mc / Me mark classes get NO special treatment
+      "1ा25", "25ा", "1⃠25", "25⃠",
+      "deadbeef-dead-beef-dead-beefdeadbeef́"
+    ).foreach(check)
+  }
+
   test("25k-case random fuzz against java.util.regex") {
     val rng = new scala.util.Random(20260814L)
-    val alphabet = "0123456789abcdef-.. xX_*5"
+    val alphabet = "0123456789abcdef-.. xX_*5é٣³́"
     (0 until 25000).foreach { _ =>
       val len = rng.nextInt(60)
       check((0 until len).map(_ => alphabet(rng.nextInt(alphabet.length)))
