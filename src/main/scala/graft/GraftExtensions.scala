@@ -70,6 +70,9 @@ object GraftFunctions {
     (FunctionIdentifier("count_alpha_tokens"),
       new ExpressionInfo(classOf[CountAlphaTokens].getName, "count_alpha_tokens"),
       unary("count_alpha_tokens")(CountAlphaTokens(_))),
+    (FunctionIdentifier("term_counts"),
+      new ExpressionInfo(classOf[graft.functions.TermCounts].getName, "term_counts"),
+      unary("term_counts")(graft.functions.TermCounts(_))),
     // json_get(col, 'key'): the key must be a foldable string literal —
     // the scanner is specialized per key at plan time
     (FunctionIdentifier("json_get"),

@@ -158,3 +158,65 @@ object RollingFp {
     h
   }
 }
+
+/** Distinct word tokens with their WITHIN-DOCUMENT counts, in one pass —
+  * value-identical (as a (tok, tf) multiset) to
+  * `explode(wordTokens(text))` followed by `groupBy(doc_id, tok).count()`,
+  * but computed scan-locally: term frequency is a per-document statistic,
+  * so the exchange that plan pays to co-locate a document's token
+  * OCCURRENCES (one shuffle row per token position in the corpus) carries
+  * no information the row didn't already have. `keywords_tfidf` uses this
+  * to drop its largest exchange; the corpus-level document-frequency
+  * census and the tf×idf join still shuffle one row per DISTINCT term per
+  * document — the relation that actually needs corpus-wide co-location. */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"term_counts requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tok", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TermCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TermCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  def compute(input: UTF8String): GenericArrayData = {
+    val toks = input.toString.toLowerCase.split("[^a-z0-9]+")
+    val m = new java.util.LinkedHashMap[String, Integer]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        val prev = m.get(t)
+        m.put(t, if (prev == null) Integer.valueOf(1)
+          else Integer.valueOf(prev.intValue() + 1))
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue.intValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

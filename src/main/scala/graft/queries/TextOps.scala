@@ -90,18 +90,24 @@ object TextOps {
 
   /** Keyword extraction: top-3 TF-IDF terms per document (tf · ln((N+1)/
     * (df+1)), ties broken by term) — corpus-level term weighting as a
-    * per-doc summary. One token shuffle builds (doc, term) frequencies
-    * map-side-combined, the document-frequency relation joins back on the
-    * term key, N broadcasts as a scalar, and the per-doc top-3 runs on the
-    * custom [[graft.plans.TopKPerGroup]] operator (bounded buffers — the
+    * per-doc summary. Term frequency is computed SCAN-LOCALLY by the
+    * [[graft.functions.TermCounts]] kernel (tf is a per-document
+    * statistic — the old `explode → groupBy(doc, tok)` exchange shuffled
+    * one row per token OCCURRENCE in the corpus only to count things each
+    * row already knew); the document-frequency census and the tf×idf join
+    * shuffle one row per DISTINCT term per document, N broadcasts as a
+    * scalar, and the per-doc top-3 runs on the custom
+    * [[graft.plans.TopKPerGroup]] operator (bounded buffers — the
     * row_number window the oracle uses would sort every document's terms). */
   private val keywordsTfidf = QueryDef(
     "keywords_tfidf",
     (s, dir) => {
       import s.implicits._
-      val toks = Tables.documents(s, dir)
-        .select($"doc_id", explode(wordTokens($"text")).as("tok"))
-      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val tf = Tables.documents(s, dir)
+        .select($"doc_id", explode(graft.GraftFunctions.columnOf(
+          graft.functions.TermCounts(graft.GraftFunctions.exprOf($"text"))))
+          .as("tc"))
+        .select($"doc_id", $"tc.tok".as("tok"), $"tc.tf".cast("long").as("tf"))
       val dfc = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, dir)
         .agg(count(lit(1)).cast("double").as("n_docs"))

@@ -55,6 +55,25 @@ class TokenCountKernelSpec extends SparkSpec {
     }
   }
 
+  test("TermCounts equals explode(wordTokens) + groupBy counts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    val alphabet = "ab c 1 é ."
+    val docs = (0 until 1500).map { i =>
+      (i.toLong, (0 until rng.nextInt(60))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val kernel = docs.select($"doc_id",
+        explode(graft.GraftFunctions.columnOf(
+          TermCounts(graft.GraftFunctions.exprOf($"text")))).as("tc"))
+      .select($"doc_id", $"tc.tok".as("tok"), $"tc.tf".cast("long").as("tf"))
+    val builtin = docs.select($"doc_id",
+        explode(TextFunctions.wordTokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    assert(kernel.exceptAll(builtin).count() == 0)
+    assert(builtin.exceptAll(kernel).count() == 0)
+  }
+
   test("DataFrame parity: kernels equal built-in compositions incl. nulls") {
     import spark.implicits._
     val rng = new scala.util.Random(5L)
