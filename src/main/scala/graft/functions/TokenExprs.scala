@@ -220,3 +220,63 @@ object TermCounts {
     new GenericArrayData(out)
   }
 }
+
+/** Distinct ADJACENT token pairs with their within-document counts, in
+  * one pass — value-identical (as a (w1, w2, cnt) multiset) to the
+  * zip-slice pair explode followed by a per-document pair count. Same
+  * rationale as [[TermCounts]]: a document's bigram frequencies are a
+  * per-row statistic, so `bigram_surprisal`'s per-pair-occurrence
+  * exchanges (census AND scoring join) collapse to
+  * one-row-per-distinct-pair-per-document. Documents with < 2 tokens
+  * yield an empty array (the guard the zip form needed explicitly). */
+case class BigramCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bigram_counts requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false),
+      StructField("cnt", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bigram_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+    copy(child = newChild)
+}
+
+object BigramCounts {
+  def compute(input: UTF8String): GenericArrayData = {
+    val toks = input.toString.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val m = new java.util.LinkedHashMap[(String, String), Integer]()
+    var i = 0
+    while (i + 1 < toks.length) {
+      val key = (toks(i), toks(i + 1))
+      val prev = m.get(key)
+      m.put(key, if (prev == null) Integer.valueOf(1)
+        else Integer.valueOf(prev.intValue() + 1))
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey._1),
+          UTF8String.fromString(e.getKey._2), e.getValue.intValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -144,9 +144,11 @@ object TextOps {
     * garbled tokens scores high surprisal; boilerplate scores low) that
     * complements the rule-based `quality_score`.
     *
-    * Plan: one token explode feeds both the vocabulary aggregate
-    * (map-side-combined) and the scoring join on the token key; the
-    * corpus total is an exact integer broadcast scalar. The join key is
+    * Plan: the scan-local [[graft.functions.TermCounts]] relation (one
+    * row per DISTINCT token per document, tf attached) feeds both the
+    * vocabulary aggregate (Σ tf, map-side-combined) and the scoring join
+    * on the token key — no per-occurrence row ever shuffles; the corpus
+    * total is an exact integer broadcast scalar. The join key is
     * heavy-tailed (stop words) but the vocabulary side is one row per
     * token, so AQE's skew-join split handles oversized probe partitions —
     * no salting needed when the build side is 1-row-per-key.
@@ -162,9 +164,17 @@ object TextOps {
     * `lm_score`, reused by [[graft.api.Curation]]'s surprisal gate). */
   def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = docs.select($"doc_id", explode(wordTokens($"text")).as("tok"))
-    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+    // one row per DISTINCT token per document, tf attached scan-locally
+    // (TermCounts) — the occurrence-level explode this replaces shuffled
+    // one row per token POSITION through the census and the scoring join;
+    // every downstream value is unchanged: uni = Σ tf, tot = Σ tf, and
+    // the per-doc micro-nat sum Σ_occurrences micro ≡ Σ_tokens tf·micro
+    val tc = docs.select($"doc_id", explode(graft.GraftFunctions.columnOf(
+        graft.functions.TermCounts(graft.GraftFunctions.exprOf($"text"))))
+        .as("tc"))
+      .select($"doc_id", $"tc.tok".as("tok"), $"tc.tf".cast("long").as("tf"))
+    val uni = tc.groupBy($"tok").agg(sum($"tf").as("cnt"))
+    val tot = tc.agg(sum($"tf").cast("double").as("n"))
     // per-token surprisal in INTEGER MICRO-NATS, and the 4-dp mean as
     // exact integer arithmetic: floor((2·sum + 100·n)/(200·n)) / 1e4 is
     // HALF_UP of sum/(n·100) on exact rationals. `round(sum(r6)/n, 4)`
@@ -173,10 +183,11 @@ object TextOps {
     // double-math rounding DISAGREE on the same input double (found by an
     // sf0.1 full-oracle sweep, doc 4599) — integer micros make the
     // summation and the boundary decision identical on both engines.
-    toks.join(uni, Seq("tok")).crossJoin(broadcast(tot))
-      .select($"doc_id", round(-log($"cnt" / $"n") * 1e6).cast("long").as("micro"))
+    tc.join(uni, Seq("tok")).crossJoin(broadcast(tot))
+      .select($"doc_id", $"tf",
+        round(-log($"cnt" / $"n") * 1e6).cast("long").as("micro"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tok"), sum($"micro").as("sm"))
+      .agg(sum($"tf").as("n_tok"), sum($"tf" * $"micro").as("sm"))
       .select($"doc_id", $"n_tok",
         (floor(($"sm" * 2 + $"n_tok" * 100).cast("double") /
           ($"n_tok" * 200).cast("double")) / 1e4).as("avg_nll"))
@@ -218,14 +229,15 @@ object TextOps {
     * permutation-invariant; bigram NLL is exactly what drops when word
     * ORDER is natural).
     *
-    * Plan: one pass builds positional pairs as a zipped slice (scan-
-    * parallel, no shuffle); the unigram/total joins are folded into the
-    * DISTINCT-bigram census first (1-row-per-key relations joining
-    * 1-row-per-key relations), producing a per-bigram surprisal table,
-    * so the full pair relation shuffles through exactly ONE (w1,w2)
-    * join — AQE's skew split covers the stop-word tail of that single
-    * exchange the same way `lm_score`'s join does; the corpus total
-    * broadcasts as a scalar. Per-pair surprisal is quantized to INTEGER
+    * Plan: the scan-local [[graft.functions.BigramCounts]] relation (one
+    * row per DISTINCT adjacent pair per document, count attached — no
+    * per-occurrence row ever shuffles); the unigram/total joins are
+    * folded into the DISTINCT-bigram census first (1-row-per-key
+    * relations joining 1-row-per-key relations), producing a per-bigram
+    * surprisal table, so the per-document pair relation shuffles through
+    * exactly ONE (w1,w2) join — AQE's skew split covers the stop-word
+    * tail of that single exchange the same way `lm_score`'s join does;
+    * the corpus total broadcasts as a scalar. Per-pair surprisal is quantized to INTEGER
     * MICRO-NATS before the per-doc sum (a last-ulp ln() difference cannot
     * propagate; the sum is order-independent) and the 4-dp mean is exact
     * integer arithmetic — see [[lmScores]]. Docs with <2 tokens have no
@@ -235,22 +247,25 @@ object TextOps {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-      val toks = docs.select($"doc_id", explode(wordTokens($"text")).as("tok"))
-      val bgs = docs
-        .select($"doc_id", wordTokens($"text").as("ts"))
-        // <2 tokens ⇒ no pairs on either engine, but slice(ts, 1, size-1)
-        // with an EMPTY token array is a negative-length runtime error in
-        // Spark while the oracle's range(1, greatest(len,1)) silently
-        // yields nothing — guard before the zip so both engines drop the
-        // doc the same way
-        .filter(size($"ts") >= 2)
-        .select($"doc_id", explode(arrays_zip(
-          slice($"ts", lit(1), size($"ts") - 1).as("w1"),
-          slice($"ts", lit(2), size($"ts") - 1).as("w2"))).as("bg"))
-        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
-      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c1"))
-      val big = bgs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-      val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+      // scan-local count relations (TermCounts / BigramCounts): one row
+      // per distinct token / adjacent pair per document, counts attached —
+      // no per-occurrence row ever shuffles (the zip-slice pair explode
+      // this replaces carried one row per pair POSITION through the
+      // census and the scoring join). BigramCounts yields an empty array
+      // for <2-token docs, which explode drops — the same doc-drop
+      // behavior the old plan needed an explicit size guard for.
+      val tc = docs.select($"doc_id", explode(graft.GraftFunctions.columnOf(
+          graft.functions.TermCounts(graft.GraftFunctions.exprOf($"text"))))
+          .as("t"))
+        .select($"doc_id", $"t.tok".as("tok"), $"t.tf".cast("long").as("tf"))
+      val bc = docs.select($"doc_id", explode(graft.GraftFunctions.columnOf(
+          graft.functions.BigramCounts(graft.GraftFunctions.exprOf($"text"))))
+          .as("b"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"),
+          $"b.cnt".cast("long").as("c"))
+      val uni = tc.groupBy($"tok").agg(sum($"tf").as("c1"))
+      val big = bc.groupBy($"w1", $"w2").agg(sum($"c").as("c2"))
+      val tot = tc.agg(sum($"tf").cast("double").as("n"))
       // fold the unigram/total joins into a per-DISTINCT-bigram surprisal
       // table first: the full pair relation (one row per adjacent pair in
       // the corpus) then shuffles into exactly ONE join, instead of
@@ -267,10 +282,10 @@ object TextOps {
           round(-log(lit(BigramLambda) * $"c2" / $"cw1"
             + lit(1.0 - BigramLambda) * $"cw2" / $"n") * 1e6)
             .cast("long").as("micro"))
-      bgs
+      bc
         .join(surpTab, Seq("w1", "w2"))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"micro").as("sm"))
+        .agg(sum($"c").as("n_bigrams"), sum($"c" * $"micro").as("sm"))
         .select($"doc_id", $"n_bigrams",
           (floor(($"sm" * 2 + $"n_bigrams" * 100).cast("double") /
             ($"n_bigrams" * 200).cast("double")) / 1e4).as("avg_nll"))

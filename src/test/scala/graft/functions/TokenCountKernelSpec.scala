@@ -74,6 +74,31 @@ class TokenCountKernelSpec extends SparkSpec {
     assert(builtin.exceptAll(kernel).count() == 0)
   }
 
+  test("BigramCounts equals the zip-slice pair explode + groupBy counts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13L)
+    val alphabet = "ab c 1 é ."
+    val docs = (0 until 1500).map { i =>
+      (i.toLong, (0 until rng.nextInt(40))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val kernel = docs.select($"doc_id",
+        explode(graft.GraftFunctions.columnOf(
+          BigramCounts(graft.GraftFunctions.exprOf($"text")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"),
+        $"b.cnt".cast("long").as("c"))
+    val builtin = docs
+      .select($"doc_id", TextFunctions.wordTokens($"text").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(arrays_zip(
+        slice($"ts", lit(1), size($"ts") - 1).as("w1"),
+        slice($"ts", lit(2), size($"ts") - 1).as("w2"))).as("bg"))
+      .groupBy($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .agg(count(lit(1)).as("c"))
+    assert(kernel.exceptAll(builtin).count() == 0)
+    assert(builtin.exceptAll(kernel).count() == 0)
+  }
+
   test("DataFrame parity: kernels equal built-in compositions incl. nulls") {
     import spark.implicits._
     val rng = new scala.util.Random(5L)
