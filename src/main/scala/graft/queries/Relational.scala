@@ -286,25 +286,30 @@ object Relational {
   /** Q17-shape: revenue carried by SMALL orders — lineitems whose
     * quantity is below 20% of their part's average — rolled up per brand
     * (the "would dropping small orders matter" analysis). The correlated
-    * per-part average becomes one grouped aggregate (1 row per part,
-    * map-side combined) joined back on the part key; the brand dim joins
-    * AFTER the filter so only surviving rows pay it, and nothing is
-    * force-broadcast (part is SF-proportional — AQE decides). The 20%
-    * threshold never touches floats: `qty < 0.2·(sum/cnt)` is evaluated
-    * as `5·qty·cnt < sum` over exact integers (quantities are
-    * integral-valued), so no engine's division order can flip a boundary
-    * row. Money rides the exact integer-micros accumulation. */
+    * per-part average is a whole-partition WINDOW over the part key, not
+    * a grouped aggregate joined back: the fact rows are already
+    * co-located once they hash-partition on l_partkey, so the stats ride
+    * the SAME single full-fact exchange the join form would need just
+    * for its probe side — the aggregate's second fact pass (map-combined
+    * to near-corpus size: part keys spread across every input split)
+    * disappears entirely. The brand dim joins AFTER the filter so only
+    * surviving rows pay it, and nothing is force-broadcast (part is
+    * SF-proportional — AQE decides). The 20% threshold never touches
+    * floats: `qty < 0.2·(sum/cnt)` is evaluated as `5·qty·cnt < sum`
+    * over exact integers (quantities are integral-valued), so no
+    * engine's division order can flip a boundary row. Money rides the
+    * exact integer-micros accumulation. */
   private val smallQtyRevenue = QueryDef(
     "small_qty_revenue",
     (s, dir) => {
       import s.implicits._
       val qtyL = $"l_quantity".cast("long")
-      val stats = Tables.lineitem(s, dir)
-        .groupBy($"l_partkey")
-        .agg(count(lit(1)).as("cnt_p"), sum(qtyL).as("sumq_p"))
+      val wp = Window.partitionBy($"l_partkey")
       Tables.lineitem(s, dir)
-        .join(stats, Seq("l_partkey"))
-        .filter(lit(5L) * qtyL * $"cnt_p" < $"sumq_p")
+        .select($"l_partkey", qtyL.as("qty"), $"l_extendedprice")
+        .withColumn("cnt_p", count(lit(1)).over(wp))
+        .withColumn("sumq_p", sum($"qty").over(wp))
+        .filter(lit(5L) * $"qty" * $"cnt_p" < $"sumq_p")
         .join(Tables.part(s, dir).select($"p_partkey", $"p_brand"),
           $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
