@@ -393,7 +393,13 @@ object Relational {
       // own `v_lo + (v_hi − v_lo)·frac` over exact integer cents.
       val cents = Tables.lineitem(s, dir)
         .select($"l_returnflag",
-          round($"l_extendedprice" * 100).cast("long").as("cents"))
+          // floor(x+0.5), not round(x): Spark's Round on DoubleType
+          // allocates a BigDecimal PER ROW (measured ~1 s per 6M-row
+          // pass at sf1); floor stays in codegen double math. Equal to
+          // HALF_UP for these positive near-integer scaled prices, and
+          // the oracle uses the IDENTICAL formula so both engines run
+          // the same IEEE ops — no cross-engine boundary exists.
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"))
         .withColumn("bucket", shiftright($"cents", 12))
       // coalesce(1): the bucket histogram is O(#buckets) = O(price-domain /
       // 4096) rows PER FLAG — bounded by the value domain, not the corpus —
@@ -477,7 +483,7 @@ object Relational {
     },
     Some("""
       WITH c AS (
-        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
         FROM lineitem)
       SELECT l_returnflag,
         round(quantile_cont(cents, 0.5), 4) AS p50,

@@ -113,7 +113,12 @@ object TextOps {
         .agg(count(lit(1)).cast("double").as("n_docs"))
       val scored = tf.join(dfc, Seq("tok")).crossJoin(broadcast(n))
         .select($"doc_id", $"tok",
-          round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 6).as("score"))
+          // floor(x·1e6+0.5)/1e6 over round(x, 6): same value for this
+          // x ≥ 0 product, no per-row BigDecimal (Spark's Round on
+          // DoubleType allocates one per row); the oracle mirrors the
+          // formula so both engines run identical IEEE ops
+          (floor($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)) * 1e6 + 0.5)
+            / 1e6).as("score"))
       graft.plans.TopKPerGroup(scored, Seq("doc_id"),
           Seq(("score", false), ("tok", true)), 3)
         .orderBy($"doc_id", $"score".desc, $"tok")
@@ -127,7 +132,7 @@ object TextOps {
       dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
       n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
       scored AS (
-        SELECT doc_id, t.tok, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+        SELECT doc_id, t.tok, floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS score
         FROM tf t JOIN dfc USING (tok) CROSS JOIN n),
       r AS (
         SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
@@ -183,9 +188,17 @@ object TextOps {
     // double-math rounding DISAGREE on the same input double (found by an
     // sf0.1 full-oracle sweep, doc 4599) — integer micros make the
     // summation and the boundary decision identical on both engines.
-    tc.join(uni, Seq("tok")).crossJoin(broadcast(tot))
-      .select($"doc_id", $"tf",
-        round(-log($"cnt" / $"n") * 1e6).cast("long").as("micro"))
+    // micro is a function of the TOKEN alone, so compute it on the
+    // vocab-sized relation BEFORE the big join — the per-(doc,token)
+    // path carries neither the log nor the rounding. floor(x+0.5), not
+    // round(x): Spark's Round on DoubleType allocates a BigDecimal per
+    // row; floor is pure codegen double math, equal here (x ≥ 0), and
+    // the oracle uses the identical formula so both engines run the
+    // same IEEE ops.
+    val uniMicro = uni.crossJoin(broadcast(tot))
+      .select($"tok",
+        floor(-log($"cnt" / $"n") * 1e6 + 0.5).cast("long").as("micro"))
+    tc.join(uniMicro, Seq("tok"))
       .groupBy($"doc_id")
       .agg(sum($"tf").as("n_tok"), sum($"tf" * $"micro").as("sm"))
       .select($"doc_id", $"n_tok",
@@ -208,7 +221,7 @@ object TextOps {
       uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
       tot AS (SELECT count(*)::DOUBLE AS n FROM toks)
       SELECT doc_id, count(*) AS n_tok,
-        floor((2 * sum(CAST(round(-ln(cnt / n) * 1000000.0) AS BIGINT))
+        floor((2 * sum(CAST(floor(-ln(cnt / n) * 1000000.0 + 0.5) AS BIGINT))
             + 100 * count(*))::DOUBLE
           / ((200 * count(*))::DOUBLE)) / 10000.0 AS avg_nll
       FROM toks JOIN uni USING (tok) CROSS JOIN tot
@@ -279,8 +292,10 @@ object TextOps {
         .join(uni.select($"tok".as("w2"), $"c1".as("cw2")), Seq("w2"))
         .crossJoin(broadcast(tot))
         .select($"w1", $"w2",
-          round(-log(lit(BigramLambda) * $"c2" / $"cw1"
-            + lit(1.0 - BigramLambda) * $"cw2" / $"n") * 1e6)
+          // floor(x+0.5) over round(x): same value for these x ≥ 0
+          // inputs, no per-row BigDecimal — see lmScores
+          floor(-log(lit(BigramLambda) * $"c2" / $"cw1"
+            + lit(1.0 - BigramLambda) * $"cw2" / $"n") * 1e6 + 0.5)
             .cast("long").as("micro"))
       bc
         .join(surpTab, Seq("w1", "w2"))
@@ -304,8 +319,8 @@ object TextOps {
         FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
       big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
       SELECT doc_id, count(*) AS n_bigrams,
-        floor((2 * sum(CAST(round(-ln($BigramLambda::DOUBLE * c2 / u1.c1
-              + ${1.0 - BigramLambda}::DOUBLE * u2.c1 / n) * 1000000.0) AS BIGINT))
+        floor((2 * sum(CAST(floor(-ln($BigramLambda::DOUBLE * c2 / u1.c1
+              + ${1.0 - BigramLambda}::DOUBLE * u2.c1 / n) * 1000000.0 + 0.5) AS BIGINT))
             + 100 * count(*))::DOUBLE
           / ((200 * count(*))::DOUBLE)) / 10000.0 AS avg_nll
       FROM bg
