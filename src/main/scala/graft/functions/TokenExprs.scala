@@ -280,3 +280,83 @@ object BigramCounts {
     new GenericArrayData(out)
   }
 }
+
+/** Tokens surviving substring-dedup span removal: given a document's
+  * tokens and the 1-based START positions of its removed `w`-token
+  * windows, returns the tokens not covered by any `[p, p+w-1]` interval.
+  * Value-identical to exploding every removed window into its `w` token
+  * positions, `collect_set`-ing them, and filtering with
+  * `array_contains` — but the caller shuffles only window STARTS (a
+  * `w`-fold smaller exchange) and the mask applies in O(len + starts)
+  * per row via an interval diff-array, where the HOF form paid
+  * O(len × covered) interpreted `array_contains` probes per document. */
+case class DropCoveredTokens(left: Expression, right: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType | LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"drop_covered_tokens requires (array<string>, array<int|long>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "drop_covered_tokens"
+
+  private lazy val startsLong =
+    right.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override protected def nullSafeEval(ts: Any, starts: Any): Any =
+    DropCoveredTokens.compute(ts.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], startsLong, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DropCoveredTokens.compute($a, $b, $startsLong, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DropCoveredTokens =
+    copy(left = newLeft, right = newRight)
+}
+
+object DropCoveredTokens {
+  def compute(ts: ArrayData, starts: ArrayData, startsLong: Boolean,
+      w: Int): GenericArrayData = {
+    val n = ts.numElements()
+    val diff = new Array[Int](n + 2)
+    val m = starts.numElements()
+    var i = 0
+    while (i < m) {
+      val p = if (startsLong) starts.getLong(i) else starts.getInt(i).toLong
+      var lo = p
+      if (lo < 1L) lo = 1L
+      var hi = p + (w - 1)
+      if (hi > n) hi = n.toLong
+      if (lo <= hi) {
+        diff(lo.toInt) += 1
+        diff(hi.toInt + 1) -= 1
+      }
+      i += 1
+    }
+    var cover = 0
+    var kept = 0
+    i = 1
+    while (i <= n) {
+      cover += diff(i)
+      if (cover == 0) kept += 1
+      i += 1
+    }
+    val out = new Array[Any](kept)
+    cover = 0
+    var j = 0
+    i = 1
+    while (i <= n) {
+      cover += diff(i)
+      if (cover == 0) { out(j) = ts.getUTF8String(i - 1); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -141,17 +141,20 @@ object CorpusOps {
         min($"doc_id" * 1000000L + $"pos").as("owner"))
       .filter($"multi")
       .select($"h1", $"h2", $"owner")
-    val remPos = wins.join(dup, Seq("h1", "h2"))
+    // shuffle removed-window STARTS only — the ×SpanW token-position
+    // explode this replaces multiplied the removal exchange by the
+    // window width (and at a duplicate-heavy corpus that exchange is
+    // near corpus-scale); the interval mask applies scan-side in
+    // O(len + starts) per document via the native kernel, where the
+    // array_contains HOF paid O(len × covered) interpreted probes
+    val remStarts = wins.join(dup, Seq("h1", "h2"))
       .filter($"doc_id" * 1000000L + $"pos" =!= $"owner")
-      .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanW - 1))).as("tpos"))
-    val remList = remPos.groupBy($"doc_id")
-      .agg(collect_set($"tpos").as("rem"))
-    toks.join(remList, Seq("doc_id"), "left")
-      .select($"doc_id", expr(
-        """filter(transform(sequence(1, size(ts)),
-            i -> IF(rem IS NULL OR NOT array_contains(rem, i),
-                    element_at(ts, i), NULL)),
-           x -> x IS NOT NULL)""").as("kt"))
+      .groupBy($"doc_id").agg(collect_list($"pos").as("rem"))
+    toks.join(remStarts, Seq("doc_id"), "left")
+      .select($"doc_id", columnOf(graft.functions.DropCoveredTokens(
+          exprOf($"ts"),
+          exprOf(coalesce($"rem", typedLit(Seq.empty[Int]))),
+          SpanW)).as("kt"))
       .select($"doc_id",
         array_join($"kt", " ").as("clean_text"),
         size($"kt").cast("long").as("n_kept"))

@@ -99,6 +99,44 @@ class TokenCountKernelSpec extends SparkSpec {
     assert(builtin.exceptAll(kernel).count() == 0)
   }
 
+  test("DropCoveredTokens equals the exploded-positions array_contains form") {
+    import spark.implicits._
+    val w = 3
+    val rng = new scala.util.Random(29L)
+    // tokens + removed-window starts, incl. out-of-range and overlapping
+    // starts and the empty-starts row the left-join coalesce produces
+    // n >= 1: the reference HOF's sequence(1, size(ts)) is descending
+    // for empty arrays and errors in element_at — empty-ts behavior is
+    // pinned by the kernel edge assertions below instead
+    val rows = (0 until 800).map { i =>
+      val n = 1 + rng.nextInt(29)
+      val ts = (0 until n).map(j => s"t$j").toArray
+      val starts = (0 until rng.nextInt(6))
+        .map(_ => rng.nextInt(n + w + 2) - 1).toArray
+      (i.toLong, ts, starts)
+    }
+    val df = rows.toDF("doc_id", "ts", "rem")
+    val kernel = df.select($"doc_id",
+      graft.GraftFunctions.columnOf(DropCoveredTokens(
+        graft.GraftFunctions.exprOf($"ts"),
+        graft.GraftFunctions.exprOf($"rem"), w)).as("kt"))
+    val builtin = df.select($"doc_id", expr(
+      s"""filter(transform(sequence(1, size(ts)),
+            i -> IF(NOT exists(rem, p -> i >= p AND i <= p + ${w - 1}),
+                    element_at(ts, i), NULL)),
+          x -> x IS NOT NULL)""").as("kt"))
+    assert(kernel.exceptAll(builtin).count() == 0)
+    assert(builtin.exceptAll(kernel).count() == 0)
+    // empty tokens + empty starts stay empty, full coverage drops all
+    val edge = Seq((1L, Array.empty[String], Array.empty[Int]),
+      (2L, Array("a", "b", "c"), Array(1))).toDF("doc_id", "ts", "rem")
+    val got = edge.select(graft.GraftFunctions.columnOf(DropCoveredTokens(
+        graft.GraftFunctions.exprOf($"ts"),
+        graft.GraftFunctions.exprOf($"rem"), 3)).as("kt"))
+      .orderBy("kt").collect().map(_.getSeq[String](0))
+    assert(got(0).isEmpty && got(1).isEmpty)
+  }
+
   test("DataFrame parity: kernels equal built-in compositions incl. nulls") {
     import spark.implicits._
     val rng = new scala.util.Random(5L)
