@@ -53,41 +53,89 @@ object Simhash64 {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Direct-mapped per-thread memo of shingle → 64-bit MD5-derived
+    * feature hash. A 4-char shingle packs exactly into a long key;
+    * corpus text is repetitive (boilerplate, near-duplicates), so most
+    * shingles recur and the MD5 — the measured per-row bottleneck of
+    * `simhash_fp`/`simhash_dedup` — is paid once per distinct shingle
+    * per thread instead of once per occurrence. Collisions simply
+    * overwrite (it is a cache, not a map): a miss or slot mismatch
+    * recomputes the digest, so the RESULT is bit-identical to the
+    * uncached kernel in every case. 2^18 slots × 16 B = 4 MB/thread. */
+  private val CacheBits = 18
+  private final class ShingleCache {
+    val keys = new Array[Long](1 << CacheBits)
+    val vals = new Array[Long](1 << CacheBits)
+  }
+  private val caches = new ThreadLocal[ShingleCache] {
+    override def initialValue(): ShingleCache = new ShingleCache
+  }
+
   /** Static kernel reachable from generated Java code. */
   def compute(input: UTF8String): Long = computeString(input.toString)
 
   def computeString(text: String): Long = {
     val norm = text.toLowerCase.replaceAll("\\s+", " ")
-    val votes = new Array[Int](64)
-    if (norm.length <= Shingle) vote(norm, votes)
-    else {
+    val n = norm.length
+    val ones = new Array[Int](64)
+    var total = 0
+    if (n <= Shingle) {
+      accumulate(hashFeature(norm), ones)
+      total = 1
+    } else {
+      val cache = caches.get()
+      val mask = (1 << CacheBits) - 1
       var i = 0
-      while (i + Shingle <= norm.length) {
-        vote(norm.substring(i, i + Shingle), votes)
+      while (i + Shingle <= n) {
+        // 4 UTF-16 chars pack losslessly into the 64-bit cache key;
+        // key 0 (four NUL chars) shares a slot with "empty" and just
+        // always recomputes — still exact
+        val key = (norm.charAt(i).toLong << 48) |
+          (norm.charAt(i + 1).toLong << 32) |
+          (norm.charAt(i + 2).toLong << 16) |
+          norm.charAt(i + 3).toLong
+        val slot = ((key * 0x9E3779B97F4A7C15L) >>> (64 - CacheBits)).toInt & mask
+        val hv =
+          if (key != 0L && cache.keys(slot) == key) cache.vals(slot)
+          else {
+            val h = hashFeature(norm.substring(i, i + Shingle))
+            if (key != 0L) { cache.keys(slot) = key; cache.vals(slot) = h }
+            h
+          }
+        accumulate(hv, ones)
+        total += 1
         i += 1
       }
     }
+    // bit b set iff votes(b) = ones(b) − (total − ones(b)) > 0
     var h = 0L
     var b = 0
     while (b < 64) {
-      if (votes(b) > 0) h |= (1L << b)
+      if (2 * ones(b) > total) h |= (1L << b)
       b += 1
     }
     h
   }
 
-  private def vote(feature: String, votes: Array[Int]): Unit = {
+  /** Walk only the SET bits of the feature hash (≈32 vs a fixed-64
+    * ±1-vote loop); `ones` + the shingle total reconstruct the exact
+    * same vote tallies. */
+  private def accumulate(hv: Long, ones: Array[Int]): Unit = {
+    var h = hv
+    while (h != 0L) {
+      ones(java.lang.Long.numberOfTrailingZeros(h)) += 1
+      h &= h - 1
+    }
+  }
+
+  private def hashFeature(feature: String): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(feature.getBytes(StandardCharsets.UTF_8))
     var hv = 0L
     var i = 0
     while (i < 8) { hv = (hv << 8) | (d(i) & 0xffL); i += 1 }
-    var b = 0
-    while (b < 64) {
-      votes(b) += (if (((hv >>> b) & 1L) == 1L) 1 else -1)
-      b += 1
-    }
+    hv
   }
 
   /** Hamming distance between two simhash fingerprints. */
