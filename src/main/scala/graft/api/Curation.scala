@@ -268,7 +268,7 @@ object Curation {
         .select(
           ($"doc_id" * graft.queries.CorpusOps.ChunkIdBase + $"chunk_id")
             .as("doc_id"),
-          $"lang", array_join($"chunk", " ").as("text")))
+          $"lang", $"chunk_text".as("text")))
 
     // 7. sequence packing
     chk("pack_sequences",

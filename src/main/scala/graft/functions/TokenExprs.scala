@@ -360,3 +360,70 @@ object DropCoveredTokens {
     new GenericArrayData(out)
   }
 }
+
+/** All overlapping context-window chunks of a document in one pass:
+  * tokenize (WordTokens rules), then for each start `1 + k·s ≤ n_tok`
+  * emit `(chunk_id, chunk_start, n_tok, txt)` where `txt` joins the
+  * `c`-token window with single spaces — value-identical to the
+  * explode(sequence)+slice+array_join composition, but the token array
+  * is built once per DOCUMENT: the explode form copies the full array
+  * into every chunk row's unsafe buffer (a ~n/s-fold byte blowup that
+  * dominated the chunking scan). Zero-token documents emit an empty
+  * array, which explode drops — the same doc-drop the old plan's
+  * `filter(size > 0)` did. */
+case class ChunkSpans(child: Expression, c: Int, s: Int)
+    extends UnaryExpression {
+
+  require(c >= 1 && s >= 1, "chunk_spans requires c >= 1 and s >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"chunk_spans requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("chunk_id", LongType, nullable = false),
+      StructField("chunk_start", LongType, nullable = false),
+      StructField("n_tok", LongType, nullable = false),
+      StructField("txt", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "chunk_spans"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ChunkSpans.compute(input.asInstanceOf[UTF8String], c, s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.ChunkSpans.compute($in, $c, $s)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkSpans =
+    copy(child = newChild)
+}
+
+object ChunkSpans {
+  def compute(input: UTF8String, c: Int, s: Int): GenericArrayData = {
+    val toks = input.toString.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val nChunks = (n - 1) / s + 1
+    val out = new Array[Any](nChunks)
+    var k = 0
+    while (k < nChunks) {
+      val start = 1 + k * s
+      val end = math.min(start + c - 1, n)
+      val sb = new java.lang.StringBuilder
+      var i = start - 1
+      while (i < end) {
+        if (i > start - 1) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](k + 1L, start.toLong, (end - start + 1).toLong,
+          UTF8String.fromString(sb.toString)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -308,23 +308,25 @@ object CorpusOps {
   val ChunkIdBase: Long = 1L << 20
 
   /** The `chunk_docs` transform as reusable rows: (doc_id, carry...,
-    * chunk_id, chunk_start, chunk[array]) — one tokenize, a sequence of
-    * starts exploded per document, a slice per start; zero shuffles.
-    * Shared by the gate query and [[graft.api.Curation]]'s
-    * chunk-to-context stage. */
+    * chunk_id, chunk_start, n_chunk_tok, chunk_text) — ONE native
+    * [[graft.functions.ChunkSpans]] pass per document, exploded; zero
+    * shuffles. The explode(sequence)+slice form this replaces carried
+    * the full token ARRAY through the explode, copying it into every
+    * chunk row's unsafe buffer — an ~n/stride-fold byte blowup that
+    * dominated the chunking scan. Shared by the gate query and
+    * [[graft.api.Curation]]'s chunk-to-context stage. */
   def chunkRows(docs: org.apache.spark.sql.DataFrame,
       carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     val keep = col("doc_id") +: carry.map(col)
     docs
-      .select(keep :+ columnOf(WordTokens(exprOf(docs("text")))).as("ts"): _*)
-      .filter(size($"ts") > 0)
-      .select(keep :+ $"ts" :+
-        explode(sequence(lit(1), size($"ts"), lit(ChunkS))).as("start"): _*)
+      .select(keep :+ explode(columnOf(graft.functions.ChunkSpans(
+        exprOf(docs("text")), ChunkC, ChunkS))).as("ch"): _*)
       .select(keep ++ Seq(
-        ((($"start" - 1) / ChunkS) + 1).cast("long").as("chunk_id"),
-        $"start".cast("long").as("chunk_start"),
-        slice($"ts", $"start", lit(ChunkC)).as("chunk")): _*)
+        $"ch.chunk_id".as("chunk_id"),
+        $"ch.chunk_start".as("chunk_start"),
+        $"ch.n_tok".as("n_chunk_tok"),
+        $"ch.txt".as("chunk_text")): _*)
   }
 
   private val chunkDocs = QueryDef(
@@ -333,8 +335,7 @@ object CorpusOps {
       import s.implicits._
       chunkRows(Tables.documents(s, dir))
         .select($"doc_id", $"chunk_id", $"chunk_start",
-          size($"chunk").cast("long").as("n_chunk_tok"),
-          array_join($"chunk", " ").as("chunk_text"))
+          $"n_chunk_tok", $"chunk_text")
         .orderBy($"doc_id", $"chunk_id")
     },
     Some(s"""

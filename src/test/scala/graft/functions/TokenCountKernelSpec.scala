@@ -137,6 +137,34 @@ class TokenCountKernelSpec extends SparkSpec {
     assert(got(0).isEmpty && got(1).isEmpty)
   }
 
+  test("ChunkSpans equals the explode(sequence)+slice+array_join form") {
+    import spark.implicits._
+    val (c, s) = (5, 3)
+    val rng = new scala.util.Random(17L)
+    val alphabet = "ab c 1 . é"
+    val docs = (0 until 1200).map { i =>
+      (i.toLong, (0 until rng.nextInt(60))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val kernel = docs.select($"doc_id",
+        explode(graft.GraftFunctions.columnOf(ChunkSpans(
+          graft.GraftFunctions.exprOf($"text"), c, s))).as("ch"))
+      .select($"doc_id", $"ch.chunk_id", $"ch.chunk_start",
+        $"ch.n_tok", $"ch.txt")
+    val builtin = docs
+      .select($"doc_id", TextFunctions.wordTokens($"text").as("ts"))
+      .filter(size($"ts") > 0)
+      .select($"doc_id", $"ts",
+        explode(sequence(lit(1), size($"ts"), lit(s))).as("start"))
+      .select($"doc_id",
+        ((($"start" - 1) / s) + 1).cast("long").as("chunk_id"),
+        $"start".cast("long").as("chunk_start"),
+        size(slice($"ts", $"start", lit(c))).cast("long").as("n_tok"),
+        array_join(slice($"ts", $"start", lit(c)), " ").as("txt"))
+    assert(kernel.exceptAll(builtin).count() == 0)
+    assert(builtin.exceptAll(kernel).count() == 0)
+  }
+
   test("DataFrame parity: kernels equal built-in compositions incl. nulls") {
     import spark.implicits._
     val rng = new scala.util.Random(5L)
