@@ -72,11 +72,15 @@ object TextFunctions {
     graft.GraftFunctions.columnOf(
       CountInSet(graft.GraftFunctions.exprOf(tokens), words))
 
-  /** P7 — full-text match: ALL query tokens present in the word-token set. */
+  /** P7 — full-text match: ALL query tokens present in the word-token
+    * set. Native early-exit kernel ([[ContainsAllTokens]]) — same value
+    * as an `array_contains(wordTokens(text), t)` conjunct per token,
+    * without materializing the token array or re-walking it per term. */
   def matchText(text: Column, query: String): Column = {
     val qTokens = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-    val toks = wordTokens(text)
-    qTokens.map(t => array_contains(toks, t)).reduceOption(_ && _).getOrElse(lit(true))
+    graft.GraftFunctions.columnOf(ContainsAllTokens(
+      graft.GraftFunctions.exprOf(text),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(qTokens)))
   }
 
   /** Whitespace token count (training-pipeline token counting) — native

@@ -427,3 +427,81 @@ object ChunkSpans {
     new GenericArrayData(out)
   }
 }
+
+/** ALL query tokens present in the document's word-token set, one pass,
+  * early exit — value-identical to
+  * `wordTokens(text)` + an `array_contains` conjunct per query token,
+  * but without materializing the token array or re-walking it per
+  * conjunct: tokens stream out of the lowercase scan and tick off set
+  * membership, returning as soon as every query token has been seen.
+  * Empty query matches everything (the conjunction over zero terms). */
+case class ContainsAllTokens(child: Expression, query: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"contains_all_tokens requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "contains_all_tokens"
+
+  @transient private lazy val terms: Array[String] = query.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    ContainsAllTokens.compute(input.asInstanceOf[UTF8String], terms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", terms, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ContainsAllTokens.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ContainsAllTokens =
+    copy(child = newChild)
+}
+
+object ContainsAllTokens {
+  def compute(input: UTF8String, terms: Array[String]): Boolean = {
+    val k = terms.length
+    if (k == 0) return true
+    val norm = input.toString.toLowerCase
+    val n = norm.length
+    var remaining = k
+    val found = new Array[Boolean](k)
+    var i = 0
+    while (i < n) {
+      // skip separators
+      while (i < n && !isWord(norm.charAt(i))) i += 1
+      val start = i
+      while (i < n && isWord(norm.charAt(i))) i += 1
+      if (i > start) {
+        var t = 0
+        while (t < k) {
+          if (!found(t) && regionEquals(norm, start, i, terms(t))) {
+            found(t) = true
+            remaining -= 1
+            if (remaining == 0) return true
+          }
+          t += 1
+        }
+      }
+    }
+    false
+  }
+
+  private def isWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  private def regionEquals(s: String, from: Int, until: Int, t: String): Boolean = {
+    if (t.length != until - from) return false
+    var i = 0
+    while (i < t.length) {
+      if (s.charAt(from + i) != t.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+}

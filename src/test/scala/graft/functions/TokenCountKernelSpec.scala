@@ -165,6 +165,28 @@ class TokenCountKernelSpec extends SparkSpec {
     assert(builtin.exceptAll(kernel).count() == 0)
   }
 
+  test("ContainsAllTokens equals the array_contains conjunction") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23L)
+    val alphabet = "ab c 1 . é"
+    val docs = (0 until 2000).map { i =>
+      (i.toLong, (0 until rng.nextInt(40))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    // queries with hits, misses, multi-char terms, and repeats
+    for (q <- Seq("a", "ab c", "c 1 c", "zz", "ab zz", "")) {
+      val terms = q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val kernel = docs.filter(graft.GraftFunctions.columnOf(
+        ContainsAllTokens(graft.GraftFunctions.exprOf($"text"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(terms))))
+      val builtin = docs.filter(terms
+        .map(t => array_contains(TextFunctions.wordTokens($"text"), t))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+      assert(kernel.exceptAll(builtin).count() == 0, s"query '$q'")
+      assert(builtin.exceptAll(kernel).count() == 0, s"query '$q'")
+    }
+  }
+
   test("DataFrame parity: kernels equal built-in compositions incl. nulls") {
     import spark.implicits._
     val rng = new scala.util.Random(5L)
