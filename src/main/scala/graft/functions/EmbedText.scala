@@ -45,6 +45,22 @@ object EmbedText {
   val Dim = 384
   private val Seed = 0x9747b28c
 
+  /** Direct-mapped per-thread memo of packed 3-gram → (bucket, sign).
+    * Three UTF-16 chars pack losslessly into a 48-bit key, so a hit is
+    * exact by construction; a miss or slot collision recomputes the
+    * MurmurHash — the vector is bit-identical to the uncached kernel
+    * (same memoization pattern as the simhash/shingle kernels). The
+    * 3-gram loop is the measured bulk of the embedding scan (one
+    * substring + hash per CHARACTER); word unigrams stay uncached. */
+  private val CacheBits = 16
+  private final class GramCache {
+    val keys = new Array[Long](1 << CacheBits)
+    val vals = new Array[Int](1 << CacheBits)
+  }
+  private val caches = new ThreadLocal[GramCache] {
+    override def initialValue(): GramCache = new GramCache
+  }
+
   /** Static kernel reachable from generated Java code. */
   def embed(input: UTF8String): GenericArrayData =
     new GenericArrayData(embedString(input.toString))
@@ -54,9 +70,24 @@ object EmbedText {
     val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
     if (norm.nonEmpty) {
       norm.split(" ").foreach(addFeature(_, v))
+      val cache = caches.get()
+      val mask = (1 << CacheBits) - 1
       var i = 0
       while (i + 3 <= norm.length) {
-        addFeature(norm.substring(i, i + 3), v)
+        val key = (norm.charAt(i).toLong << 32) |
+          (norm.charAt(i + 1).toLong << 16) |
+          norm.charAt(i + 2).toLong
+        val slot = ((key * 0x9E3779B97F4A7C15L) >>> (64 - CacheBits)).toInt & mask
+        val code =
+          if (key != 0L && cache.keys(slot) == key) cache.vals(slot)
+          else {
+            val h = scala.util.hashing.MurmurHash3
+              .stringHash(norm.substring(i, i + 3), Seed)
+            val c = (((h % Dim) + Dim) % Dim << 1) | ((h >>> 31) & 1)
+            if (key != 0L) { cache.keys(slot) = key; cache.vals(slot) = c }
+            c
+          }
+        v(code >>> 1) += (if ((code & 1) == 1) -1f else 1f)
         i += 1
       }
     }
