@@ -348,18 +348,23 @@ object LogOps {
 
   /** A3 — deterministic representative row per group (latest by ts).
     * Reference: rhythm_analysis_service.py:80 (nondeterministic there;
-    * we declare latest-wins — SURVEY §7.5.4). */
+    * we declare latest-wins — SURVEY §7.5.4). Top-1 as a
+    * partial-aggregable `max_by` over the (ts_sec, event_id) key — the
+    * `grouped_search` shape: map-side combine keeps one row per group
+    * per partition, where the window row_number()=1 form sorted the
+    * whole fact per event_type first. The oracle keeps the window SQL
+    * as the independent cross-engine formulation. */
   private val top1PerGroup = QueryDef(
     "top1_per_group",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type")
-        .orderBy($"ts_sec".desc, $"event_id".desc)
       Tables.events(s, dir)
         .select($"event_type", $"event_id", $"props", $"ts_sec")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"event_type", $"event_id", $"props")
+        .groupBy($"event_type")
+        .agg(max_by(struct($"event_id", $"props"),
+          struct($"ts_sec", $"event_id")).as("top"))
+        .select($"event_type", $"top.event_id".as("event_id"),
+          $"top.props".as("props"))
         .orderBy($"event_type")
     },
     Some(s"""
