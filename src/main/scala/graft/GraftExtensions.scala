@@ -1,8 +1,9 @@
 package graft
 
-import graft.functions.{CountAlphaTokens, CountPunctChars, CountSubTokens,
-  CountWsTokens, EmbedText, JsonGetExpr, PiiCountExpr, PiiScrubExpr,
-  Simhash64, SumStrLengths, TemplateExpr}
+import graft.functions.{BigramCounts, ChunkSpans, ContainsAllTokens,
+  CountAlphaTokens, CountPunctChars, CountSubTokens, CountWsTokens,
+  DropCoveredTokens, EmbedText, JsonGetExpr, MinKLongs, PiiCountExpr,
+  PiiScrubExpr, Simhash64, SumStrLengths, TemplateExpr}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,6 +33,28 @@ object GraftFunctions {
       require(children.length == 1, s"$name(col) takes exactly 1 argument")
       build(children.head)
     }
+
+  /** Plan-time integer parameter: a foldable int literal. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case l if l.foldable &&
+        l.dataType == org.apache.spark.sql.types.IntegerType =>
+      val v = l.eval(null)
+      require(v != null, s"$what must not be null")
+      v.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Plan-time string parameter: a foldable string literal. */
+  private def litString(e: Expression, what: String): String = e match {
+    case l if l.foldable &&
+        l.dataType == org.apache.spark.sql.types.StringType =>
+      val v = l.eval(null)
+      require(v != null, s"$what must not be null")
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
 
   private[graft] val descriptions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -73,6 +96,49 @@ object GraftFunctions {
     (FunctionIdentifier("term_counts"),
       new ExpressionInfo(classOf[graft.functions.TermCounts].getName, "term_counts"),
       unary("term_counts")(graft.functions.TermCounts(_))),
+    (FunctionIdentifier("bigram_counts"),
+      new ExpressionInfo(classOf[BigramCounts].getName, "bigram_counts"),
+      unary("bigram_counts")(BigramCounts(_))),
+    // contains_all_tokens(col, 'query'): the query must be a foldable
+    // string literal — it is tokenized once at plan time
+    (FunctionIdentifier("contains_all_tokens"),
+      new ExpressionInfo(classOf[ContainsAllTokens].getName,
+        "contains_all_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "contains_all_tokens(col, 'query') takes 2 arguments")
+        val q = litString(children(1), "contains_all_tokens query")
+        ContainsAllTokens(children.head,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)))
+      }),
+    // chunk_spans(col, c, s): window size and stride are plan-time ints
+    (FunctionIdentifier("chunk_spans"),
+      new ExpressionInfo(classOf[ChunkSpans].getName, "chunk_spans"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "chunk_spans(col, c, s) takes 3 arguments")
+        ChunkSpans(children.head, litInt(children(1), "chunk_spans c"),
+          litInt(children(2), "chunk_spans s"))
+      }),
+    // drop_covered_tokens(ts, starts, w): window width is a plan-time int
+    (FunctionIdentifier("drop_covered_tokens"),
+      new ExpressionInfo(classOf[DropCoveredTokens].getName,
+        "drop_covered_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "drop_covered_tokens(ts, starts, w) takes 3 arguments")
+        DropCoveredTokens(children.head, children(1),
+          litInt(children(2), "drop_covered_tokens w"))
+      }),
+    // min_k_longs(col, k): bounded min-k aggregate; k is a plan-time int
+    (FunctionIdentifier("min_k_longs"),
+      new ExpressionInfo(classOf[MinKLongs].getName, "min_k_longs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "min_k_longs(col, k) takes 2 arguments")
+        MinKLongs(children.head, litInt(children(1), "min_k_longs k"))
+      }),
     // json_get(col, 'key'): the key must be a foldable string literal —
     // the scanner is specialized per key at plan time
     (FunctionIdentifier("json_get"),

@@ -66,6 +66,47 @@ class SqlRegistrySpec extends SparkSpec {
     assert(rows(1).getLong(0) == 0L && rows(1).getLong(1) == 0L)
   }
 
+  test("sweep-2 kernels answer from SQL with Column-API values") {
+    import spark.implicits._
+    Seq((1L, "the cat sat on the mat the cat"), (2L, ""), (3L, "one"))
+      .toDF("doc_id", "t").createOrReplaceTempView("sql_reg_sweep2")
+
+    val rows = spark.sql("""
+      SELECT doc_id,
+        bigram_counts(t) AS bg,
+        contains_all_tokens(t, 'cat mat') AS hit,
+        chunk_spans(t, 3, 2) AS chunks,
+        drop_covered_tokens(split(lower(t), ' '), array(2), 3) AS kept
+      FROM sql_reg_sweep2 ORDER BY doc_id
+    """)
+    val api = spark.table("sql_reg_sweep2").select($"doc_id",
+      GraftFunctions.columnOf(graft.functions.BigramCounts(
+        GraftFunctions.exprOf($"t"))).as("bg"),
+      graft.functions.TextFunctions.matchText($"t", "cat mat").as("hit"),
+      GraftFunctions.columnOf(graft.functions.ChunkSpans(
+        GraftFunctions.exprOf($"t"), 3, 2)).as("chunks"),
+      GraftFunctions.columnOf(graft.functions.DropCoveredTokens(
+        GraftFunctions.exprOf(split(lower($"t"), " ")),
+        GraftFunctions.exprOf(array(lit(2))), 3)).as("kept"))
+      .orderBy($"doc_id")
+    assert(rows.collect().toSeq == api.collect().toSeq)
+    assert(rows.collect()(0).getBoolean(2))
+
+    // the min-k aggregate from SQL
+    val agg = spark.sql(
+      "SELECT min_k_longs(doc_id, 2) AS s FROM sql_reg_sweep2")
+      .collect()(0).getSeq[Long](0)
+    assert(agg == Seq(1L, 2L))
+
+    // plan-time parameters must be literals
+    intercept[Exception] {
+      spark.sql("SELECT contains_all_tokens(t, t) FROM sql_reg_sweep2").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT min_k_longs(doc_id, doc_id) FROM sql_reg_sweep2").collect()
+    }
+  }
+
   test("single-arg kernels reject extra arguments instead of ignoring them") {
     import spark.implicits._
     Seq(("x", "y")).toDF("a", "b").createOrReplaceTempView("sql_reg_arity")
