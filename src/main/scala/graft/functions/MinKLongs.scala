@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * N-row group costs O(N) shuffle bytes per group; this aggregate's
   * partial states are k values regardless of group size. Runs on the same
   * `ObjectHashAggregateExec` path as `collect_list`. Callers that sample
-  * first-k (ts, id) pairs pack them into one sortable long (the
-  * `ts * 10^7 + id` encoding the DuckDB oracles already use) so the
-  * lexicographic struct order and the long order coincide. */
+  * first-k (ts, id) pairs pack them into one sortable long via
+  * `(ts_sec << 32) | event_id` (the `promo_rollup` encoding) so the
+  * lexicographic pair order and the long order coincide — exact iff
+  * `0 <= event_id < 2^32` and `0 <= ts_sec < 2^31`; the caller guards
+  * those bounds at runtime (out-of-range input raises, never silently
+  * mis-samples). */
 case class MinKLongs(
     child: Expression,
     k: Int,

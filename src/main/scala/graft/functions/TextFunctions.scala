@@ -78,7 +78,11 @@ object TextFunctions {
     * without materializing the token array or re-walking it per term. */
   def matchText(text: Column, query: String): Column = {
     val qTokens = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-    graft.GraftFunctions.columnOf(ContainsAllTokens(
+    // zero query terms match EVERYTHING, including NULL text — the
+    // pre-kernel `lit(true)` semantics (ContainsAllTokens null-propagates,
+    // which would silently turn the vacuous match into a dropped row)
+    if (qTokens.isEmpty) lit(true)
+    else graft.GraftFunctions.columnOf(ContainsAllTokens(
       graft.GraftFunctions.exprOf(text),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(qTokens)))
   }

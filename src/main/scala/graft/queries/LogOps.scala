@@ -321,15 +321,26 @@ object LogOps {
           min_by($"props", $"ts_sec" * lit(10000000L) + $"event_id").as("first_props"),
           // first-5 sample through the bounded MinKLongs aggregate over
           // an order-preserving (ts << 32) | id packing (exact while
-          // id < 2^32 and ts_sec < 2^31 — true for every fixture and any
-          // pre-2038 store; beyond that the pack widens to two longs):
-          // the collect_list+array_sort+slice form it replaces shipped
-          // EVERY group member through the exchange to keep 5 of them
+          // 0 <= id < 2^32 and 0 <= ts_sec < 2^31 — true for every
+          // fixture and any pre-2038 store; beyond that the pack widens
+          // to two longs). The bounds are ENFORCED, not assumed: an
+          // out-of-range row raises instead of silently corrupting which
+          // ids get sampled (ADVICE r10). The collect_list+array_sort+
+          // slice form this replaces shipped EVERY group member through
+          // the exchange to keep 5 of them.
           concat_ws(",",
             transform(
               graft.GraftFunctions.columnOf(graft.functions.MinKLongs(
                 graft.GraftFunctions.exprOf(
-                  shiftleft($"ts_sec", 32).bitwiseOR($"event_id")), 5)
+                  when($"event_id" < 0 || $"event_id" >= lit(1L << 32) ||
+                      $"ts_sec" < 0 || $"ts_sec" >= lit(1L << 31),
+                      raise_error(concat(
+                        lit("promo_rollup sample packing out of range: " +
+                          "(ts_sec, event_id) = ("),
+                        $"ts_sec", lit(", "), $"event_id", lit(")")))
+                        .cast("long"))
+                    .otherwise(
+                      shiftleft($"ts_sec", 32).bitwiseOR($"event_id"))), 5)
                 .toAggregateExpression()),
               x => x.bitwiseAND(lit(0xffffffffL)).cast("string")))
             .as("sample_ids"))

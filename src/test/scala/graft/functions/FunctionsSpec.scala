@@ -50,6 +50,12 @@ class FunctionsSpec extends SparkSpec {
     assert(df.filter(matchText($"b", "payment declined")).count() == 1)
     assert(df.filter(matchText($"b", "payment")).count() == 2)
     assert(df.filter(matchText($"b", "")).count() == 2)
+    // zero-term query matches NULL text too (vacuous truth, not kernel
+    // null-propagation — ADVICE r10): the row must survive the filter
+    val withNull = Seq(Some("payment ok"), None).toDF("b")
+    assert(withNull.filter(matchText($"b", "")).count() == 2)
+    assert(withNull.filter(matchText($"b", "...")).count() == 2)
+    assert(withNull.filter(matchText($"b", "payment")).count() == 1)
   }
 
   test("fingerprint is whitespace/punct/case-insensitive") {

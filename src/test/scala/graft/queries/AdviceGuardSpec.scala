@@ -40,6 +40,30 @@ class AdviceGuardSpec extends SparkSpec {
     assert(feasible.count() > 0L)
   }
 
+  test("promo_rollup raises on an id outside the sample-packing bounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("guard-promo").toString
+    def write(eventId: Long): Unit =
+      Seq((eventId, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // in-range id: fine
+    write(42L)
+    assert(SparkEntry.queries("promo_rollup")(spark, dir).count() == 1L)
+    // id >= 2^32 would corrupt the (ts << 32) | id packing — the guard
+    // must RAISE, never silently mis-sample (ADVICE r10)
+    write(1L << 33)
+    val e = intercept[Exception] {
+      SparkEntry.queries("promo_rollup")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("out of range")),
+      s"wrong failure: ${messages(e)}")
+  }
+
   test("bigram_surprisal drops zero/one-token docs instead of erroring") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("guard-bigram").toString

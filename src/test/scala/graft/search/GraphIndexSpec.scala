@@ -174,6 +174,32 @@ class GraphIndexSpec extends SparkSpec {
     assert(cached.sameElements(plain))
   }
 
+  test("probeCached: buffered appends are visible, rebuild-in-place invalidates") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, SfDir)
+    val path = java.nio.file.Files.createTempDirectory("gver").toString + "/g"
+    GraphIndex.build(emb, path)
+    val v0 = GraphIndex.version(spark, path)
+    assert(v0 > 0, "build did not stamp a version")
+    // warm the resident copy BEFORE the store changes
+    GraphIndex.probeCached(spark, path, Q, 10, ef = GraphIndex.GateEf).collect()
+    // a fresh vector aligned with the pinned query is a guaranteed top hit
+    val hero = Seq((1000000L, Q, 9)).toDF("vec_id", "embedding", "label")
+    GraphIndex.append(hero, path)
+    val buffered = GraphIndex.probeCached(spark, path, Q, 10,
+      ef = GraphIndex.GateEf).collect().map(_.getLong(0))
+    assert(buffered.head == 1000000L,
+      "probeCached did not serve the append buffer")
+    // rebuild folds the buffer into the graph and bumps the stamp; only a
+    // REFRESHED resident copy can still serve the hero row
+    GraphIndex.rebuild(spark, path)
+    assert(GraphIndex.version(spark, path) > v0, "rebuild did not bump")
+    val rebuilt = GraphIndex.probeCached(spark, path, Q, 10,
+      ef = GraphIndex.GateEf).collect().map(_.getLong(0))
+    assert(rebuilt.head == 1000000L,
+      "stale resident graph served after rebuild-in-place")
+  }
+
   test("recall floors at 20k vectors: uniform + perturbed, scan bounded") {
     // measured (seed-123 corpus, seed-42 uniform queries, defaults
     // m=24/mMax=48/efC=96/alpha=1.2, parts=4): ef=48 recall@10 0.968 at
