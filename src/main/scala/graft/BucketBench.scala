@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-layout experiment for the sf1 relational tail (VERDICT r10
+  * #2): the gate bench reads the driver's flat parquet, so its joins and
+  * windows pay a full fact-table exchange that a production warehouse
+  * would have paid ONCE at write time by bucketing fact tables on their
+  * dominant keys (`sources/Layout.writeBucketed`; BucketedJoinSpec proves
+  * the exchange-free plans). This main MEASURES that lever on the actual
+  * tail queries at sf1: each query runs best-of-3 over (a) the flat
+  * store and (b) bucketed tables, same session, same plan program
+  * (`Relational.q5Plan`/`q7Plan`/`smallQtyPlan`/`aboveAvgPlan` — the
+  * layout is the only variable). Exchange counts from the executed plans
+  * are printed alongside so the mechanism, not just the time, is visible.
+  *
+  * Usage: `sbt "runMain graft.BucketBench"`.
+  * Env: SPARK_GRAFT_SF_DIR (default target/sf1 — run `graft.ScaleGen`
+  * first), SPARK_GRAFT_CPUS (default 32). One JSON line per (query,
+  * layout) to stdout; SCALE.md records the table.
+  */
+object BucketBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", "target/bucketbench/warehouse")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => DataFrame): (Double, Int) = {
+      var exchanges = 0
+      val secs = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = f
+        df.write.format("noop").mode("overwrite").save()
+        exchanges = df.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange"))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (secs, exchanges)
+    }
+
+    // the bucketed warehouse: each fact table bucketed on the key its
+    // query family joins/windows on (a real deployment picks ONE key per
+    // table — the two lineitem layouts here measure both families)
+    val buckets = 32
+    println(s"[bucketbench] writing bucketed tables from $sfDir")
+    graft.sources.Layout.writeBucketed(
+      Tables.lineitem(spark, sfDir), "lineitem_bok", "l_orderkey", buckets)
+    graft.sources.Layout.writeBucketed(
+      Tables.orders(spark, sfDir), "orders_bok", "o_orderkey", buckets)
+    graft.sources.Layout.writeBucketed(
+      Tables.orders(spark, sfDir), "orders_bck", "o_custkey", buckets)
+    graft.sources.Layout.writeBucketed(
+      Tables.lineitem(spark, sfDir), "lineitem_bpk", "l_partkey", buckets)
+
+    val legs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q5_join",
+        () => graft.queries.Relational.q5Plan(
+          Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+          Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+          Tables.nation(spark, sfDir), Tables.region(spark, sfDir)),
+        () => graft.queries.Relational.q5Plan(
+          spark.table("lineitem_bok"), spark.table("orders_bok"),
+          Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+          Tables.nation(spark, sfDir), Tables.region(spark, sfDir))),
+      ("q7_flow",
+        () => graft.queries.Relational.q7Plan(
+          Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+          Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+          Tables.nation(spark, sfDir)),
+        () => graft.queries.Relational.q7Plan(
+          spark.table("lineitem_bok"), spark.table("orders_bok"),
+          Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+          Tables.nation(spark, sfDir))),
+      ("above_avg_orders",
+        () => graft.queries.Relational.aboveAvgPlan(spark,
+          Tables.orders(spark, sfDir)),
+        () => graft.queries.Relational.aboveAvgPlan(spark,
+          spark.table("orders_bck"))),
+      ("small_qty_revenue",
+        () => graft.queries.Relational.smallQtyPlan(
+          Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir)),
+        () => graft.queries.Relational.smallQtyPlan(
+          spark.table("lineitem_bpk"), Tables.part(spark, sfDir))))
+
+    legs.foreach { case (name, plain, bucketed) =>
+      // correctness first: the bucketed layout must not change a row
+      val a = plain().collect().map(_.toString)
+      val b = bucketed().collect().map(_.toString)
+      require(a.sameElements(b), s"$name: bucketed result diverged")
+      val (tp, ep) = time(plain())
+      val (tb, eb) = time(bucketed())
+      println(f"""[bucketbench] {"query":"$name","plain_sec":$tp%.2f,""" +
+        f""""bucketed_sec":$tb%.2f,"plain_exchanges":$ep,""" +
+        f""""bucketed_exchanges":$eb}""")
+    }
+    spark.stop()
+  }
+}

@@ -36,6 +36,9 @@ object ServeBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
     val durationSec = if (args.length > 1) args(1).toInt else 20
+    // iterate on the big-store phase alone (skips warehouse setup + the
+    // concurrency levels): SPARK_GRAFT_SERVE_BIG_ONLY=1
+    val bigOnly = sys.env.get("SPARK_GRAFT_SERVE_BIG_ONLY").contains("1")
     val root = "target/servebench"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -52,6 +55,7 @@ object ServeBench {
     val resultsPath = Paths.get(s"$root/results.jsonl")
 
     // ---- warehouse setup: generate, ingest, analyze into Tier-2 ----
+    if (!bigOnly) {
     val work = Files.createTempDirectory("servebench").toString
     val via = new Via(spark, work)
     val base = 1700000000L
@@ -148,6 +152,65 @@ object ServeBench {
 
     Seq(1, 4, 8, 16).foreach(runLevel(_, withAnalysis = false))
     runLevel(8, withAnalysis = true)
+    }
+
+    // ---- big-store phase (VERDICT r10 #1/#4): the promoted store the
+    // reference claims for "terabytes of daily volume" — a Tier-2 too
+    // big to exact-scan per call. Three serving modes over the SAME
+    // 150k-row store: exact scan per call (old behavior), exact over the
+    // pinned in-memory snapshot, and the graph ANN path over the pinned
+    // snapshot (candidates from GraphIndex.probeCached, exact rescoring).
+    val nBig = if (args.length > 2) args(2).toInt else 150000
+    val work2 = Files.createTempDirectory("servebench-big").toString
+    import org.apache.spark.sql.functions.col
+    graft.GraftFunctions.register(spark)
+    spark.range(nBig).selectExpr(
+      "concat('h', id) as rhythm_hash",
+      "if(id % 2 = 0, 'novelty', 'frequency') as anomaly_type",
+      "concat('count=', 5 + id % 10) as anomaly_context",
+      "concat('svc', id % 8) as service",
+      "if(id % 5 = 0, 'ERROR', 'INFO') as severity",
+      "concat('op ', id % 400, ' failed with code ', id % 7, ' for user ', id) as body",
+      "cast(5 + id % 10 as bigint) as count",
+      "1700000000 + id * 6 as start_ts",
+      "1700000005 + id * 6 as end_ts")
+      .withColumn("dense", graft.GraftFunctions.embedText(col("body")))
+      .withColumn("dt", graft.analysis.DtPrune.dtOf(col("start_ts")))
+      .write.mode("overwrite").partitionBy("dt").parquet(s"$work2/tier2")
+    val viaExactCold = new Via(spark, work2, graphServeThreshold = Long.MaxValue)
+    val viaExactPin = new Via(spark, work2, graphServeThreshold = Long.MaxValue)
+    val viaGraphPin = new Via(spark, work2, graphServeThreshold = 1L)
+    println(s"[servebench] big store: $nBig rows; building graph index")
+    val tIdx = System.nanoTime()
+    viaGraphPin.buildGraphIndex(numParts = 16)
+    println(f"[servebench] graph build: ${(System.nanoTime() - tIdx) / 1e9}%.1f s")
+    viaExactPin.pinServing(); viaGraphPin.pinServing()
+    val nowBig = 1700000000L + nBig * 6L
+    val posBig = Seq("h3", "h1003"); val negBig = Seq("h40")
+    def callBig(via: Via, verb: String): Unit = verb match {
+      case "clusters" =>
+        via.clusters(nowBig, textFilter = Some("failed user")).collect()
+      case "triage" => via.triage(posBig, negBig).collect()
+    }
+    val modes = Seq("exact_cold" -> viaExactCold, "exact_pinned" -> viaExactPin,
+      "graph_pinned" -> viaGraphPin)
+    def pctL(xs: Seq[Long], p: Double): Double =
+      if (xs.isEmpty) 0.0
+      else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt)) / 1000.0
+    for ((mode, via) <- modes; verb <- Seq("clusters", "triage")) {
+      (1 to 3).foreach(_ => callBig(via, verb)) // warm codegen + caches
+      val lats = (1 to 15).map { _ =>
+        val t0 = System.nanoTime()
+        callBig(via, verb)
+        (System.nanoTime() - t0) / 1000
+      }
+      val line =
+        f"""{"leg":"serve_big","mode":"$mode","verb":"$verb","rows":$nBig,""" +
+        f""""p50_ms":${pctL(lats, 0.5)}%.1f,"p95_ms":${pctL(lats, 0.95)}%.1f}"""
+      println(s"[servebench] $line")
+      Files.writeString(resultsPath, line + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
     spark.stop()
   }
 }

@@ -120,41 +120,52 @@ object Relational {
       LIMIT 20
     """))
 
+  /** The q5 plan over explicit relations — the same DataFrame program the
+    * gate row runs; `BucketBench` reruns it over bucketed tables (the
+    * layout, not the plan, is the experiment's variable). */
+  private[graft] def q5Plan(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame,
+      supplier: org.apache.spark.sql.DataFrame,
+      nation: org.apache.spark.sql.DataFrame,
+      region: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // region -> nation are fixed-size dims (joined into customer below);
+    // only orders⋈lineitem and the customer join shuffle.
+    val dims = nation
+      .join(region.filter(col("r_name").isin("ASIA", "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    val cust = customer
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    // customer AND supplier are SF-proportional: no forced broadcast on
+    // either (a hint is a promise the side fits in executor memory at ANY
+    // scale — supplier is 10× smaller than customer at TPC-H ratios but
+    // still grows linearly, so at warehouse scale the hint is an OOM
+    // risk). AQE broadcasts whichever side is under the threshold at
+    // runtime; only the fixed-size nation/region dims (folded into
+    // `cust` via `dims`) are hint-eligible.
+    lineitem
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(cents(microsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   private val q5Join = QueryDef(
     "q5_join",
-    (s, dir) => {
-      import s.implicits._
-      // region -> nation are fixed-size dims (joined into customer below);
-      // only orders⋈lineitem and the customer join shuffle.
-      val dims = Tables.nation(s, dir)
-        .join(Tables.region(s, dir).filter($"r_name".isin("ASIA", "EUROPE")),
-          $"n_regionkey" === $"r_regionkey")
-      val cust = Tables.customer(s, dir)
-        .join(dims, $"c_nationkey" === $"n_nationkey")
-        .select($"c_custkey", $"c_nationkey", $"n_name")
-      val supp = Tables.supplier(s, dir)
-        .select($"s_suppkey", $"s_nationkey")
-      val ord = Tables.orders(s, dir)
-        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
-          $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
-      // customer AND supplier are SF-proportional: no forced broadcast on
-      // either (a hint is a promise the side fits in executor memory at ANY
-      // scale — supplier is 10× smaller than customer at TPC-H ratios but
-      // still grows linearly, so at warehouse scale the hint is an OOM
-      // risk). AQE broadcasts whichever side is under the threshold at
-      // runtime; only the fixed-size nation/region dims (folded into
-      // `cust` via `dims`) are hint-eligible.
-      Tables.lineitem(s, dir)
-        .join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(cust, $"o_custkey" === $"c_custkey")
-        .join(supp,
-          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-        .groupBy($"n_name")
-        .agg(cents(microsSum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
-          .as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy($"revenue".desc, $"n_name")
-    },
+    (s, dir) => q5Plan(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.supplier(s, dir),
+      Tables.nation(s, dir), Tables.region(s, dir)),
     Some("""
       SELECT n_name,
         floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) + 5000 AS DOUBLE) / 10000.0) / 100.0 AS revenue,
@@ -184,32 +195,39 @@ object Relational {
     * columns, never a join condition that could degrade to a product. */
   val Q7Nations: Seq[String] = Seq("NATION_3", "NATION_7", "NATION_12")
 
+  /** The q7 plan over explicit relations (see [[q5Plan]]'s rationale). */
+  private[graft] def q7Plan(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame,
+      supplier: org.apache.spark.sql.DataFrame,
+      nation: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val supp = supplier
+      .join(nation.filter(col("n_name").isin(Q7Nations: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(nation.filter(col("n_name").isin(Q7Nations: _*)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(cents(microsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   private val q7Flow = QueryDef(
     "q7_flow",
-    (s, dir) => {
-      import s.implicits._
-      val supp = Tables.supplier(s, dir)
-        .join(Tables.nation(s, dir).filter($"n_name".isin(Q7Nations: _*)),
-          $"s_nationkey" === $"n_nationkey")
-        .select($"s_suppkey", $"n_name".as("supp_nation"))
-      val cust = Tables.customer(s, dir)
-        .join(Tables.nation(s, dir).filter($"n_name".isin(Q7Nations: _*)),
-          $"c_nationkey" === $"n_nationkey")
-        .select($"c_custkey", $"n_name".as("cust_nation"))
-      Tables.lineitem(s, dir)
-        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
-          $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz"))
-        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-        .join(supp, $"l_suppkey" === $"s_suppkey")
-        .join(cust, $"o_custkey" === $"c_custkey")
-        .filter($"supp_nation" =!= $"cust_nation")
-        .groupBy($"supp_nation", $"cust_nation",
-          year($"l_shipdate").cast("long").as("l_year"))
-        .agg(cents(microsSum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
-          .as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy($"supp_nation", $"cust_nation", $"l_year")
-    },
+    (s, dir) => q7Plan(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir)),
     Some(s"""
       SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -240,29 +258,36 @@ object Relational {
     * above-average test scaled by the customer's order count), so the
     * filter, ordering and output hash-compare exactly — no double
     * average anywhere. */
+  /** The decorrelation plan over an explicit orders relation (see
+    * [[q5Plan]]'s rationale — `BucketBench` reruns it over an
+    * o_custkey-bucketed table, where BOTH sides of Catalyst's rewritten
+    * aggregate+join land exchange-free). */
+  private[graft] def aboveAvgPlan(s: org.apache.spark.sql.SparkSession,
+      orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    orders.createOrReplaceTempView("orders_v")
+    s.sql("""
+      WITH oc AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders_v)
+      SELECT o_orderkey, o_custkey,
+        cents / 100.0D AS price, margin
+      FROM (
+        SELECT o.*,
+          (SELECT count(*) FROM oc i WHERE i.o_custkey = o.o_custkey)
+            * o.cents
+          - (SELECT sum(cents) FROM oc i WHERE i.o_custkey = o.o_custkey)
+            AS margin
+        FROM oc o)
+      WHERE margin > 0
+      ORDER BY margin DESC, o_orderkey
+      LIMIT 50
+    """)
+  }
+
   private val aboveAvgOrders = QueryDef(
     "above_avg_orders",
-    (s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
-      s.sql("""
-        WITH oc AS (
-          SELECT o_orderkey, o_custkey,
-            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-          FROM orders_v)
-        SELECT o_orderkey, o_custkey,
-          cents / 100.0D AS price, margin
-        FROM (
-          SELECT o.*,
-            (SELECT count(*) FROM oc i WHERE i.o_custkey = o.o_custkey)
-              * o.cents
-            - (SELECT sum(cents) FROM oc i WHERE i.o_custkey = o.o_custkey)
-              AS margin
-          FROM oc o)
-        WHERE margin > 0
-        ORDER BY margin DESC, o_orderkey
-        LIMIT 50
-      """)
-    },
+    (s, dir) => aboveAvgPlan(s, Tables.orders(s, dir)),
     Some("""
       WITH oc AS (
         SELECT o_orderkey, o_custkey,
@@ -299,24 +324,29 @@ object Relational {
     * over exact integers (quantities are integral-valued), so no
     * engine's division order can flip a boundary row. Money rides the
     * exact integer-micros accumulation. */
+  /** The small-qty plan over explicit relations (see [[q5Plan]]'s
+    * rationale — `BucketBench` reruns it over an l_partkey-bucketed
+    * lineitem, where the window's clustering exchange disappears). */
+  private[graft] def smallQtyPlan(lineitem: org.apache.spark.sql.DataFrame,
+      part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qtyL = col("l_quantity").cast("long")
+    val wp = Window.partitionBy(col("l_partkey"))
+    lineitem
+      .select(col("l_partkey"), qtyL.as("qty"), col("l_extendedprice"))
+      .withColumn("cnt_p", count(lit(1)).over(wp))
+      .withColumn("sumq_p", sum(col("qty")).over(wp))
+      .filter(lit(5L) * col("qty") * col("cnt_p") < col("sumq_p"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        cents(microsSum(col("l_extendedprice"))).as("small_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   private val smallQtyRevenue = QueryDef(
     "small_qty_revenue",
-    (s, dir) => {
-      import s.implicits._
-      val qtyL = $"l_quantity".cast("long")
-      val wp = Window.partitionBy($"l_partkey")
-      Tables.lineitem(s, dir)
-        .select($"l_partkey", qtyL.as("qty"), $"l_extendedprice")
-        .withColumn("cnt_p", count(lit(1)).over(wp))
-        .withColumn("sumq_p", sum($"qty").over(wp))
-        .filter(lit(5L) * $"qty" * $"cnt_p" < $"sumq_p")
-        .join(Tables.part(s, dir).select($"p_partkey", $"p_brand"),
-          $"l_partkey" === $"p_partkey")
-        .groupBy($"p_brand")
-        .agg(count(lit(1)).as("n_small"),
-          cents(microsSum($"l_extendedprice")).as("small_revenue"))
-        .orderBy($"p_brand")
-    },
+    (s, dir) => smallQtyPlan(Tables.lineitem(s, dir), Tables.part(s, dir)),
     Some("""
       WITH stats AS (
         SELECT l_partkey, count(*) AS cnt_p,

@@ -37,9 +37,23 @@ object ClusterSearch {
       startTs: Option[Long] = None,
       endTs: Option[Long] = None,
       textFilter: Option[String] = None,
-      limit: Int = GroupLimit): DataFrame = {
-    GraftFunctions.register(tier2.sparkSession)
-    val ranged = tier2
+      limit: Int = GroupLimit): DataFrame =
+    clustersPipeline(tier2, rules, nowSec, startTs, endTs, textFilter, limit)
+
+  /** The exact clusters pipeline over an arbitrary Tier-2-shaped
+    * relation — shared verbatim by the exact verb (rel = whole store)
+    * and the graph-accelerated verb (rel = candidate rows), so the two
+    * paths cannot diverge in filtering, scoring, or ordering. */
+  private def clustersPipeline(
+      rel: DataFrame,
+      rules: Option[Rules],
+      nowSec: Long,
+      startTs: Option[Long],
+      endTs: Option[Long],
+      textFilter: Option[String],
+      limit: Int): DataFrame = {
+    GraftFunctions.register(rel.sparkSession)
+    val ranged = rel
       .filter(startTs.map(col("start_ts") >= _).getOrElse(lit(true)))
       .filter(endTs.map(col("start_ts") <= _).getOrElse(lit(true)))
     val filtered = textFilter.fold(ranged)(f => ranged.filter(matchText(col("body"), f)))
@@ -68,31 +82,209 @@ object ClusterSearch {
       negativeHashes: Seq[String],
       limit: Int = TriageLimit): DataFrame = {
     import tier2.sparkSession.implicits._
+    val q = exampleVector(tier2, positiveHashes, negativeHashes)
+    triageRank(tier2.crossJoin(broadcast(q)), $"qv",
+      positiveHashes ++ negativeHashes, limit)
+  }
+
+  /** The `avg(pos) + (avg(pos) - avg(neg))` recommend vector as a 1-row
+    * relation (column `qv`). Both example averages fold in ONE tier2
+    * scan (avg ignores the NULLs the `when` leaves on the other side) —
+    * a serving call pays two jobs (broadcast + main scan), not three;
+    * ServeBench showed the per-job floor, not the math, dominates triage
+    * latency. */
+  private def exampleVector(
+      tier2: DataFrame,
+      positiveHashes: Seq[String],
+      negativeHashes: Seq[String]): DataFrame = {
+    import tier2.sparkSession.implicits._
     val dim = graft.functions.EmbedText.Dim
     import graft.functions.VectorFunctions.avgVector
-    // both example averages fold in ONE tier2 scan (avg ignores the
-    // NULLs the `when` leaves on the other side) — a serving call pays
-    // two jobs (broadcast + main scan), not three; ServeBench showed the
-    // per-job floor, not the math, dominates triage latency
-    val q =
-      if (negativeHashes.isEmpty)
-        tier2.filter($"rhythm_hash".isin(positiveHashes: _*))
-          .agg(avgVector($"dense", dim).as("qv"))
-      else tier2
-        .filter($"rhythm_hash".isin(positiveHashes ++ negativeHashes: _*))
-        .agg(
-          avgVector(when($"rhythm_hash".isin(positiveHashes: _*), $"dense"),
-            dim).as("pv"),
-          avgVector(when($"rhythm_hash".isin(negativeHashes: _*), $"dense"),
-            dim).as("nv"))
-        .select(zip_with($"pv", $"nv", (p, n) => p * 2.0 - n).as("qv"))
-    tier2
-      .filter(!$"rhythm_hash".isin((positiveHashes ++ negativeHashes): _*))
-      .crossJoin(broadcast(q))
-      .withColumn("score", round(cosine($"dense", $"qv"), 6))
-      .orderBy($"score".desc, $"rhythm_hash")
+    if (negativeHashes.isEmpty)
+      tier2.filter($"rhythm_hash".isin(positiveHashes: _*))
+        .agg(avgVector($"dense", dim).as("qv"))
+    else tier2
+      .filter($"rhythm_hash".isin(positiveHashes ++ negativeHashes: _*))
+      .agg(
+        avgVector(when($"rhythm_hash".isin(positiveHashes: _*), $"dense"),
+          dim).as("pv"),
+        avgVector(when($"rhythm_hash".isin(negativeHashes: _*), $"dense"),
+          dim).as("nv"))
+      .select(zip_with($"pv", $"nv", (p, n) => p * 2.0 - n).as("qv"))
+  }
+
+  /** The exact triage rank/score/project stage over an arbitrary
+    * Tier-2-shaped relation carrying the query vector as `qvCol` —
+    * shared by the exact verb (whole store × broadcast qv) and the
+    * graph-accelerated verb (candidate rows × collected qv), so the two
+    * paths score and order identically by construction. */
+  private def triageRank(rel: DataFrame, qvCol: org.apache.spark.sql.Column,
+      excludeHashes: Seq[String], limit: Int): DataFrame =
+    rel.filter(!col("rhythm_hash").isin(excludeHashes: _*))
+      .withColumn("score", round(cosine(col("dense"), qvCol), 6))
+      .orderBy(col("score").desc, col("rhythm_hash"))
       .limit(limit)
       .select("rhythm_hash", "anomaly_type", "service", "severity", "body",
         "count", "start_ts", "score")
+
+  // -------------------------------------------------------------------
+  // Graph-accelerated serving (VERDICT r10 #1): candidates come from a
+  // beam walk over the persisted Tier-2 graph index
+  // (GraphIndex.probeCached — executor-resident, ~10% of nodes visited
+  // at 100k+ vectors) instead of an exact corpus scan; payload and
+  // scores come from joining the bounded candidate set back to Tier-2
+  // and running the SAME pipeline stages as the exact verbs. This
+  // mirrors the reference, which serves every Tier-2 query through
+  // Qdrant's HNSW (`qdrant_service.py:73-95`) — including its
+  // approximation: a filtered search can miss a row whose score is
+  // below the unfiltered candidate cutoff. Unlike the reference, a
+  // SHORTFALL (result rows under the requested limit) falls back to the
+  // exact scan, so the approximation can only ever trim an over-full
+  // result, never return an under-filled one.
+  // -------------------------------------------------------------------
+
+  /** Candidate multiple of `limit` fetched from the graph walk; the
+    * slack absorbs filtering, rule suppression, and per-hash collapse. */
+  val CandidateOversample = 4
+  private def candidateKFor(limit: Int): Int = math.max(limit * CandidateOversample, 256)
+  /** Beam width sized so ~NumParts sub-graphs can fill candidateK. */
+  private def serveEf(candidateK: Int): Int =
+    math.max(GraphIndex.EfSearch, candidateK / GraphIndex.NumParts + 32)
+
+  /** Graph-accelerated [[clusters]] (text-filtered form only — without a
+    * text filter there is no query vector and nothing to probe). */
+  def clustersIndexed(
+      tier2: DataFrame,
+      graphPath: String,
+      rules: Option[Rules],
+      nowSec: Long,
+      startTs: Option[Long] = None,
+      endTs: Option[Long] = None,
+      textFilter: String,
+      limit: Int = GroupLimit): DataFrame =
+    clustersIndexedImpl(tier2, graphPath, rules, nowSec, startTs, endTs,
+      textFilter, limit)._1
+
+  /** Returns (result, servedViaGraph) — the flag is false when the
+    * shortfall fallback ran the exact scan instead. */
+  private[graft] def clustersIndexedImpl(
+      tier2: DataFrame,
+      graphPath: String,
+      rules: Option[Rules],
+      nowSec: Long,
+      startTs: Option[Long],
+      endTs: Option[Long],
+      textFilter: String,
+      limit: Int): (DataFrame, Boolean) = {
+    val spark = tier2.sparkSession
+    import spark.implicits._
+    // the same embedding kernel the in-plan expression runs
+    val qv = graft.functions.EmbedText.embedString(textFilter)
+      .map(_.toDouble).toSeq
+    val k = candidateKFor(limit)
+    val cands = GraphIndex.servingCandidates(spark, graphPath, qv, k,
+      serveEf(k)).toDF("__vec_id")
+    val candRows = tier2.withColumn("__vec_id", graft.search.TierIndex.rowKey)
+      .join(broadcast(cands), "__vec_id").drop("__vec_id")
+    val out = clustersPipeline(candRows, rules, nowSec, startTs, endTs,
+      Some(textFilter), limit)
+    val rows = out.collect()
+    if (rows.length < limit)
+      (clustersPipeline(tier2, rules, nowSec, startTs, endTs,
+        Some(textFilter), limit), false)
+    else
+      (spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+        true)
+  }
+
+  /** Graph-accelerated [[triage]]. */
+  def triageIndexed(
+      tier2: DataFrame,
+      graphPath: String,
+      positiveHashes: Seq[String],
+      negativeHashes: Seq[String],
+      limit: Int = TriageLimit): DataFrame =
+    triageIndexedImpl(tier2, graphPath, positiveHashes, negativeHashes,
+      limit)._1
+
+  /** The recommend vector computed WITHOUT the 384-lane Catalyst
+    * aggregate: one exchange-free mapPartitions pass (partial sums per
+    * partition, combined on the driver in partition order). Same math as
+    * [[exampleVector]] — per-element avg over each role's rows, `2p - n`
+    * when negatives exist — value-equal up to float summation order
+    * (absorbed by the 6-dp score rounding). This exists for SERVING:
+    * ServeBench measured ~1 s per-call planning for the wide aggregate
+    * tree; this plan is three nodes. Returns None when the positive side
+    * matched no rows (the degenerate edge the exact verb handles with
+    * NULL propagation). */
+  private[graft] def exampleVectorFast(
+      tier2: DataFrame,
+      positiveHashes: Seq[String],
+      negativeHashes: Seq[String]): Option[Seq[Double]] = {
+    import tier2.sparkSession.implicits._
+    val dim = graft.functions.EmbedText.Dim
+    val posSet = positiveHashes.toSet
+    val negSet = negativeHashes.toSet
+    val partials = tier2
+      .filter(col("rhythm_hash").isin((positiveHashes ++ negativeHashes): _*))
+      .select(col("rhythm_hash"), col("dense").cast("array<double>"))
+      .as[(String, Seq[Double])]
+      .mapPartitions { it =>
+        val ps = new Array[Double](dim); val ns = new Array[Double](dim)
+        var pc = 0L; var nc = 0L
+        it.foreach { case (h, v) =>
+          // null vectors are skipped like the aggregate form's per-element
+          // null handling (promotion never writes them; belt+braces)
+          val arr = if (v == null) Seq.empty[Double] else v
+          if (arr.nonEmpty && posSet(h)) {
+            var i = 0; while (i < dim && i < arr.length) { ps(i) += arr(i); i += 1 }
+            pc += 1
+          }
+          if (arr.nonEmpty && negSet(h)) {
+            var i = 0; while (i < dim && i < arr.length) { ns(i) += arr(i); i += 1 }
+            nc += 1
+          }
+        }
+        Iterator((ps.toSeq, pc, ns.toSeq, nc))
+      }.collect()
+    val ps = new Array[Double](dim); val ns = new Array[Double](dim)
+    var pc = 0L; var nc = 0L
+    partials.foreach { case (p, pcnt, nvec, ncnt) =>
+      var i = 0; while (i < dim) { ps(i) += p(i); ns(i) += nvec(i); i += 1 }
+      pc += pcnt; nc += ncnt
+    }
+    if (pc == 0 || (negativeHashes.nonEmpty && nc == 0)) None
+    else if (nc == 0) Some(ps.map(_ / pc).toSeq)
+    else Some((0 until dim).map(i => 2.0 * ps(i) / pc - ns(i) / nc))
+  }
+
+  /** Returns (result, servedViaGraph). */
+  private[graft] def triageIndexedImpl(
+      tier2: DataFrame,
+      graphPath: String,
+      positiveHashes: Seq[String],
+      negativeHashes: Seq[String],
+      limit: Int): (DataFrame, Boolean) = {
+    val spark = tier2.sparkSession
+    val qvOpt = exampleVectorFast(tier2, positiveHashes, negativeHashes)
+    if (qvOpt.isEmpty)
+      // degenerate examples (absent hashes): keep the exact verb's
+      // semantics for the edge verbatim
+      return (triage(tier2, positiveHashes, negativeHashes, limit), false)
+    val qv = qvOpt.get
+    import spark.implicits._
+    val k = candidateKFor(limit) + positiveHashes.size + negativeHashes.size
+    val cands = GraphIndex.servingCandidates(spark, graphPath, qv, k,
+      serveEf(k)).toDF("__vec_id")
+    val candRows = tier2.withColumn("__vec_id", graft.search.TierIndex.rowKey)
+      .join(broadcast(cands), "__vec_id").drop("__vec_id")
+    val out = triageRank(candRows, typedLit(qv),
+      positiveHashes ++ negativeHashes, limit)
+    val rows = out.collect()
+    if (rows.length < limit)
+      (triage(tier2, positiveHashes, negativeHashes, limit), false)
+    else
+      (spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+        true)
   }
 }

@@ -376,11 +376,47 @@ object GraphIndex {
         col("embedding").cast("array<double>").as("embedding"))
       .write.mode("append").parquet(s"$path/buffer")
 
+  /** Batch-IDEMPOTENT buffer append — the streaming-maintenance write
+    * (the [[AnnIndex.appendBatch]] contract applied to the graph's
+    * buffer segment): the deterministic `batchId` becomes a partition
+    * level under a SEPARATE `buffer-batches/` dir (separate so the plain
+    * un-partitioned `buffer/` files and the partitioned batch dirs never
+    * share one store — Spark's partition discovery rejects mixed
+    * layouts), written with dynamic partition overwrite, so a replay of
+    * batch N rewrites exactly its own `batch_id=N` leaf and doubles
+    * nothing. Probes union both buffer dirs; [[rebuild]] folds and
+    * clears both (do not rebuild while a crashed stream may still replay
+    * a snapshotted batch — the [[AnnIndex.fold]] caveat). */
+  def appendBatch(newVectors: DataFrame, path: String, batchId: Long): Unit =
+    newVectors.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"),
+        lit(batchId).as("batch_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/buffer-batches")
+
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      (s.isFile && !s.getPath.getName.startsWith("_")) ||
+        (s.isDirectory && hasDataFiles(fs, s.getPath)))
+
   private def bufferDf(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/buffer")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p).exists(_.isFile))
-      Some(spark.read.parquet(p.toString)) else None
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val plain = new org.apache.hadoop.fs.Path(s"$path/buffer")
+    val batched = new org.apache.hadoop.fs.Path(s"$path/buffer-batches")
+    val parts = Seq(
+      if (fs.exists(plain) && fs.listStatus(plain).exists(_.isFile))
+        Some(spark.read.parquet(plain.toString)
+          .select(col("vec_id"), col("label"), col("embedding")))
+      else None,
+      if (hasDataFiles(fs, batched))
+        Some(spark.read.parquet(batched.toString)
+          .select(col("vec_id"), col("label"), col("embedding")))
+      else None).flatten
+    parts.reduceOption(_.union(_))
   }
 
   /** Fold the buffer into the sub-graphs: one fresh [[build]] over
@@ -405,30 +441,59 @@ object GraphIndex {
       if (!fs.rename(oldDir, graphDir))
         throw new java.io.IOException(s"rebuild recovery: cannot restore $graphDir")
     fs.delete(oldDir, true); fs.delete(tmpRoot, true)
-    val nodes = spark.read.parquet(graphDir.toString)
-      .select(col("vec_id"), col("label"), col("embedding"))
+    // bootstrap: a stream can append buffer batches to a store that has
+    // never had a build — the first rebuild materializes the graph from
+    // the buffers alone (the from-scratch streaming-maintenance story)
+    val hasGraph = fs.exists(graphDir)
+    val nodes =
+      if (hasGraph)
+        spark.read.parquet(graphDir.toString)
+          .select(col("vec_id"), col("label"), col("embedding"))
+      else {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("vec_id", LongType),
+            StructField("label", IntegerType),
+            StructField("embedding", ArrayType(DoubleType)))))
+      }
     val bufPath = new Path(root, "buffer")
     val bufSnapshot =
       if (fs.exists(bufPath))
         fs.listStatus(bufPath).filter(_.isFile).map(_.getPath).toSeq
       else Seq.empty
-    val all = bufSnapshot match {
-      case Seq() => nodes
-      case files => nodes.union(
-        spark.read.parquet(files.map(_.toString): _*)
+    // streamed batches fold too: snapshot whole batch_id= dirs (each is
+    // one micro-batch's idempotent write — all-or-nothing by the replay
+    // protocol, so dir granularity is the safe unit)
+    val batchedPath = new Path(root, "buffer-batches")
+    val batchSnapshot =
+      if (fs.exists(batchedPath))
+        fs.listStatus(batchedPath).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch_id=")).map(_.getPath).toSeq
+      else Seq.empty
+    val bufParts = Seq(
+      if (bufSnapshot.nonEmpty)
+        Some(spark.read.parquet(bufSnapshot.map(_.toString): _*)
           .select(col("vec_id"), col("label"), col("embedding")))
-    }
+      else None,
+      if (batchSnapshot.nonEmpty)
+        Some(spark.read.parquet(batchSnapshot.map(_.toString): _*)
+          .select(col("vec_id"), col("label"), col("embedding")))
+      else None).flatten
+    if (!hasGraph && bufParts.isEmpty) return // nothing to build from
+    val all = bufParts.foldLeft(nodes)(_.union(_))
     build(all, tmpRoot.toString, numParts, m, mMax, efC, alpha)
-    if (!fs.rename(graphDir, oldDir))
+    if (hasGraph && !fs.rename(graphDir, oldDir))
       throw new java.io.IOException(s"rebuild: cannot swap out $graphDir")
     if (!fs.rename(new Path(tmpRoot, "graph"), graphDir)) {
-      if (!fs.rename(oldDir, graphDir))
+      if (hasGraph && !fs.rename(oldDir, graphDir))
         throw new java.io.IOException(
           s"rebuild: swap-in and restore both failed; graph is in $oldDir " +
             "(next rebuild() recovers)")
-      throw new java.io.IOException(s"rebuild: cannot swap in $graphDir (restored)")
+      throw new java.io.IOException(s"rebuild: cannot swap in $graphDir" +
+        (if (hasGraph) " (restored)" else ""))
     }
     bufSnapshot.foreach(f => fs.delete(f, false))
+    batchSnapshot.foreach(d => fs.delete(d, true))
     fs.delete(oldDir, true); fs.delete(tmpRoot, true)
     bumpVersion(spark, path)
   }
@@ -462,9 +527,122 @@ object GraphIndex {
   // avoids). The version stamp makes rebuild-in-place safe: a probe that
   // sees a newer `_graph.version` drops the stale resident copy and
   // re-caches (GraphIndexSpec pins rebuild → fresh results).
-  private final case class Resident(version: Long, graph: DataFrame)
+  private final case class Resident(version: Long, graph: DataFrame,
+      count: Long)
   private val resident =
     new java.util.concurrent.ConcurrentHashMap[String, Resident]()
+
+  private def residentFor(spark: SparkSession, path: String): Resident = {
+    val v = version(spark, path)
+    resident.compute(path, (p, old) =>
+      if (old != null && old.version == v) old
+      else {
+        if (old != null) {
+          old.graph.unpersist()
+          dropDecoded(p)
+        }
+        // cached POST-shuffle: the walk's repartition-by-part runs once
+        // at materialization; every later probe iterates the cached
+        // partitions with no exchange (and, via the decoded-segment
+        // cache below, without even deserializing rows)
+        val g = spark.read.parquet(s"$p/graph")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("nbrs"), col("part"))
+          .repartition(col("part")).cache()
+        Resident(v, g, g.count())
+      })
+  }
+
+  // ---------------------------------------------------------------------
+  // Decoded-segment serving cache (the Qdrant/Lucene "open searcher"):
+  // a probe over the resident RELATION still deserializes every row and
+  // rescans per call — fine for batch gate rows, but ServeBench measured
+  // it dominating serving p50 (~2 s/call at 150k×384-d). Sub-graphs are
+  // therefore decoded ONCE per (path, version, partition) into plain
+  // arrays held executor-locally; later probes walk the arrays and never
+  // consume the row iterator (Spark's cached scan materializes nothing
+  // that is not consumed). Keyed by partition id — stable because the
+  // resident relation's hash partitioning is deterministic and cached.
+  // Version changes drop a path's entries (driver side mirrors this via
+  // dropDecoded; executors key by version, so stale entries are simply
+  // never hit again and are evicted by key replacement).
+  // ---------------------------------------------------------------------
+
+  private final class SubGraph(val vecs: Array[Array[Double]],
+      val norms: Array[Double], val ids: Array[Long],
+      val adj: Array[Array[Int]])
+  private final class DecodedPart(val subs: Array[SubGraph])
+  // keyed by (path, partitionId); the VALUE carries the version, so a
+  // rebuild's first probe REPLACES each stale entry instead of leaving
+  // it stranded under a dead key (no unbounded growth across rebuilds)
+  private val decoded = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (Long, DecodedPart)]()
+
+  private def dropDecoded(path: String): Unit = {
+    val it = decoded.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == path) it.remove()
+  }
+
+  private def decodePart(it: Iterator[GNode]): DecodedPart =
+    new DecodedPart(it.toSeq.groupBy(_.part).valuesIterator.map { rows =>
+      val sorted = rows.sortBy(_.vec_id).toArray
+      val vecs = sorted.map(_.embedding.toArray)
+      val norms = vecs.map(norm)
+      val ids = sorted.map(_.vec_id)
+      val pos = ids.zipWithIndex.toMap
+      val adj = sorted.map(_.nbrs.flatMap(pos.get).toArray)
+      new SubGraph(vecs, norms, ids, adj)
+    }.toArray)
+
+  /** Serving-path candidate generation: top-`k` (vec_id, walk-score)
+    * candidates for `q` from the decoded resident segments, buffer rows
+    * appended unconditionally (they are exact candidates by
+    * construction). One job; after the first probe per (path, version)
+    * the per-call work is the beam walks themselves — no shuffle, no
+    * row deserialization, no rescoring join. Scores here are the walk's
+    * full-vector cosine (candidate selection only — callers re-score
+    * candidates with their own exact expressions). */
+  def servingCandidates(spark: SparkSession, path: String,
+      q: Seq[Double], k: Int, ef: Int = EfSearch): Seq[Long] = {
+    import spark.implicits._
+    val res = residentFor(spark, path)
+    val v = res.version
+    val qA = q.toArray; val qn = norm(qA)
+    val hits = res.graph.as[GNode].mapPartitions { it =>
+      val key = (path, org.apache.spark.TaskContext.getPartitionId())
+      val cur = decoded.get(key)
+      val d =
+        if (cur != null && cur._1 == v) cur._2
+        else { val nd = decodePart(it); decoded.put(key, (v, nd)); nd }
+      d.subs.iterator.flatMap { sg =>
+        val (top, _) = beamSearchMulti(sg.vecs, sg.norms, sg.ids, sg.adj,
+          qA, qn, ef, entryPoints(sg.ids.length))
+        top.iterator.map(i => (sg.ids(i),
+          1.0 - cosDist(sg.vecs(i), sg.norms(i), qA, qn)))
+      }
+    }.collect()
+    val topK = hits.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    val bufIds = bufferDf(spark, path) match {
+      case None => Array.empty[Long]
+      case Some(b) => b.select(col("vec_id")).as[Long].collect()
+    }
+    (topK ++ bufIds).distinct.toSeq
+  }
+
+  /** Node count of the persisted graph at `path` (buffer excluded), or
+    * None when no graph has been built there yet. Serving callers use
+    * this as the corpus-size gate; the count rides the resident cache,
+    * so repeated calls are map lookups plus one tiny version-file read. */
+  def nodeCount(spark: SparkSession, path: String): Option[Long] = {
+    val g = new org.apache.hadoop.fs.Path(s"$path/graph")
+    val fs = g.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(g)) None else Some(residentFor(spark, path).count)
+  }
+
+  /** Rows sitting in the exact-scored buffer segments awaiting a
+    * [[rebuild]] fold (0 when empty) — the maintenance-policy signal. */
+  def bufferRows(spark: SparkSession, path: String): Long =
+    bufferDf(spark, path).map(_.count()).getOrElse(0L)
 
   /** [[probe]] against an executor-resident copy of the graph (cached on
     * first use per JVM, re-cached when the stamp a [[build]]/[[rebuild]]
@@ -476,15 +654,7 @@ object GraphIndex {
   def probeCached(spark: SparkSession, path: String,
       q: Seq[Double] = graft.queries.VectorOps.Q,
       k: Int = 10, ef: Int = EfSearch): DataFrame = {
-    val v = version(spark, path)
-    val cur = resident.compute(path, (p, old) =>
-      if (old != null && old.version == v) old
-      else {
-        if (old != null) old.graph.unpersist()
-        val g = spark.read.parquet(s"$p/graph").cache(); g.count()
-        Resident(v, g)
-      })
-    val graph = cur.graph
+    val graph = residentFor(spark, path).graph
     val hits = walk(graph, Seq(0L -> q), ef).select(col("vec_id"))
     bufferDf(spark, path) match {
       case None => scoreHits(graph, hits, q, k)

@@ -1,0 +1,55 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Maps the Tier-2 forensic store onto the [[GraphIndex]] — the bridge
+  * that lets the serving verbs (`Via.clusters` / `Via.triage`) probe the
+  * engine's best-recall ANN leg instead of exact-scanning Tier-2, the
+  * way the reference serves EVERY Tier-2 query through Qdrant's HNSW
+  * (`/root/reference/app/services/qdrant_service.py:73-95`,
+  * `app/services/forensic_analysis_service.py:30-53`).
+  *
+  * Design: the graph is keyed by a 64-bit ROW key (a Tier-2 row is one
+  * promoted (hash, window) cluster — `xxhash64` of its identity
+  * columns), carries no payload beyond the dense vector, and probe hits
+  * join back to Tier-2 to recover payload and be re-scored by the SAME
+  * expressions the exact verbs use — so the graph only ever influences
+  * WHICH rows are candidates, never how they score or order. A key
+  * collision (~2^-64 per pair) merely merges two rows' candidacy; the
+  * join + exact rescore keeps both rows correct.
+  *
+  * Freshness: [[appendBatch]] is wired into the streaming promotion sink
+  * per committed micro-batch (idempotent — replay-safe via the batch_id
+  * leaf), landing fresh clusters in the graph's exact-scored buffer;
+  * `GraphIndex.rebuild` (driven by `Via.maintainIndexes`) periodically
+  * folds the buffer into the sub-graphs.
+  */
+object TierIndex {
+
+  /** Stable identity key of a Tier-2 cluster row. `(rhythm_hash,
+    * anomaly_type, start_ts)` is the rollup's grain: one row per
+    * (hash, type) per analysis window, windows distinguished by their
+    * min event ts. */
+  def rowKey: Column =
+    xxhash64(col("rhythm_hash"), col("anomaly_type"), col("start_ts"))
+
+  /** Graph node rows for a Tier-2 relation (or one freshly promoted
+    * micro-batch): (vec_id, label, embedding). The label slot is unused
+    * — payload comes from the join back to Tier-2. */
+  def nodes(tier2: DataFrame): DataFrame =
+    tier2.select(rowKey.as("vec_id"), lit(0).as("label"),
+      col("dense").cast("array<double>").as("embedding"))
+
+  /** Bulk-build the serving graph over the current Tier-2 store.
+    * `numParts` sizes the sub-graphs (corpus/heap at scale; more parts
+    * also parallelize the build). */
+  def build(tier2: DataFrame, path: String,
+      numParts: Int = GraphIndex.NumParts): Unit =
+    GraphIndex.build(nodes(tier2), path, numParts)
+
+  /** Idempotent per-micro-batch append of freshly promoted clusters
+    * (the streaming-maintenance write; see [[GraphIndex.appendBatch]]). */
+  def appendBatch(promoted: DataFrame, path: String, batchId: Long): Unit =
+    GraphIndex.appendBatch(nodes(promoted), path, batchId)
+}

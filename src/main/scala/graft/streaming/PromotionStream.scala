@@ -77,7 +77,8 @@ object PromotionStream {
       tier2Path: String,
       rules: Option[Rules],
       windowSec: Long,
-      annIndexPath: Option[String] = None): Unit = {
+      annIndexPath: Option[String] = None,
+      graphIndexPath: Option[String] = None): Unit = {
     if (anomalies.isEmpty) return
     val t1 = spark.read.parquet(tier1Path)
     // the distinct closed windows: control-plane sized (bounded by the
@@ -147,6 +148,14 @@ object PromotionStream {
           rpRows = graft.queries.VectorOps.rpRowsFor(
             graft.functions.EmbedText.Dim))
       }
+      // serving graph index (VERDICT r10 #5): freshly promoted clusters
+      // land in the graph's exact-scored buffer through the same
+      // batchId-keyed idempotent write — probe-visible immediately
+      // (probeCached merges the buffer), folded into the sub-graphs by
+      // the Via.maintainIndexes rebuild cadence.
+      graphIndexPath.foreach { p =>
+        graft.search.TierIndex.appendBatch(combined, p, batchId)
+      }
     } finally combined.unpersist()
   }
 
@@ -170,7 +179,8 @@ object PromotionStream {
       thresholds: StatefulDetector.Thresholds = StatefulDetector.Thresholds(),
       triggerMs: Long = 1000,
       stateTtlMs: Option[Long] = Some(StatefulDetector.DefaultStateTtlMs),
-      annIndexPath: Option[String] = None): StreamingQuery = {
+      annIndexPath: Option[String] = None,
+      graphIndexPath: Option[String] = None): StreamingQuery = {
     StatefulDetector.ensureStateVersion(spark, checkpoint)
     val schema = spark.read.parquet(tier1Path).schema
     val logs = spark.readStream.schema(schema).parquet(tier1Path)
@@ -182,7 +192,8 @@ object PromotionStream {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         try promoteBatchIdempotent(batch.sparkSession, batch, batchId,
-          tier1Path, tier2Path, rules, windowSec, annIndexPath)
+          tier1Path, tier2Path, rules, windowSec, annIndexPath,
+          graphIndexPath)
         catch {
           case e: Exception =>
             // reference behavior: log and keep the loop alive (worker.py:32-34)

@@ -1,0 +1,172 @@
+package graft.search
+
+import graft.{GraftFunctions, SparkSpec}
+import graft.api.Via
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The graph-accelerated Tier-2 serving path (VERDICT r10 #1/#5/#6):
+  * indexed clusters/triage must equal the exact verbs row-for-row on the
+  * gate-scale fixture, streamed appends must be probe-visible without a
+  * rebuild, the shortfall fallback must kick in rather than under-fill,
+  * and the maintenance policy verb must run each store's counterweight
+  * exactly when its threshold says so — with probes unchanged. */
+class TierServeSpec extends SparkSpec {
+
+  /** Synthetic Tier-2-shaped store: unique hash per row, bodies with
+    * shared vocabulary so text filters hit many rows, dense = the real
+    * embedding kernel over the body (what promotion writes). */
+  private def tier2Fixture(n: Int, idOffset: Long = 0L): DataFrame =
+    spark.range(n).selectExpr(
+      s"id + $idOffset as id",
+      s"concat('h', id + $idOffset) as rhythm_hash",
+      "if(id % 2 = 0, 'novelty', 'frequency') as anomaly_type",
+      "concat('count=', 5 + id % 10) as anomaly_context",
+      "concat('svc', id % 8) as service",
+      "if(id % 5 = 0, 'ERROR', 'INFO') as severity",
+      s"concat('op ', (id + $idOffset) % 25, ' failed with code ', (id + $idOffset) % 7, ' for user ', id + $idOffset) as body",
+      "cast(5 + id % 10 as bigint) as count",
+      s"1700000000 + (id + $idOffset) * 60 as start_ts",
+      s"1700000050 + (id + $idOffset) * 60 as end_ts")
+      .withColumn("dense", GraftFunctions.embedText(col("body")))
+      .withColumn("dt", graft.analysis.DtPrune.dtOf(col("start_ts")))
+      .drop("id")
+
+  private def rowStrs(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("triageIndexed == triage on the gate fixture (graph-served, no fallback)") {
+    val t2 = tier2Fixture(600).cache(); t2.count()
+    val gpath = java.nio.file.Files.createTempDirectory("tserve").toString + "/g"
+    TierIndex.build(t2, gpath)
+    val pos = Seq("h3", "h17"); val neg = Seq("h40")
+    val exact = rowStrs(ClusterSearch.triage(t2, pos, neg, limit = 10))
+    val (ixDf, served) = ClusterSearch.triageIndexedImpl(t2, gpath, pos, neg,
+      limit = 10)
+    assert(served, "expected the graph path, got the fallback")
+    assert(rowStrs(ixDf) == exact)
+    t2.unpersist()
+  }
+
+  test("clustersIndexed == clusters on the gate fixture (graph-served)") {
+    val t2 = tier2Fixture(600).cache(); t2.count()
+    val gpath = java.nio.file.Files.createTempDirectory("cserve").toString + "/g"
+    TierIndex.build(t2, gpath)
+    val now = 1700000000L + 700 * 60
+    val exact = rowStrs(ClusterSearch.clusters(t2, None, now,
+      textFilter = Some("failed user"), limit = 10))
+    val (ixDf, served) = ClusterSearch.clustersIndexedImpl(t2, gpath, None,
+      now, None, None, textFilter = "failed user", limit = 10)
+    assert(served, "expected the graph path, got the fallback")
+    assert(rowStrs(ixDf) == exact)
+    // with a ts-range on top: the filters ride the shared pipeline
+    val lo = 1700000000L + 100 * 60; val hi = 1700000000L + 500 * 60
+    val exactR = rowStrs(ClusterSearch.clusters(t2, None, now, Some(lo),
+      Some(hi), Some("failed"), limit = 10))
+    val (ixR, servedR) = ClusterSearch.clustersIndexedImpl(t2, gpath, None,
+      now, Some(lo), Some(hi), "failed", limit = 10)
+    assert(servedR && rowStrs(ixR) == exactR)
+    t2.unpersist()
+  }
+
+  test("shortfall falls back to the exact scan, never under-fills") {
+    val t2 = tier2Fixture(40).cache(); t2.count()
+    val gpath = java.nio.file.Files.createTempDirectory("sfall").toString + "/g"
+    TierIndex.build(t2, gpath)
+    // limit > corpus: the indexed path cannot fill it -> exact fallback
+    val (df, served) = ClusterSearch.triageIndexedImpl(t2, gpath,
+      Seq("h1"), Nil, limit = 50)
+    assert(!served, "a 40-row corpus cannot fill limit=50 via the graph")
+    assert(rowStrs(df) == rowStrs(ClusterSearch.triage(t2, Seq("h1"), Nil, 50)))
+    // absent example hashes degrade exactly like the exact verb
+    val (df2, served2) = ClusterSearch.triageIndexedImpl(t2, gpath,
+      Seq("no_such_hash"), Nil, limit = 5)
+    assert(!served2)
+    assert(rowStrs(df2) ==
+      rowStrs(ClusterSearch.triage(t2, Seq("no_such_hash"), Nil, 5)))
+    t2.unpersist()
+  }
+
+  test("streamed appendBatch rows are candidate-visible without a rebuild") {
+    val base = tier2Fixture(600).cache(); base.count()
+    val gpath = java.nio.file.Files.createTempDirectory("tfresh").toString + "/g"
+    TierIndex.build(base, gpath)
+    // fresh batch shares a body with the positive example -> its dense
+    // vector is ~the query vector, so it MUST rank top if visible
+    val fresh = tier2Fixture(20, idOffset = 10000L)
+    TierIndex.appendBatch(fresh, gpath, batchId = 7L)
+    val all = base.unionByName(fresh)
+    val pos = Seq("h3")
+    val exact = rowStrs(ClusterSearch.triage(all, pos, Nil, limit = 10))
+    val (ixDf, served) = ClusterSearch.triageIndexedImpl(all, gpath, pos, Nil,
+      limit = 10)
+    assert(served)
+    assert(rowStrs(ixDf) == exact)
+    // idempotent: replaying the batch doubles nothing
+    TierIndex.appendBatch(fresh, gpath, batchId = 7L)
+    assert(GraphIndex.bufferRows(spark, gpath) == 20L)
+    base.unpersist()
+  }
+
+  test("Via routes through the graph at/above threshold; parity holds") {
+    val wh = java.nio.file.Files.createTempDirectory("viag").toString
+    val t2 = tier2Fixture(600)
+    t2.write.partitionBy("dt").parquet(s"$wh/tier2")
+    val viaExact = new Via(spark, wh) // default threshold: exact path
+    val viaGraph = new Via(spark, wh, graphServeThreshold = 1L)
+    viaGraph.buildGraphIndex()
+    val now = 1700000000L + 700 * 60
+    assert(rowStrs(viaGraph.clusters(now, textFilter = Some("failed user"))) ==
+      rowStrs(viaExact.clusters(now, textFilter = Some("failed user"))))
+    assert(rowStrs(viaGraph.triage(Seq("h3", "h17"), Seq("h40"))) ==
+      rowStrs(viaExact.triage(Seq("h3", "h17"), Seq("h40"))))
+    // no text filter -> no query vector -> both serve the exact plan
+    assert(rowStrs(viaGraph.clusters(now)) == rowStrs(viaExact.clusters(now)))
+  }
+
+  test("maintainIndexes runs each store's counterweight; probes unchanged") {
+    val wh = java.nio.file.Files.createTempDirectory("maint").toString
+    val via = new Via(spark, wh, graphServeThreshold = 1L)
+    // tier2: many small files across two days via repeated appends
+    (0 until 3).foreach { i =>
+      tier2Fixture(200, idOffset = i * 200L).repartition(8)
+        .write.mode("append").partitionBy("dt").parquet(s"$wh/tier2")
+    }
+    // graph index with an oversized buffer (bootstrap-from-stream shape)
+    via.buildGraphIndex()
+    TierIndex.appendBatch(tier2Fixture(200, idOffset = 5000L),
+      via.graphIndexPath, batchId = 0L)
+    // ann index with 6 batch levels
+    val annPath = java.nio.file.Files.createTempDirectory("maintann")
+      .toString + "/idx"
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    AnnIndex.build(emb.filter(col("vec_id") < 300), annPath)
+    (0 until 6).foreach { i =>
+      AnnIndex.appendBatch(emb.filter(col("vec_id") >= 300 + i * 30 &&
+        col("vec_id") < 300 + (i + 1) * 30), annPath, i.toLong)
+    }
+    val annBefore = AnnIndex.probe(spark, annPath).collect().map(_.toString)
+    val graphNodesBefore = GraphIndex.nodeCount(spark, via.graphIndexPath).get
+    val bufBefore = GraphIndex.bufferRows(spark, via.graphIndexPath)
+    assert(bufBefore == 200L)
+
+    val acts = via.maintainIndexes(annIndexPath = Some(annPath),
+      smallFileThreshold = 8L)
+    def actionOf(target: String) = acts.find(_.target == target).get.action
+    assert(actionOf("tier2") == "compact", acts.mkString("; "))
+    assert(actionOf("graphidx") == "rebuild", acts.mkString("; "))
+    assert(actionOf("annidx") == "fold", acts.mkString("; "))
+    // counterweights actually ran: buffer folded in, levels merged,
+    // probes identical
+    assert(GraphIndex.bufferRows(spark, via.graphIndexPath) == 0L)
+    assert(GraphIndex.nodeCount(spark, via.graphIndexPath).get ==
+      graphNodesBefore + 200L)
+    assert(AnnIndex.probe(spark, annPath).collect().map(_.toString)
+      .sameElements(annBefore))
+    assert(spark.read.parquet(s"$wh/tier2").count() == 600L)
+    // a second sweep finds nothing to do
+    val acts2 = via.maintainIndexes(annIndexPath = Some(annPath),
+      smallFileThreshold = 8L)
+    assert(acts2.forall(_.action == "none"), acts2.mkString("; "))
+  }
+}
