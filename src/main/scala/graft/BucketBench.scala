@@ -50,7 +50,16 @@ object BucketBench {
     // the bucketed warehouse: each fact table bucketed on the key its
     // query family joins/windows on (a real deployment picks ONE key per
     // table — the two lineitem layouts here measure both families)
+    // floors-only iteration: SPARK_GRAFT_BUCKET_FLOORS_ONLY=1 skips the
+    // bucketed-table writes and query legs
+    val floorsOnly = sys.env.get("SPARK_GRAFT_BUCKET_FLOORS_ONLY").contains("1")
     val buckets = 32
+    if (!floorsOnly) {
+    // a fresh session's catalog has no memory of a previous run's managed
+    // tables, but their warehouse dirs persist — clear them or saveAsTable
+    // refuses with LOCATION_ALREADY_EXISTS
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File("target/bucketbench/warehouse"))
     println(s"[bucketbench] writing bucketed tables from $sfDir")
     graft.sources.Layout.writeBucketed(
       Tables.lineitem(spark, sfDir), "lineitem_bok", "l_orderkey", buckets)
@@ -102,6 +111,53 @@ object BucketBench {
         f""""bucketed_sec":$tb%.2f,"plain_exchanges":$ep,""" +
         f""""bucketed_exchanges":$eb}""")
     }
+    }
+
+    // ---- engine floor constants (the named denominators for the
+    // SCALE.md decomposition of the rows bucketing cannot help) ----
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    def floor(name: String, f: () => DataFrame): Unit = {
+      val (t, _) = time(f())
+      println(f"""[bucketbench] {"floor":"$name","sec":$t%.2f}""")
+    }
+    // one empty job: scheduler + task launch + noop write commit
+    floor("job", () => spark.range(1).toDF("id"))
+    // one pass over lineitem reading TWO columns, trivial aggregate:
+    // the per-fact-scan cost every percentile/grouping plan pays
+    floor("scan2col_agg", () =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)), max(col("l_extendedprice"))))
+    // the same pass twice (two independent scans in one DAG): the
+    // irreducible floor of any two-phase exact-selection plan
+    floor("scan2col_agg_x2", () => {
+      val a = Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("c1"), max(col("l_extendedprice")).as("m"))
+      val b = Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("c2"))
+      a.join(b, "l_returnflag")
+    })
+    // percentile_stats' middle term: the phase-1 bucket histogram alone
+    // (the 7.5k-group agg over the same 2-column scan)
+    floor("bucket_histogram_agg", () =>
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"),
+          org.apache.spark.sql.functions.shiftright(
+            org.apache.spark.sql.functions.floor(
+              col("l_extendedprice") * 100 + 0.5).cast("long"), 12)
+            .as("bucket"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1))))
+    // grouped_search's denominators: the events scan alone, then scan +
+    // per-row JSON probe (isolates kernel cost from group-agg cost)
+    floor("events_scan_agg", () =>
+      Tables.events(spark, sfDir).groupBy(col("event_type"))
+        .agg(count(lit(1))))
+    floor("events_json_agg", () =>
+      Tables.events(spark, sfDir)
+        .select(graft.GraftFunctions.columnOf(graft.functions.JsonGetExpr(
+          graft.GraftFunctions.exprOf(col("props")), "k")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1))))
     spark.stop()
   }
 }

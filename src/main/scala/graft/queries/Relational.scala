@@ -376,11 +376,22 @@ object Relational {
     "rollup_pricing",
     (s, dir) => {
       import s.implicits._
+      // TWO-LEVEL rollup: the fact aggregates to the (flag, status) grain
+      // FIRST (map-side combined — the q1 cost), and ROLLUP's Expand runs
+      // over that ~6-row relation instead of tripling the 6M-row agg
+      // input (measured: Expand over the fact was ~1 s of the 2.4 s sf1
+      // time). Exactly value-identical: n_rows/micros are long sums
+      // (associative), sum_qty sums integral-valued doubles (exact in
+      // IEEE up to 2^53, so re-association cannot change it).
       Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n0"),
+          sum($"l_quantity").as("q0"),
+          microsSum($"l_extendedprice").as("m0"))
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n_rows"),
-          sum($"l_quantity").as("sum_qty"),
-          cents(microsSum($"l_extendedprice")).as("sum_price"))
+        .agg(sum($"n0").as("n_rows"),
+          sum($"q0").as("sum_qty"),
+          cents(sum($"m0")).as("sum_price"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
     Some("""

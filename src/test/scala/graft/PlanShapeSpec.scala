@@ -200,11 +200,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!optimized.contains("CartesianProduct"))
   }
 
-  test("rollup_pricing is one Expand + one aggregate pass, not one scan per level") {
+  test("rollup_pricing: Expand runs over the aggregated grain, not the fact scan") {
+    // two-level rollup (r11): the fact aggregates to (flag, status) first,
+    // and ROLLUP's Expand triples the ~6-row grain relation instead of the
+    // 6M-row fact (measured ~1 s at sf1). One scan; both exchanges carry
+    // grouping-grain partials only.
     val p = plan("rollup_pricing")
     assert(p.contains("Expand"), s"ROLLUP must plan via Expand:\n${p.take(1200)}")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"all grouping levels must share ONE aggregate exchange:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the grain exchange + the rollup exchange:\n${p.take(1200)}")
+    // below the Expand there must be an aggregate (the grain pass), i.e.
+    // Expand's input is pre-aggregated — the plan string is top-down
+    val afterExpand = p.substring(p.indexOf("Expand"))
+    assert(afterExpand.contains("HashAggregate"),
+      s"Expand must consume the pre-aggregated grain, not the scan:\n${p.take(1200)}")
+    assert("Scan |FileScan".r.findAllIn(p).size <= 1,
+      s"still one fact scan:\n${p.take(1200)}")
   }
 
   test("dup_spans joins on the window fingerprint, islands stay per-doc") {

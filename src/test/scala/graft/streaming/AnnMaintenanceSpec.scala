@@ -82,6 +82,78 @@ class AnnMaintenanceSpec extends SparkSpec {
       s"streamed index diverged from rebuild:\n got=$got\n want=$want")
   }
 
+  test("graph index: streamed batches across a restart == rebuild; no stale serve") {
+    import spark.implicits._
+    import graft.search.{GraphIndex, TierIndex}
+    val tmp = Files.createTempDirectory("graft-graph-maint").toString
+    val base = 1700000000L
+    def writeT1(rows: Seq[(String, Long)]): Unit =
+      rows.zipWithIndex.map { case ((h, ts), i) =>
+        (h, ts, "auth", "INFO", s"evt $i at $ts for $h")
+      }.toDF("rhythm_hash", "ts_sec", "service", "severity", "body")
+        .write.mode("append").parquet(s"$tmp/tier1")
+    def runStream(): Unit = {
+      val q = PromotionStream.start(spark, s"$tmp/tier1", s"$tmp/tier2",
+        s"$tmp/ckpt", rules = None, windowSec = 60,
+        watermarkDelay = "10 seconds", thresholds = th,
+        triggerMs = 100, stateTtlMs = None,
+        graphIndexPath = Some(s"$tmp/graph"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    // the AnnMaintenanceSpec choreography, graph leg: two phases with the
+    // stream KILLED in between
+    writeT1(Seq.tabulate(3)(i => ("h1", base + i)))
+    writeT1(Seq(("close1", base + 75)))
+    runStream()
+    writeT1(Seq.tabulate(8)(i => ("h1", base + 120 + i)))
+    writeT1(Seq(("close2", base + 4000)))
+    runStream()
+    val tier2 = spark.read.parquet(s"$tmp/tier2")
+    assert(tier2.count() >= 2, "both anomaly branches must have promoted")
+    // restart did not double the idempotent buffer batches: exactly one
+    // buffered node per promoted row (the store is buffer-only so far)
+    assert(GraphIndex.bufferRows(spark, s"$tmp/graph") == tier2.count())
+    // maintenance bootstrap: rebuild materializes the graph from the
+    // streamed batches alone, then must equal a from-scratch build
+    GraphIndex.rebuild(spark, s"$tmp/graph")
+    assert(GraphIndex.bufferRows(spark, s"$tmp/graph") == 0L)
+    TierIndex.build(tier2, s"$tmp/graph_rebuild")
+    val q1 = tier2.orderBy("start_ts").select("dense")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    def top(path: String): Seq[(Long, Double)] =
+      GraphIndex.probeCached(spark, path, q1, k = 5, ef = GraphIndex.GateEf)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(top(s"$tmp/graph") == top(s"$tmp/graph_rebuild"),
+      "streamed-then-rebuilt graph diverged from a from-scratch build")
+    // no stale serve through the FULL stack: the resident copy is warm
+    // (probed above); a third streamed phase buffers a NEW hash, which
+    // must be probe-visible immediately, and stay visible after the
+    // rebuild that folds it in (version bump must drop the resident copy)
+    writeT1(Seq.tabulate(5)(i => ("h2", base + 4200 + i)))
+    writeT1(Seq(("close3", base + 8000)))
+    runStream()
+    val h2dense = spark.read.parquet(s"$tmp/tier2")
+      .filter($"rhythm_hash" === "h2").select("dense")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val h2key = spark.read.parquet(s"$tmp/tier2")
+      .filter($"rhythm_hash" === "h2")
+      .select(TierIndex.rowKey).head.getLong(0)
+    assert(top(s"$tmp/graph").nonEmpty) // resident still serves
+    val buffered = GraphIndex.probeCached(spark, s"$tmp/graph", h2dense,
+      k = 3, ef = GraphIndex.GateEf).collect().map(_.getLong(0))
+    assert(buffered.head == h2key,
+      "freshly streamed cluster not probe-visible before rebuild")
+    GraphIndex.rebuild(spark, s"$tmp/graph")
+    val folded = GraphIndex.probeCached(spark, s"$tmp/graph", h2dense,
+      k = 3, ef = GraphIndex.GateEf).collect().map(_.getLong(0))
+    assert(folded.head == h2key,
+      "stale resident copy served after the fold rebuild")
+    // and the serving-candidates path sees the same world
+    val cands = GraphIndex.servingCandidates(spark, s"$tmp/graph", h2dense,
+      k = 3, ef = GraphIndex.GateEf)
+    assert(cands.contains(h2key))
+  }
+
   test("a replayed batch does not duplicate index rows") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-ann-replay").toString
