@@ -21,6 +21,11 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+    // SPARK_GRAFT_COUNT=1: also report output cardinality (for scale
+    // sweeps where the honest metric is rows/sec of OUTPUT, e.g. pair
+    // enumeration)
+    if (sys.env.get("SPARK_GRAFT_COUNT").contains("1"))
+      println(s"[$name] output rows: ${fn(spark, sfDir).count()}")
     (1 to reps).foreach { i =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -81,9 +81,13 @@ object CcCheck {
   def exactMismatch(docs: DataFrame, assign: DataFrame): Long = {
     import docs.sparkSession.implicits._
     val buckets = TextOps.minhashBuckets(docs)
-    val edges = TextOps.pairsFromBuckets(buckets)
-      .as[(Long, Long)].collect()
-    buckets.unpersist()
+    // STREAM the edge list — union-find state is node-sized, but the
+    // edge list is pair-count sized and pair counts grow quadratically
+    // with duplication (215M pairs at the sf10 sweep, where a collect()
+    // was multi-GB of driver tuples); toLocalIterator holds one
+    // partition at a time and the union-find consumes it incrementally
+    val edgeIter = TextOps.pairsFromBuckets(buckets)
+      .as[(Long, Long)].toLocalIterator()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -94,10 +98,12 @@ object CcCheck {
       }
       r
     }
-    edges.foreach { case (u, v) =>
+    while (edgeIter.hasNext) {
+      val (u, v) = edgeIter.next()
       val (ru, rv) = (find(u), find(v))
       if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
     }
+    buckets.unpersist()
     // ground truth label = component min (find() roots at the min because
     // unions always point the larger root at the smaller)
     val got = assign.select($"doc_id", $"cluster_id")

@@ -104,19 +104,40 @@ object CurationOps {
     val pairs = TextOps.pairsFromBuckets(buckets)
     // both directions in ONE pass over the pair relation (a two-branch
     // union would recompute the LSH self-join once per direction),
-    // materialized once — read by every iteration
+    // materialized once — read by every iteration. A plain persist, not
+    // localCheckpoint: edges are PAIR-count sized, and pair counts grow
+    // quadratically with the duplication factor (measured sf10: 430M
+    // edge rows from 500k docs — the checkpoint's non-recomputable
+    // deserialized blocks starved the pair join of execution memory and
+    // OOM'd a 48 GB JVM; the r11 decade sweep's find). A plain persist
+    // keeps lineage, so its blocks are EVICTABLE: memory pressure
+    // degrades to spill-to-disk/recompute instead of failing the job,
+    // while gate-scale corpora keep deserialized in-memory blocks with
+    // zero per-hop decode cost (a SER level measured +150% on the sf1
+    // fixpoint — decode per hop — for no benefit once blocks can evict).
+    // The per-NODE label state below stays localCheckpoint'd — it is
+    // small and its lineage must truncate or the iterative plan grows.
+    // Pre-partitioned on the JOIN KEY: every fixpoint hop joins edges on
+    // src, and an un-partitioned edge relation would re-shuffle all of
+    // them per hop — shuffle files live for the whole job, so an
+    // iterative plan accumulates rounds × edge-sized spill until the
+    // disk fills (measured at sf10: 430M edges × ~4 rounds ran a 72 GB
+    // volume dry). Partitioned once here, each hop's join reuses the
+    // persisted partitioning and only the NODE-sized label relation
+    // crosses the wire per hop.
     val edges = pairs.select(explode(array(
         struct($"a_id".as("src"), $"b_id".as("dst")),
         struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
-      .localCheckpoint()
-    // localCheckpoint is eager: the pair join has materialized into the
-    // edge blocks, so the LSH bucket cache is dead weight from here —
-    // release it now rather than leaking one cached relation per call in
-    // a long-lived session (this is a reusable library entry point)
+      .repartition($"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: one pair-join pass into the blocks
+    // the edge materialization above ran the (observed) bucket relation,
+    // so the cap metrics are final here — get() cannot block; and the
+    // LSH bucket cache is dead weight from here — release it now rather
+    // than leaking one cached relation per call in a long-lived session
+    // (this is a reusable library entry point)
     buckets.unpersist()
-    // the edge checkpoint above materialized the (observed) bucket
-    // relation, so the cap metrics are final here — get() cannot block
     capObs.foreach { o =>
       onCapMetrics(o.get.collect { case (k, v: Long) => k -> v }.toMap)
     }

@@ -75,8 +75,34 @@ object ClusterSearch {
         "severity", "body", "count", "start_ts", "end_ts", "score")
   }
 
-  /** V3/A7 — triage: recommend by positive/negative cluster examples. */
+  /** V3/A7 — triage: recommend by positive/negative cluster examples.
+    * The query vector is computed by [[exampleVectorFast]] (two small
+    * jobs, 3-node plans) and ranked against as ONE array literal: the
+    * previous single-plan form broadcast a 384-lane `avgVector`
+    * aggregate whose per-call Catalyst planning measured ~1 s — more
+    * than the entire scan at serving stores (ServeBench r10). Value
+    * parity with the aggregate form is spec-pinned (TriageParitySpec);
+    * the degenerate no-matching-example edge keeps the aggregate form's
+    * NULL-propagation semantics verbatim. */
   def triage(
+      tier2: DataFrame,
+      positiveHashes: Seq[String],
+      negativeHashes: Seq[String],
+      limit: Int = TriageLimit): DataFrame = {
+    import tier2.sparkSession.implicits._
+    exampleVectorFast(tier2, positiveHashes, negativeHashes) match {
+      case Some(qv) =>
+        triageRank(tier2, typedLit(qv), positiveHashes ++ negativeHashes,
+          limit)
+      case None =>
+        triageViaAggregate(tier2, positiveHashes, negativeHashes, limit)
+    }
+  }
+
+  /** The single-plan aggregate-form triage — the degenerate-edge
+    * implementation and the parity REFERENCE the fast form is spec-pinned
+    * against (TierServeSpec). */
+  private[graft] def triageViaAggregate(
       tier2: DataFrame,
       positiveHashes: Seq[String],
       negativeHashes: Seq[String],

@@ -108,6 +108,24 @@ class TierServeSpec extends SparkSpec {
     base.unpersist()
   }
 
+  test("triage (fast example vector) == the aggregate-form reference") {
+    val t2 = tier2Fixture(300).cache(); t2.count()
+    def strs(df: DataFrame) = rowStrs(df)
+    // pos+neg, pos-only, and a single-row example group
+    for ((pos, neg) <- Seq(
+        (Seq("h3", "h17"), Seq("h40")),
+        (Seq("h5"), Nil),
+        (Seq("h1", "h2", "h9"), Seq("h11", "h12")))) {
+      assert(strs(ClusterSearch.triage(t2, pos, neg, 15)) ==
+        strs(ClusterSearch.triageViaAggregate(t2, pos, neg, 15)),
+        s"fast-vector triage diverged for pos=$pos neg=$neg")
+    }
+    // degenerate: absent positive hash routes to the aggregate form
+    assert(strs(ClusterSearch.triage(t2, Seq("nope"), Nil, 5)) ==
+      strs(ClusterSearch.triageViaAggregate(t2, Seq("nope"), Nil, 5)))
+    t2.unpersist()
+  }
+
   test("Via routes through the graph at/above threshold; parity holds") {
     val wh = java.nio.file.Files.createTempDirectory("viag").toString
     val t2 = tier2Fixture(600)
