@@ -78,8 +78,41 @@ final class Via(spark: SparkSession, warehouse: String,
       .write.mode("append").partitionBy("dt").parquet(tier1Path)
 
   // --- GET /stream/tail (S3) ------------------------------------------
-  def tail(n: Int = 100, filter: Option[String] = None): DataFrame =
-    IngestPipeline.tail(tier1, n, filter)
+  /** Last-n live rows, newest-partition-first: `dt` derives from
+    * `ts_sec`, so every row of an older day precedes every row of a
+    * newer one — the newest partitions holding ≥ n matching rows ARE the
+    * global tail. The scan starts at the newest day and doubles its
+    * window only when the filter leaves it short (selective substring /
+    * sparse store), so a year-long store serves its tail from one or two
+    * day partitions instead of 365 (exactly the DtPrune federation
+    * argument, applied to the one verb that always wants "newest").
+    * Row-identical to the full-scan form (ViaSpec). */
+  def tail(n: Int = 100, filter: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val root = new Path(tier1Path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dts =
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("dt=")).map(_.stripPrefix("dt="))
+          .sorted.reverse.toSeq
+      else Seq.empty
+    val t1 = tier1
+    if (dts.length <= 1 || !t1.columns.contains("dt"))
+      return IngestPipeline.tail(t1, n, filter)
+    var take = 1
+    while (take < dts.length) {
+      val pruned = t1.filter(col("dt").isin(dts.take(take): _*))
+      val res = IngestPipeline.tail(pruned, n, filter)
+      val rows = res.collect()
+      if (rows.length >= n)
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), res.schema)
+      take *= 2
+    }
+    IngestPipeline.tail(t1, n, filter)
+  }
 
   // --- store maintenance (no reference verb — the operational task its
   // daily-collection rollover performs implicitly) -----------------------

@@ -53,6 +53,13 @@ object CurationOps {
     * rather than returning a not-yet-converged labeling. */
   val MaxClusterIters = 25
 
+  /** Edge-relation size below which the fixpoint keeps a checkpointed
+    * in-memory copy (fast hop plans, ~0.5-5 GB of deserialized blocks at
+    * the cap) and above which it stays on the evictable disk-spillable
+    * partitioned form that survives quadratic pair growth (SCALE.md,
+    * sf10 decade). */
+  val EdgeCheckpointMaxRows = 32000000L
+
   /** Connected components over the MinHash-LSH candidate-pair graph via
     * min-label propagation WITH pointer jumping: every document's
     * cluster_id converges to the smallest doc_id reachable through
@@ -125,13 +132,28 @@ object CurationOps {
     // volume dry). Partitioned once here, each hop's join reuses the
     // persisted partitioning and only the NODE-sized label relation
     // crosses the wire per hop.
-    val edges = pairs.select(explode(array(
+    val edgesScale = pairs.select(explode(array(
         struct($"a_id".as("src"), $"b_id".as("dst")),
         struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
       .repartition($"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // eager: one pair-join pass into the blocks
+    val edgeCount = edgesScale.count() // eager: one pair-join pass
+    // ADAPTIVE on the materialized edge count (the true scale variable —
+    // doc count is a bad proxy because pair counts are quadratic in
+    // duplication): small graphs switch to a checkpointed copy of the
+    // already-materialized blocks (one cheap extra pass) whose truncated
+    // lineage and RDD-backed plan give the fast small-scale hop plans
+    // the r10 form had; graphs past the threshold keep the evictable
+    // partitioned form that the sf10 sweep showed is the only one that
+    // SURVIVES (checkpoint blocks OOM'd at any heap, un-partitioned
+    // hops filled the disk with per-round shuffles).
+    val edges =
+      if (edgeCount <= EdgeCheckpointMaxRows) {
+        val e = edgesScale.localCheckpoint()
+        edgesScale.unpersist()
+        e
+      } else edgesScale
     // the edge materialization above ran the (observed) bucket relation,
     // so the cap metrics are final here — get() cannot block; and the
     // LSH bucket cache is dead weight from here — release it now rather

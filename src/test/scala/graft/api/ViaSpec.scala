@@ -79,4 +79,36 @@ class ViaSpec extends SparkSpec {
     assert(via.tail(n = 1000).collect().map(_.toString).sorted
       .sameElements(tailBefore), "compaction changed tail() content")
   }
+
+  test("tail over a multi-day store: partition-pruned == full scan") {
+    import spark.implicits._
+    val via = new Via(spark, Files.createTempDirectory("via-tail").toString)
+    // five days of events, newest day holding plenty and a filter term
+    // that only matches in OLD days (forces the widening loop deep)
+    val day = 86400L
+    val lines = (0 until 5).flatMap { d =>
+      (0 until 40).map { i =>
+        val tag = if (d >= 3) "archivalterm" else "routine"
+        otel("svc", "INFO", now - d * day + i, s"$tag event day$d item $i")
+      }
+    }
+    via.ingestBatch(lines.toDF("value"))
+    val full = graft.streaming.IngestPipeline
+      .tail(spark.read.parquet(via.tier1Path), 100, None)
+      .collect().map(_.toString).sorted
+    assert(via.tail(n = 100).collect().map(_.toString).sorted
+      .sameElements(full), "pruned tail diverged from the full scan")
+    // newest-day-only filter: served from one partition
+    assert(via.tail(n = 10, filter = Some("routine")).count() == 10)
+    // a term absent from the newest days: widening must reach day 3+
+    val deep = via.tail(n = 50, filter = Some("archivalterm"))
+      .collect().map(_.toString).sorted
+    val deepFull = graft.streaming.IngestPipeline
+      .tail(spark.read.parquet(via.tier1Path), 50, Some("archivalterm"))
+      .collect().map(_.toString).sorted
+    assert(deep.sameElements(deepFull))
+    assert(deep.length == 50)
+    // more rows requested than the whole store holds: full fallback
+    assert(via.tail(n = 10000).count() == lines.length)
+  }
 }
