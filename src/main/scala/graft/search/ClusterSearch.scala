@@ -177,6 +177,32 @@ object ClusterSearch {
   private def serveEf(candidateK: Int): Int =
     math.max(GraphIndex.EfSearch, candidateK / GraphIndex.NumParts + 32)
 
+  /** Tier-2-shaped candidate relation for one serving probe: the graph's
+    * top-k hits rebuilt FROM THEIR OWN PAYLOADS — O(k) rows collected
+    * with the walk, zero corpus rejoin (the r11 weak-mark fix; Qdrant's
+    * hit-with-payload model). `dense` is the node embedding cast back to
+    * the store's float type, so downstream scoring is value-identical to
+    * the exact verbs (float→double→float is exact). A store whose nodes
+    * predate the payload column falls back to the r10 recovery shape:
+    * rowKey over the corpus + broadcast semi-join. */
+  private def candidateRows(tier2: DataFrame, graphPath: String,
+      qv: Seq[Double], k: Int): DataFrame = {
+    val spark = tier2.sparkSession
+    import spark.implicits._
+    val hits = GraphIndex.servingHits(spark, graphPath, qv, k, serveEf(k))
+    if (hits.nonEmpty && hits.forall(_.payload != null))
+      spark.createDataset(hits).toDF()
+        .select(from_json(col("payload"), TierIndex.payloadSchema).as("p"),
+          col("embedding").cast("array<float>").as("dense"))
+        .select(TierIndex.PayloadFields.map(f => col(s"p.$f")) :+
+          col("dense"): _*)
+    else {
+      val cands = hits.map(_.vec_id).toDF("__vec_id")
+      tier2.withColumn("__vec_id", TierIndex.rowKey)
+        .join(broadcast(cands), "__vec_id").drop("__vec_id")
+    }
+  }
+
   /** Graph-accelerated [[clusters]] (text-filtered form only — without a
     * text filter there is no query vector and nothing to probe). */
   def clustersIndexed(
@@ -208,10 +234,7 @@ object ClusterSearch {
     val qv = graft.functions.EmbedText.embedString(textFilter)
       .map(_.toDouble).toSeq
     val k = candidateKFor(limit)
-    val cands = GraphIndex.servingCandidates(spark, graphPath, qv, k,
-      serveEf(k)).toDF("__vec_id")
-    val candRows = tier2.withColumn("__vec_id", graft.search.TierIndex.rowKey)
-      .join(broadcast(cands), "__vec_id").drop("__vec_id")
+    val candRows = candidateRows(tier2, graphPath, qv, k)
     val out = clustersPipeline(candRows, rules, nowSec, startTs, endTs,
       Some(textFilter), limit)
     val rows = out.collect()
@@ -300,10 +323,7 @@ object ClusterSearch {
     val qv = qvOpt.get
     import spark.implicits._
     val k = candidateKFor(limit) + positiveHashes.size + negativeHashes.size
-    val cands = GraphIndex.servingCandidates(spark, graphPath, qv, k,
-      serveEf(k)).toDF("__vec_id")
-    val candRows = tier2.withColumn("__vec_id", graft.search.TierIndex.rowKey)
-      .join(broadcast(cands), "__vec_id").drop("__vec_id")
+    val candRows = candidateRows(tier2, graphPath, qv, k)
     val out = triageRank(candRows, typedLit(qv),
       positiveHashes ++ negativeHashes, limit)
     val rows = out.collect()

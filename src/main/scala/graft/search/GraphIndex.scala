@@ -238,13 +238,25 @@ object GraphIndex {
   // ---------------------------------------------------------------------
 
   private[search] final case class InNode(vec_id: Long, label: Int,
-      embedding: Seq[Double], part: Int)
+      embedding: Seq[Double], payload: Option[String], part: Int)
   private[search] final case class GNode(vec_id: Long, label: Int,
-      embedding: Seq[Double], nbrs: Seq[Long], part: Int)
+      embedding: Seq[Double], payload: Option[String], nbrs: Seq[Long],
+      part: Int)
+
+  /** Nodes optionally carry an opaque `payload` string (the Qdrant
+    * point-payload model: a hit returns its payload WITH the score, so
+    * serving never rejoins the corpus to recover what it already walked
+    * past — the r11 O(corpus) candidate→payload recovery fix). Absent on
+    * payload-free callers and pre-payload stores; this pads the column
+    * in so one schema flows everywhere. */
+  private def ensurePayload(df: DataFrame): DataFrame =
+    if (df.columns.contains("payload")) df
+    else df.withColumn("payload", lit(null).cast("string"))
 
   private def withPart(emb: DataFrame, numParts: Int): DataFrame =
-    emb.select(col("vec_id"), col("label"),
+    ensurePayload(emb).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("embedding"),
+      col("payload"),
       pmod(col("vec_id"), lit(numParts.toLong)).cast("int").as("part"))
 
   /** One Spark partition's iterator may carry several `part` groups
@@ -259,7 +271,7 @@ object GraphIndex {
       val adj = buildAdjacency(vecs, norms, ids, m, mMax, efC, alpha)
       sorted.indices.iterator.map { i =>
         GNode(sorted(i).vec_id, sorted(i).label, sorted(i).embedding,
-          adj(i).map(ids(_)).toSeq.sorted, part)
+          sorted(i).payload, adj(i).map(ids(_)).toSeq.sorted, part)
       }
     }
 
@@ -371,8 +383,8 @@ object GraphIndex {
     import spark.implicits._
     val qArr = queries.map { case (qid, v) =>
       (qid, v.toArray, norm(v.toArray)) }.toArray
-    graph.select(col("vec_id"), col("label"), col("embedding"),
-        col("nbrs"), col("part"))
+    ensurePayload(graph).select(col("vec_id"), col("label"),
+        col("embedding"), col("payload"), col("nbrs"), col("part"))
       // REQUIRED, not an optimization: once a part= file outgrows
       // spark.sql.files.maxPartitionBytes the scan splits it at
       // row-group boundaries, and a mapPartitions over the raw read
@@ -415,8 +427,9 @@ object GraphIndex {
 
   /** Append fresh vectors to the exact-scored buffer segment. */
   def append(newVectors: DataFrame, path: String): Unit =
-    newVectors.select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("embedding"))
+    ensurePayload(newVectors).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("payload"))
       .write.mode("append").parquet(s"$path/buffer")
 
   /** Batch-IDEMPOTENT buffer append — the streaming-maintenance write
@@ -431,8 +444,9 @@ object GraphIndex {
     * clears both (do not rebuild while a crashed stream may still replay
     * a snapshotted batch — the [[AnnIndex.fold]] caveat). */
   def appendBatch(newVectors: DataFrame, path: String, batchId: Long): Unit =
-    newVectors.select(col("vec_id"), col("label"),
+    ensurePayload(newVectors).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("embedding"),
+        col("payload"),
         lit(batchId).as("batch_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -452,12 +466,14 @@ object GraphIndex {
     val batched = new org.apache.hadoop.fs.Path(s"$path/buffer-batches")
     val parts = Seq(
       if (fs.exists(plain) && fs.listStatus(plain).exists(_.isFile))
-        Some(spark.read.parquet(plain.toString)
-          .select(col("vec_id"), col("label"), col("embedding")))
+        Some(ensurePayload(spark.read.parquet(plain.toString))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("payload")))
       else None,
       if (hasDataFiles(fs, batched))
-        Some(spark.read.parquet(batched.toString)
-          .select(col("vec_id"), col("label"), col("embedding")))
+        Some(ensurePayload(spark.read.parquet(batched.toString))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("payload")))
       else None).flatten
     parts.reduceOption(_.union(_))
   }
@@ -490,14 +506,16 @@ object GraphIndex {
     val hasGraph = fs.exists(graphDir)
     val nodes =
       if (hasGraph)
-        spark.read.parquet(graphDir.toString)
-          .select(col("vec_id"), col("label"), col("embedding"))
+        ensurePayload(spark.read.parquet(graphDir.toString))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("payload"))
       else {
         import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("vec_id", LongType),
             StructField("label", IntegerType),
-            StructField("embedding", ArrayType(DoubleType)))))
+            StructField("embedding", ArrayType(DoubleType)),
+            StructField("payload", StringType))))
       }
     val bufPath = new Path(root, "buffer")
     val bufSnapshot =
@@ -515,12 +533,14 @@ object GraphIndex {
       else Seq.empty
     val bufParts = Seq(
       if (bufSnapshot.nonEmpty)
-        Some(spark.read.parquet(bufSnapshot.map(_.toString): _*)
-          .select(col("vec_id"), col("label"), col("embedding")))
+        Some(ensurePayload(spark.read.parquet(bufSnapshot.map(_.toString): _*))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("payload")))
       else None,
       if (batchSnapshot.nonEmpty)
-        Some(spark.read.parquet(batchSnapshot.map(_.toString): _*)
-          .select(col("vec_id"), col("label"), col("embedding")))
+        Some(ensurePayload(spark.read.parquet(batchSnapshot.map(_.toString): _*))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("payload")))
       else None).flatten
     if (!hasGraph && bufParts.isEmpty) return // nothing to build from
     val all = bufParts.foldLeft(nodes)(_.union(_))
@@ -596,9 +616,9 @@ object GraphIndex {
         // at materialization; every later probe iterates the cached
         // partitions with no exchange (and, via the decoded-segment
         // cache below, without even deserializing rows)
-        val g = spark.read.parquet(s"$p/graph")
+        val g = ensurePayload(spark.read.parquet(s"$p/graph"))
           .select(col("vec_id"), col("label"), col("embedding"),
-            col("nbrs"), col("part"))
+            col("payload"), col("nbrs"), col("part"))
           .repartition(col("part")).cache()
         Resident(v, g, g.count())
       })
@@ -621,7 +641,7 @@ object GraphIndex {
 
   private final class SubGraph(val vecs: Array[Array[Double]],
       val norms: Array[Double], val ids: Array[Long],
-      val adj: Array[Array[Int]])
+      val adj: Array[Array[Int]], val payloads: Array[String])
   private final class DecodedPart(val subs: Array[SubGraph])
   // keyed by (path, partitionId); the VALUE carries the version, so a
   // rebuild's first probe REPLACES each stale entry instead of leaving
@@ -642,7 +662,7 @@ object GraphIndex {
       val ids = sorted.map(_.vec_id)
       val pos = ids.zipWithIndex.toMap
       val adj = sorted.map(_.nbrs.flatMap(pos.get).toArray)
-      new SubGraph(vecs, norms, ids, adj)
+      new SubGraph(vecs, norms, ids, adj, sorted.map(_.payload.orNull))
     }.toArray)
 
   /** Serving-path candidate generation: top-`k` (vec_id, walk-score)
@@ -663,7 +683,23 @@ object GraphIndex {
     * still READ per call (it mutates between probes); that scan is
     * bounded by the `Via.maintainIndexes` rebuild cadence. */
   def servingCandidates(spark: SparkSession, path: String,
-      q: Seq[Double], k: Int, ef: Int = EfSearch): Seq[Long] = {
+      q: Seq[Double], k: Int, ef: Int = EfSearch): Seq[Long] =
+    servingHits(spark, path, q, k, ef).map(_.vec_id)
+
+  /** One serving-path hit: candidate id, walk score (full-vector
+    * cosine), the node's stored payload (null on payload-free stores),
+    * and its embedding — everything a serving verb needs to rebuild the
+    * row WITHOUT rejoining the corpus (the Qdrant hit-with-payload
+    * contract; the r11 weak-mark fix). */
+  final case class ServingHit(vec_id: Long, score: Double,
+      payload: String, embedding: Seq[Double])
+
+  /** [[servingCandidates]] returning payload + embedding with each hit:
+    * the per-call collect is O(parts·ef + k) ROWS — independent of both
+    * corpus and buffer size — and a caller that consumes the payloads
+    * never touches the corpus relation again. */
+  def servingHits(spark: SparkSession, path: String,
+      q: Seq[Double], k: Int, ef: Int = EfSearch): Seq[ServingHit] = {
     import spark.implicits._
     val res = residentFor(spark, path)
     val v = res.version
@@ -677,23 +713,28 @@ object GraphIndex {
       d.subs.iterator.flatMap { sg =>
         val (top, _) = beamSearchMulti(sg.vecs, sg.norms, sg.ids, sg.adj,
           qA, qn, ef, entryPoints(sg.ids.length))
-        top.iterator.map(i => (sg.ids(i),
-          1.0 - cosDist(sg.vecs(i), sg.norms(i), qA, qn)))
+        top.iterator.map(i => ServingHit(sg.ids(i),
+          1.0 - cosDist(sg.vecs(i), sg.norms(i), qA, qn),
+          sg.payloads(i), sg.vecs(i).toSeq))
       }
     }.collect()
     val bufHits = bufferDf(spark, path) match {
-      case None => Array.empty[(Long, Double)]
+      case None => Array.empty[ServingHit]
       case Some(b) =>
         // exact cosine per buffered row, top-k INSIDE the job — the
         // collect is <= k rows whatever the buffer has grown to
         b.select(col("vec_id"),
-            cosineToConst(col("embedding").cast("array<double>"), q).as("s"))
+            cosineToConst(col("embedding").cast("array<double>"), q).as("s"),
+            col("payload"),
+            col("embedding").cast("array<double>").as("embedding"))
           .orderBy(col("s").desc, col("vec_id"))
           .limit(k)
-          .as[(Long, Double)].collect()
+          .as[(Long, Double, String, Seq[Double])].collect()
+          .map { case (id, s, p, e) => ServingHit(id, s, p, e) }
     }
-    (hits ++ bufHits).sortBy { case (id, s) => (-s, id) }
-      .map(_._1).distinct.take(k).toSeq
+    val seen = mutable.Set.empty[Long]
+    (hits ++ bufHits).sortBy(h => (-h.score, h.vec_id))
+      .iterator.filter(h => seen.add(h.vec_id)).take(k).toSeq
   }
 
   // (path, version) -> node count, for pre-count-stamp stores only (one

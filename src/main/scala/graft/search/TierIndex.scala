@@ -34,12 +34,33 @@ object TierIndex {
   def rowKey: Column =
     xxhash64(col("rhythm_hash"), col("anomaly_type"), col("start_ts"))
 
+  /** The Tier-2 columns the serving verbs consume, carried into the
+    * graph as the node payload (every field string/long, so the JSON
+    * round-trip is value-exact; `dense` rides separately as the node
+    * embedding, `sample_logs`/`sparse_*` stay Tier-2-only — no serving
+    * verb projects them). */
+  val PayloadFields: Seq[String] = Seq("rhythm_hash", "anomaly_type",
+    "anomaly_context", "start_ts", "end_ts", "count", "service",
+    "severity", "body", "dt")
+
+  /** Schema the serving verbs decode the payload back with. */
+  val payloadSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(PayloadFields.map {
+      case f @ ("start_ts" | "end_ts" | "count") => StructField(f, LongType)
+      case f => StructField(f, StringType)
+    })
+  }
+
   /** Graph node rows for a Tier-2 relation (or one freshly promoted
-    * micro-batch): (vec_id, label, embedding). The label slot is unused
-    * — payload comes from the join back to Tier-2. */
+    * micro-batch): (vec_id, label, embedding, payload). The label slot
+    * is unused; the payload is the serving projection of the row itself
+    * (Qdrant's point-payload model), so a probe hit IS the row — no
+    * corpus rejoin to recover it. */
   def nodes(tier2: DataFrame): DataFrame =
     tier2.select(rowKey.as("vec_id"), lit(0).as("label"),
-      col("dense").cast("array<double>").as("embedding"))
+      col("dense").cast("array<double>").as("embedding"),
+      to_json(struct(PayloadFields.map(col): _*)).as("payload"))
 
   /** Bulk-build the serving graph over the current Tier-2 store.
     * `numParts` sizes the sub-graphs (corpus/heap at scale; more parts

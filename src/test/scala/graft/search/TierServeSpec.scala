@@ -108,6 +108,35 @@ class TierServeSpec extends SparkSpec {
     base.unpersist()
   }
 
+  test("clusters serve from node payloads alone — no corpus rejoin (r11 weak)") {
+    val t2 = tier2Fixture(600).cache(); t2.count()
+    val gpath = java.nio.file.Files.createTempDirectory("pserve").toString + "/g"
+    TierIndex.build(t2, gpath)
+    val now = 1700000000L + 700 * 60
+    val exact = rowStrs(ClusterSearch.clusters(t2, None, now,
+      textFilter = Some("failed user"), limit = 10))
+    // an EMPTY Tier-2-shaped relation: if the served path touched the
+    // corpus at all (rowKey scan, recovery join, fallback), the result
+    // would be empty/short — payload-carried hits must rebuild the rows
+    val empty = t2.limit(0)
+    val (ixDf, served) = ClusterSearch.clustersIndexedImpl(empty, gpath,
+      None, now, None, None, textFilter = "failed user", limit = 10)
+    assert(served, "payload-served path unexpectedly fell back")
+    assert(rowStrs(ixDf) == exact)
+    // payloads survive the rebuild fold: append a batch, rebuild, serve
+    val fresh = tier2Fixture(30, idOffset = 20000L)
+    TierIndex.appendBatch(fresh, gpath, batchId = 3L)
+    GraphIndex.rebuild(spark, gpath)
+    assert(GraphIndex.bufferRows(spark, gpath) == 0L)
+    val all = t2.unionByName(fresh)
+    val exact2 = rowStrs(ClusterSearch.clusters(all, None, now,
+      textFilter = Some("failed user"), limit = 10))
+    val (ix2, served2) = ClusterSearch.clustersIndexedImpl(all.limit(0),
+      gpath, None, now, None, None, textFilter = "failed user", limit = 10)
+    assert(served2 && rowStrs(ix2) == exact2)
+    t2.unpersist()
+  }
+
   test("triage (fast example vector) == the aggregate-form reference") {
     val t2 = tier2Fixture(300).cache(); t2.count()
     def strs(df: DataFrame) = rowStrs(df)
