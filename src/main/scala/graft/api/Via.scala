@@ -176,12 +176,17 @@ final class Via(spark: SparkSession, warehouse: String,
     graft.sources.Layout.compact(spark, tier2Path, targetBytes)
 
   // --- POST /analysis/tier1/rhythm_anomalies (T2/T3/A1-A3/J1-J3/T5) ---
+  /** Batch-promoted clusters follow into an EXISTING graph index (the
+    * same freshness contract the streaming path keeps per micro-batch —
+    * ADVICE r11); a Via that never built one is untouched. */
   def analyzeOnce(nowSec: Long, windowSec: Long = 60): DataFrame =
-    AnalysisJob.runOnce(spark, tier1Path, tier2Path, rules, nowSec, windowSec)
+    AnalysisJob.runOnce(spark, tier1Path, tier2Path, rules, nowSec, windowSec,
+      graphIndexPath = Some(graphIndexPath))
 
   /** Background 60 s loop (the reference's worker). */
   def startAnalysis(intervalSec: Long = 60, windowSec: Long = 60): StreamingQuery =
-    AnalysisJob.start(spark, tier1Path, tier2Path, rules, intervalSec, windowSec)
+    AnalysisJob.start(spark, tier1Path, tier2Path, rules, intervalSec,
+      windowSec, graphIndexPath = Some(graphIndexPath))
 
   /** Fully streaming detection: Tier-1 is itself a streaming source
     * (parquet file stream over the partitioned store), windows close via
@@ -294,11 +299,34 @@ final class Via(spark: SparkSession, warehouse: String,
       compactIfFragmented("tier1", tier1Path, () => compactTier1(targetBytes))
     if (fs.exists(new Path(tier2Path)))
       compactIfFragmented("tier2", tier2Path, () => compactTier2(targetBytes))
-    // graph index: rebuild when the exact-scored buffer outgrows its
-    // share of the graph (or bootstrap-build a streamed-only store)
+    // graph index: (1) DRIFT — the store carries keys the index has
+    // never seen (a batch-promotion path that wrote Tier-2 without the
+    // graph append, a crash between the two writes — ADVICE r11 medium):
+    // re-sync from the store, the authoritative source. Detected by
+    // comparing distinct key counts, which is exact under the engine's
+    // append-only writes (keys are content-derived and never rewritten,
+    // so `store > index` can only mean missing rows). The index-ahead
+    // direction is NOT treated as drift: buffered rows are upstream-
+    // written to Tier-2 first, so index ⊆ store holds by construction
+    // and a transient surplus only ever means a concurrent append mid-
+    // sweep. (2) BUFFER GROWTH — fold when the exact-scored buffer
+    // outgrows its share of the graph (or bootstrap a streamed-only
+    // store).
     if (fs.exists(new Path(graphIndexPath))) {
       val buf = graft.search.GraphIndex.bufferRows(spark, graphIndexPath)
+      val storeKeys =
+        if (fs.exists(new Path(tier2Path)))
+          tier2.select(graft.search.TierIndex.rowKey).distinct().count()
+        else 0L
+      val idxKeys =
+        graft.search.GraphIndex.indexedKeyCount(spark, graphIndexPath)
       graft.search.GraphIndex.nodeCount(spark, graphIndexPath) match {
+        case _ if storeKeys > idxKeys =>
+          graft.search.GraphIndex.rebuildFrom(spark,
+            graft.search.TierIndex.nodes(tier2), graphIndexPath)
+          acts += Via.Maintenance("graphidx", "sync",
+            s"store has $storeKeys keys vs $idxKeys indexed: " +
+              "re-synced from Tier-2")
         case None if buf > 0 =>
           graft.search.GraphIndex.rebuild(spark, graphIndexPath)
           acts += Via.Maintenance("graphidx", "rebuild",

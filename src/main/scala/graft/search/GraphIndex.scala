@@ -488,7 +488,26 @@ object GraphIndex {
     * same documented window as `Layout.compact`/`AnnIndex.fold`. */
   def rebuild(spark: SparkSession, path: String, numParts: Int = NumParts,
       m: Int = M, mMax: Int = MMax, efC: Int = EfC,
-      alpha: Double = Alpha): Unit = {
+      alpha: Double = Alpha): Unit =
+    rebuildImpl(spark, path, numParts, m, mMax, efC, alpha, source = None)
+
+  /** [[rebuild]] from an AUTHORITATIVE external source (the drift-sync
+    * counterweight): the new graph is built from `source` alone —
+    * existing graph nodes and buffers are NOT unioned in — and the
+    * snapshotted buffer files are cleared, because the caller asserts
+    * `source` supersedes them (the Tier-2 store is upstream of every
+    * index write, so buffered rows are always also store rows; a buffer
+    * batch appended AFTER the snapshot survives untouched). Same swap /
+    * crash-recovery protocol as [[rebuild]]. */
+  def rebuildFrom(spark: SparkSession, source: DataFrame, path: String,
+      numParts: Int = NumParts, m: Int = M, mMax: Int = MMax,
+      efC: Int = EfC, alpha: Double = Alpha): Unit =
+    rebuildImpl(spark, path, numParts, m, mMax, efC, alpha,
+      source = Some(source))
+
+  private def rebuildImpl(spark: SparkSession, path: String, numParts: Int,
+      m: Int, mMax: Int, efC: Int, alpha: Double,
+      source: Option[DataFrame]): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -542,8 +561,13 @@ object GraphIndex {
           .select(col("vec_id"), col("label"), col("embedding"),
             col("payload")))
       else None).flatten
-    if (!hasGraph && bufParts.isEmpty) return // nothing to build from
-    val all = bufParts.foldLeft(nodes)(_.union(_))
+    if (source.isEmpty && !hasGraph && bufParts.isEmpty)
+      return // nothing to build from
+    val all = source.map(s => ensurePayload(s)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("embedding"),
+          col("payload")))
+      .getOrElse(bufParts.foldLeft(nodes)(_.union(_)))
     build(all, tmpRoot.toString, numParts, m, mMax, efC, alpha)
     if (hasGraph && !fs.rename(graphDir, oldDir))
       throw new java.io.IOException(s"rebuild: cannot swap out $graphDir")
@@ -766,6 +790,21 @@ object GraphIndex {
     * [[rebuild]] fold (0 when empty) — the maintenance-policy signal. */
   def bufferRows(spark: SparkSession, path: String): Long =
     bufferDf(spark, path).map(_.count()).getOrElse(0L)
+
+  /** Distinct keys the index covers across BOTH segments (graph ∪
+    * buffer) — the drift-detection signal `Via.maintainIndexes` compares
+    * against the store's own key count. A full count (not the stamp):
+    * drift detection is exactly the place a cheap cached answer would
+    * lie. Maintenance-cadence cost. */
+  def indexedKeyCount(spark: SparkSession, path: String): Long = {
+    val g = new org.apache.hadoop.fs.Path(s"$path/graph")
+    val fs = g.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = Seq(
+      if (fs.exists(g)) Some(spark.read.parquet(g.toString)
+        .select(col("vec_id"))) else None,
+      bufferDf(spark, path).map(_.select(col("vec_id")))).flatten
+    parts.reduceOption(_.union(_)).map(_.distinct().count()).getOrElse(0L)
+  }
 
   /** [[probe]] against an executor-resident copy of the graph (cached on
     * first use per JVM, re-cached when the stamp a [[build]]/[[rebuild]]

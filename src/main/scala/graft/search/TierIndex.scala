@@ -73,4 +73,11 @@ object TierIndex {
     * (the streaming-maintenance write; see [[GraphIndex.appendBatch]]). */
   def appendBatch(promoted: DataFrame, path: String, batchId: Long): Unit =
     GraphIndex.appendBatch(nodes(promoted), path, batchId)
+
+  /** Plain buffer append for the BATCH promotion path
+    * ([[graft.streaming.AnalysisJob.runOnce]]) — same at-most-once
+    * semantics as that path's Tier-2 append itself (no replay protocol
+    * to be idempotent against). */
+  def append(promoted: DataFrame, path: String): Unit =
+    GraphIndex.append(nodes(promoted), path)
 }

@@ -45,7 +45,8 @@ object AnalysisJob {
       rules: Rules,
       nowSec: Long,
       windowSec: Long = 60,
-      baselineLookbackSec: Long = RhythmAnalyzer.DefaultBaselineLookbackSec): DataFrame = {
+      baselineLookbackSec: Long = RhythmAnalyzer.DefaultBaselineLookbackSec,
+      graphIndexPath: Option[String] = None): DataFrame = {
     val windowStart = nowSec - windowSec
     // the detector needs window + look-back horizon; dt-prune to exactly that
     val t1 = tier1Window(spark, tier1Path,
@@ -57,7 +58,25 @@ object AnalysisJob {
       t1.filter(col("ts_sec") >= windowStart), windowStart, nowSec)
     val clusters = Promoter.rollup(anomalies, recentPoints)
     if (!clusters.isEmpty) {
-      clusters.write.mode("append").partitionBy("dt").parquet(tier2Path)
+      // an EXISTING serving graph must see batch-promoted rows too — the
+      // streaming path appends per micro-batch, and without this the
+      // batch path silently drifted the index (ADVICE r11 medium). The
+      // rollup is materialized once so the Tier-2 write and the graph
+      // append see the SAME rows (min_by ties could otherwise pick
+      // different representatives per execution); it is control-plane
+      // sized, so the localCheckpoint is bounded. A path whose store was
+      // never created stays untouched — no stray index dirs for callers
+      // that never built one.
+      val followIndex = graphIndexPath.filter { p =>
+        val root = new org.apache.hadoop.fs.Path(p)
+        root.getFileSystem(spark.sessionState.newHadoopConf()).exists(root)
+      }
+      val rows = if (followIndex.isDefined) clusters.localCheckpoint()
+                 else clusters
+      try {
+        rows.write.mode("append").partitionBy("dt").parquet(tier2Path)
+        followIndex.foreach(p => graft.search.TierIndex.append(rows, p))
+      } finally if (followIndex.isDefined) rows.unpersist()
     }
     clusters
   }
@@ -73,14 +92,16 @@ object AnalysisJob {
       tier2Path: String,
       rules: Rules,
       intervalSec: Long = 60,
-      windowSec: Long = 60): StreamingQuery = {
+      windowSec: Long = 60,
+      graphIndexPath: Option[String] = None): StreamingQuery = {
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream
       .trigger(Trigger.ProcessingTime(intervalSec * 1000))
       .foreachBatch { (_: DataFrame, _: Long) =>
         try {
           runOnce(spark, tier1Path, tier2Path, rules,
-            System.currentTimeMillis() / 1000, windowSec)
+            System.currentTimeMillis() / 1000, windowSec,
+            graphIndexPath = graphIndexPath)
           ()
         } catch {
           case e: Exception =>

@@ -171,6 +171,60 @@ class TierServeSpec extends SparkSpec {
     assert(rowStrs(viaGraph.clusters(now)) == rowStrs(viaExact.clusters(now)))
   }
 
+  test("batch promotion follows an existing graph; drift re-syncs (ADVICE r11)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("bfresh").toString
+    val via = new Via(spark, wh, graphServeThreshold = 1L)
+    def writeBurst(hash: String, t0: Long): Unit =
+      (0 until 6).map(i => (hash, t0 - 5 - i, 900L + i))
+        .toDF("rhythm_hash", "ts_sec", "event_id")
+        .withColumn("service", lit("svc"))
+        .withColumn("severity", lit("ERROR"))
+        .withColumn("body", lit(s"burst $hash failed"))
+        .withColumn("dt", graft.analysis.DtPrune.dtOf(col("ts_sec")))
+        .write.mode("append").partitionBy("dt").parquet(s"$wh/tier1")
+    val now = 1700000000L
+    writeBurst("h_before", now)
+    // no graph index yet: analyzeOnce must NOT create one
+    via.analyzeOnce(now, windowSec = 120)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(via.graphIndexPath)))
+    via.buildGraphIndex()
+    val nodes0 = GraphIndex.nodeCount(spark, via.graphIndexPath).get
+    // a later batch cycle: the promoted cluster must land in the graph
+    // buffer in the SAME call (the streaming path's freshness contract)
+    val now2 = now + 3600
+    writeBurst("h_after", now2)
+    via.analyzeOnce(now2, windowSec = 120)
+    assert(GraphIndex.bufferRows(spark, via.graphIndexPath) >= 1L,
+      "batch-promoted cluster missing from the graph buffer")
+    val storeKeys = spark.read.parquet(via.tier2Path)
+      .select(TierIndex.rowKey).distinct().count()
+    assert(GraphIndex.indexedKeyCount(spark, via.graphIndexPath) == storeKeys)
+    // drift: rows written to Tier-2 BEHIND the index's back (the pre-fix
+    // batch path, a crash between the two writes) are found and re-synced
+    tier2Fixture(50, idOffset = 40000L)
+      .write.mode("append").partitionBy("dt").parquet(via.tier2Path)
+    val acts = via.maintainIndexes()
+    assert(acts.find(_.target == "graphidx").get.action == "sync",
+      acts.mkString("; "))
+    assert(GraphIndex.indexedKeyCount(spark, via.graphIndexPath) ==
+      storeKeys + 50L)
+    assert(GraphIndex.bufferRows(spark, via.graphIndexPath) == 0L)
+    assert(GraphIndex.nodeCount(spark, via.graphIndexPath).get >= nodes0 + 51L)
+    // and the re-synced graph serves with exact parity
+    val t2 = spark.read.parquet(via.tier2Path)
+    val exact = rowStrs(ClusterSearch.clusters(t2, None, now2 + 7200,
+      textFilter = Some("failed user"), limit = 10))
+    val (ix, served) = ClusterSearch.clustersIndexedImpl(t2,
+      via.graphIndexPath, None, now2 + 7200, None, None,
+      textFilter = "failed user", limit = 10)
+    assert(served && rowStrs(ix) == exact)
+    // a second sweep is quiescent
+    assert(via.maintainIndexes().find(_.target == "graphidx")
+      .get.action == "none")
+  }
+
   test("maintainIndexes runs each store's counterweight; probes unchanged") {
     val wh = java.nio.file.Files.createTempDirectory("maint").toString
     val via = new Via(spark, wh, graphServeThreshold = 1L)
