@@ -92,18 +92,25 @@ final class Via(spark: SparkSession, warehouse: String,
       .write.mode("append").partitionBy("dt").parquet(tier1Path)
 
   // --- GET /stream/tail (S3) ------------------------------------------
-  /** Last-n live rows, newest-partition-first: `dt` derives from
-    * `ts_sec`, so every row of an older day precedes every row of a
-    * newer one — the newest partitions holding ≥ n matching rows ARE the
-    * global tail. The scan starts at the newest day and doubles its
-    * window only when the filter leaves it short (selective substring /
-    * sparse store), so a year-long store serves its tail from one or two
-    * day partitions instead of 365 (exactly the DtPrune federation
-    * argument, applied to the one verb that always wants "newest").
+  /** Last-n live rows via TIME-WINDOW probing: if ≥ n matching rows have
+    * `ts_sec ≥ maxTs − w`, the global top-n by ts all lie inside that
+    * window (every excluded row is older than every included one), so
+    * the probe result IS the exact tail. Each probe carries BOTH bounds:
+    * the `dt` predicate prunes partitions (`dt` derives from `ts_sec`,
+    * so a year-long store lists 1-2 day directories, the r11 form) and
+    * the `ts_sec` bound additionally skips parquet ROW GROUPS via
+    * min/max stats inside the surviving files — a compacted single-file
+    * day no longer decodes its whole row set to answer "newest 100"
+    * (the r11 ServeBench finding: tail was the slowest verb because it
+    * paid a full newest-partition decode per call). The window starts at
+    * [[Via.TailProbeWindowSec]] and widens ×8 on shortfall (selective
+    * filters / sparse stores), becoming the plain full scan once it
+    * covers the oldest partition's day-start — at which point the ts
+    * bound excludes nothing and the result is exact by construction.
     * Row-identical to the full-scan form (ViaSpec). */
   def tail(n: Int = 100, filter: Option[String] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, max}
     val root = new Path(tier1Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dts =
@@ -113,19 +120,39 @@ final class Via(spark: SparkSession, warehouse: String,
           .sorted.reverse.toSeq
       else Seq.empty
     val t1 = tier1
-    if (dts.length <= 1 || !t1.columns.contains("dt"))
+    if (dts.isEmpty || !t1.columns.contains("dt") ||
+        !t1.columns.contains("ts_sec"))
       return IngestPipeline.tail(t1, n, filter)
-    var take = 1
-    while (take < dts.length) {
-      val pruned = t1.filter(col("dt").isin(dts.take(take): _*))
-      val res = IngestPipeline.tail(pruned, n, filter)
+    // global max ts lives in the newest partition (dt is monotone in
+    // ts). Footer statistics answer it driver-side with zero Spark jobs
+    // (TailBench: the agg job alone was ~127 ms of a ~270 ms call);
+    // a statless/empty/mid-rewrite footer falls back to the one-column
+    // agg over that partition, and an empty partition to the full scan.
+    val maxTs: Long = graft.sources.FooterStats.maxLong(spark,
+        s"$tier1Path/dt=${dts.head}", "ts_sec").getOrElse {
+      val row = t1.filter(col("dt") === dts.head)
+        .agg(max(col("ts_sec"))).head()
+      if (row.isNullAt(0)) return IngestPipeline.tail(t1, n, filter)
+      row.getAs[Number](0).longValue()
+    }
+    // UTC day-start of the OLDEST partition: once the probe window's
+    // lower bound passes it, `ts_sec >= from` excludes no stored row
+    // (every row's ts sits inside its own day) — the probe is the full
+    // scan and its result is final even when still short of n.
+    val oldestStart = java.time.LocalDate.parse(dts.last).toEpochDay * 86400L
+    var w = Via.TailProbeWindowSec
+    while (true) {
+      val from = maxTs - w
+      val probe = graft.analysis.DtPrune(t1, from, maxTs)
+        .filter(col("ts_sec") >= from)
+      val res = IngestPipeline.tail(probe, n, filter)
       val rows = res.collect()
-      if (rows.length >= n)
+      if (rows.length >= n || from <= oldestStart)
         return spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), res.schema)
-      take *= 2
+      w *= 8
     }
-    IngestPipeline.tail(t1, n, filter)
+    sys.error("unreachable")
   }
 
   // --- store maintenance (no reference verb — the operational task its
@@ -435,6 +462,11 @@ object Via {
     * wins (ScaleBench's measured ~100k crossover for flat-vs-indexed
     * probes at serving beam widths). */
   val GraphServeThreshold = 100000L
+  /** Initial `tail` probe window (seconds of event time before the
+    * store's newest row). Sized so a reference-rate stream (100 logs/s,
+    * BASELINE.md) fills the default n=100 on the first probe with ~64×
+    * headroom; widens ×8 per shortfall. */
+  val TailProbeWindowSec = 64L
   /** Data-file count above which an appended store gets compacted. */
   val MaintainSmallFiles = 64L
   /** Streaming batch levels tolerated on the sign-bucket index before a

@@ -111,4 +111,40 @@ class ViaSpec extends SparkSpec {
     // more rows requested than the whole store holds: full fallback
     assert(via.tail(n = 10000).count() == lines.length)
   }
+
+  test("tail within one day: window-probed == full scan (row-group path)") {
+    import spark.implicits._
+    val via = new Via(spark, Files.createTempDirectory("via-tail1").toString)
+    // one SINGLE day partition spanning ~3 h of event time, with the
+    // filter term confined to the OLDEST seconds: the first 64 s probe
+    // window must come up short and widen ×8 until it reaches them —
+    // the pre-r12 code full-scanned every single-partition store, so
+    // this pins both halves of the new path (exactness after widening,
+    // and the single-day store taking the probe path at all)
+    val dayStart = (now / 86400L) * 86400L + 2000
+    val lines = (0 until 200).map { i =>
+      val tag = if (i < 20) "earlyterm" else "lateterm"
+      otel("svc", "INFO", dayStart + i * 50, s"$tag event item $i")
+    }
+    via.ingestBatch(lines.toDF("value"))
+    assert(spark.read.parquet(via.tier1Path)
+      .select("dt").distinct().count() == 1)
+    // unfiltered: top-100 sits inside the first window at this density
+    val full = graft.streaming.IngestPipeline
+      .tail(spark.read.parquet(via.tier1Path), 100, None)
+      .collect().map(_.toString).sorted
+    assert(via.tail(n = 100).collect().map(_.toString).sorted
+      .sameElements(full), "probed tail diverged from the full scan")
+    // term only in the oldest 1000 s of the day: forces deep widening
+    val deep = via.tail(n = 15, filter = Some("earlyterm"))
+      .collect().map(_.toString).sorted
+    val deepFull = graft.streaming.IngestPipeline
+      .tail(spark.read.parquet(via.tier1Path), 15, Some("earlyterm"))
+      .collect().map(_.toString).sorted
+    assert(deep.sameElements(deepFull))
+    assert(deep.length == 15)
+    // fewer matches than requested anywhere in the store: the loop ends
+    // at the oldest day-start with the exact short result
+    assert(via.tail(n = 100, filter = Some("earlyterm")).count() == 20)
+  }
 }
