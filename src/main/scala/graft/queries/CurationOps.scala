@@ -53,11 +53,11 @@ object CurationOps {
     * rather than returning a not-yet-converged labeling. */
   val MaxClusterIters = 25
 
-  /** Edge-relation size below which the fixpoint keeps a checkpointed
-    * in-memory copy (fast hop plans, ~0.5-5 GB of deserialized blocks at
-    * the cap) and above which it stays on the evictable disk-spillable
-    * partitioned form that survives quadratic pair growth (SCALE.md,
-    * sf10 decade). */
+  /** Edge-relation size (2 × the bucket-derived pair-count bound) below
+    * which the fixpoint materializes edges as a direct localCheckpoint
+    * (fast hop plans, ~0.5-5 GB of deserialized blocks at the cap) and
+    * above which it uses the evictable disk-spillable src-partitioned
+    * form that survives quadratic pair growth (SCALE.md, sf10 decade). */
   val EdgeCheckpointMaxRows = 32000000L
 
   /** Connected components over the MinHash-LSH candidate-pair graph via
@@ -108,6 +108,21 @@ object CurationOps {
     import docs.sparkSession.implicits._
     val capObs = bucketCap.map(_ => org.apache.spark.sql.Observation())
     val buckets = TextOps.minhashBuckets(docs, bucketCap, capObs)
+    // UPPER BOUND on candidate pairs from bucket sizes alone:
+    // Σ C(n_bucket, 2) counts every pair once PER SHARED BAND and before
+    // distinct(), so it can only overestimate the edge relation. One
+    // cheap agg over the bucket relation (this is also the action that
+    // materializes the bucket cache the self-join reads), paid BEFORE
+    // the edges exist — which lets the small-graph path below skip the
+    // repartition shuffle and persist pass entirely instead of deciding
+    // after a materialization it then throws away (the r11 adaptive form
+    // cost the gate-scale query an extra shuffle + copy; BenchOne A/B
+    // r12). Overestimating is safe in exactly one direction: a graph the
+    // bound calls big but is small runs the scale path (correct,
+    // modestly slower); a graph the bound calls small IS small.
+    val estPairs = buckets.groupBy($"band_idx", $"band_hash").count()
+      .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
+      .head().getLong(0)
     val pairs = TextOps.pairsFromBuckets(buckets)
     // both directions in ONE pass over the pair relation (a two-branch
     // union would recompute the LSH self-join once per direction),
@@ -132,28 +147,28 @@ object CurationOps {
     // volume dry). Partitioned once here, each hop's join reuses the
     // persisted partitioning and only the NODE-sized label relation
     // crosses the wire per hop.
-    val edgesScale = pairs.select(explode(array(
+    val edgesBase = pairs.select(explode(array(
         struct($"a_id".as("src"), $"b_id".as("dst")),
         struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
-      .repartition($"src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = edgesScale.count() // eager: one pair-join pass
-    // ADAPTIVE on the materialized edge count (the true scale variable —
-    // doc count is a bad proxy because pair counts are quadratic in
-    // duplication): small graphs switch to a checkpointed copy of the
-    // already-materialized blocks (one cheap extra pass) whose truncated
-    // lineage and RDD-backed plan give the fast small-scale hop plans
-    // the r10 form had; graphs past the threshold keep the evictable
-    // partitioned form that the sf10 sweep showed is the only one that
-    // SURVIVES (checkpoint blocks OOM'd at any heap, un-partitioned
-    // hops filled the disk with per-round shuffles).
+    // ADAPTIVE on the pair-count BOUND (the true scale variable — doc
+    // count is a bad proxy because pair counts are quadratic in
+    // duplication): a provably-small graph takes the direct
+    // localCheckpoint (one materialization pass, no repartition shuffle,
+    // fast RDD-backed hop plans — the r10 form); past the threshold it
+    // takes the repartitioned evictable persist, the only form the sf10
+    // sweep showed SURVIVES (checkpoint's non-evictable blocks OOM'd at
+    // any heap, un-partitioned hops filled a 72 GB volume with
+    // per-round edge shuffles).
     val edges =
-      if (edgeCount <= EdgeCheckpointMaxRows) {
-        val e = edgesScale.localCheckpoint()
-        edgesScale.unpersist()
+      if (estPairs * 2 <= EdgeCheckpointMaxRows)
+        edgesBase.localCheckpoint()
+      else {
+        val e = edgesBase.repartition($"src")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count() // eager: one pair-join pass into the blocks
         e
-      } else edgesScale
+      }
     // the edge materialization above ran the (observed) bucket relation,
     // so the cap metrics are final here — get() cannot block; and the
     // LSH bucket cache is dead weight from here — release it now rather
