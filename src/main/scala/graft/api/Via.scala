@@ -113,12 +113,20 @@ final class Via(spark: SparkSession, warehouse: String,
     import org.apache.spark.sql.functions.{col, max}
     val root = new Path(tier1Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dts =
+    val allDts =
       if (fs.exists(root))
         fs.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("dt=")).map(_.stripPrefix("dt="))
-          .sorted.reverse.toSeq
+          .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSeq
       else Seq.empty
+    // only date-parseable leaves anchor the probe: a null-ts partition
+    // (__HIVE_DEFAULT_PARTITION__) sorts after every date string and
+    // would otherwise be taken as "newest". Its rows sort behind every
+    // timestamped row (desc = nulls last), so they can only surface when
+    // the store holds fewer than n timestamped rows — the terminal
+    // shortfall check below full-scans for exactly that case.
+    val dts = allDts
+      .filter(d => scala.util.Try(java.time.LocalDate.parse(d)).isSuccess)
+      .sorted.reverse
     val t1 = tier1
     if (dts.isEmpty || !t1.columns.contains("dt") ||
         !t1.columns.contains("ts_sec"))
@@ -147,9 +155,16 @@ final class Via(spark: SparkSession, warehouse: String,
         .filter(col("ts_sec") >= from)
       val res = IngestPipeline.tail(probe, n, filter)
       val rows = res.collect()
-      if (rows.length >= n || from <= oldestStart)
+      if (rows.length >= n)
         return spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), res.schema)
+      if (from <= oldestStart)
+        // window covers every dated partition and is still short: exact
+        // UNLESS undated (null-ts) rows exist to pad the result — then
+        // only the full scan sees them
+        return if (allDts.length == dts.length)
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        else IngestPipeline.tail(t1, n, filter)
       w *= 8
     }
     sys.error("unreachable")

@@ -147,4 +147,34 @@ class ViaSpec extends SparkSpec {
     // at the oldest day-start with the exact short result
     assert(via.tail(n = 100, filter = Some("earlyterm")).count() == 20)
   }
+
+  test("tail over a store with a null-ts partition: probe stays exact") {
+    import spark.implicits._
+    val via = new Via(spark, Files.createTempDirectory("via-tailnull").toString)
+    // 5 ingested rows + 3 EXTERNALLY-written rows with null ts_sec (the
+    // ingest path itself drops timestamp-less records, so a
+    // __HIVE_DEFAULT_PARTITION__ leaf can only come from an outside
+    // writer): the undated leaf must not anchor the probe, and a request
+    // larger than the timestamped row count must fall back to the full
+    // scan that alone can pad from undated rows
+    val dated = (0 until 5).map(i =>
+      otel("svc", "INFO", now + i, s"dated event $i"))
+    via.ingestBatch(dated.toDF("value"))
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    spark.read.parquet(via.tier1Path).limit(3)
+      .withColumn("ts_sec", lit(null).cast("long"))
+      .withColumn("body", concat(lit("undated event "), col("point_id")))
+      .withColumn("dt", graft.analysis.DtPrune.dtOf(col("ts_sec")))
+      .write.mode("append").partitionBy("dt").parquet(via.tier1Path)
+    // the newest 3 are all dated — served by the probe
+    val top3 = via.tail(n = 3).collect()
+    assert(top3.length == 3 && top3.forall(!_.isNullAt(
+      top3.head.fieldIndex("ts_sec"))))
+    // asking for more rows than are timestamped: full-scan fallback pads
+    // with undated rows exactly like the plain form
+    assert(via.tail(n = 8).count() ==
+      graft.streaming.IngestPipeline.tail(
+        spark.read.parquet(via.tier1Path), 8, None).count())
+    assert(via.tail(n = 8).count() == 8)
+  }
 }
