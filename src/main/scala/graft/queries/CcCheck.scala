@@ -86,8 +86,27 @@ object CcCheck {
     // with duplication (215M pairs at the sf10 sweep, where a collect()
     // was multi-GB of driver tuples); toLocalIterator holds one
     // partition at a time and the union-find consumes it incrementally
+    import scala.jdk.CollectionConverters._
     val edgeIter = TextOps.pairsFromBuckets(buckets)
-      .as[(Long, Long)].toLocalIterator()
+      .as[(Long, Long)].toLocalIterator().asScala
+    val find = unionFind(edgeIter)
+    buckets.unpersist()
+    // ground truth label = component min (find() roots at the min because
+    // unions always point the larger root at the smaller)
+    val got = assign.select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect()
+    got.count { case (id, lbl) => find(id) != lbl }
+  }
+
+  /** Consume an undirected edge stream into a min-rooted union-find and
+    * return its `find`: ids that never appeared root at themselves, any
+    * other id at its component MINIMUM (unions always point the larger
+    * root at the smaller). State is node-sized; edges stream through.
+    * Shared by [[exactMismatch]] and the driver-sized tier of
+    * [[CurationOps.connectedComponents]] — validator and engine agreeing
+    * by construction is fine there because the gate oracle (DuckDB
+    * recursive CTE) stays fully independent. */
+  private[queries] def unionFind(edges: Iterator[(Long, Long)]): Long => Long = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -98,16 +117,18 @@ object CcCheck {
       }
       r
     }
-    while (edgeIter.hasNext) {
-      val (u, v) = edgeIter.next()
+    while (edges.hasNext) {
+      val (u, v) = edges.next()
       val (ru, rv) = (find(u), find(v))
       if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
     }
-    buckets.unpersist()
-    // ground truth label = component min (find() roots at the min because
-    // unions always point the larger root at the smaller)
-    val got = assign.select($"doc_id", $"cluster_id")
-      .as[(Long, Long)].collect()
-    got.count { case (id, lbl) => find(id) != lbl }
+    find
+  }
+
+  /** All ids the union-find has seen, labeled (id → component min). */
+  private[queries] def labeledNodes(edges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val find = unionFind(edges.iterator)
+    edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toSeq.sorted
+      .map(id => (id, find(id)))
   }
 }

@@ -60,6 +60,14 @@ object CurationOps {
     * form that survives quadratic pair growth (SCALE.md, sf10 decade). */
   val EdgeCheckpointMaxRows = 32000000L
 
+  /** Pair-count bound below which components run as ONE driver-side
+    * union-find pass over the collected candidate pairs instead of the
+    * distributed fixpoint (≤ ~64 MB of pair data; union-find state is
+    * node-sized). Override per session with
+    * `spark.graft.cc.driverMaxPairs` (tests force the distributed tiers
+    * with 0). */
+  val DriverCcMaxPairs = 4000000L
+
   /** Connected components over the MinHash-LSH candidate-pair graph via
     * min-label propagation WITH pointer jumping: every document's
     * cluster_id converges to the smallest doc_id reachable through
@@ -124,6 +132,33 @@ object CurationOps {
       .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
       .head().getLong(0)
     val pairs = TextOps.pairsFromBuckets(buckets)
+    val spark = docs.sparkSession
+    // DRIVER-SIZED tier: when the pair bound fits comfortably on the
+    // driver, the whole fixpoint machinery is overhead — collect the
+    // candidate pairs (≤ cap × 16 B of data) and run the exact min-rooted
+    // union-find in one pass (the same kernel CcCheck validates the
+    // distributed output with; the DuckDB recursive-CTE oracle stays the
+    // independent gate). Labels broadcast back onto the corpus as one
+    // join — the corpus itself never shuffles. This is the broadcast-join
+    // analogue for iterative graph work: a near-dup graph is pair-bounded
+    // by LSH band width, so at gate scale it is KBs-MBs while the corpus
+    // is the big thing; the distributed tiers remain for graphs that
+    // outgrow the driver (BenchOne same-session: dedup_clusters
+    // 3.5 → 1.8 s at sf0.1).
+    val driverMax = spark.conf.getOption("spark.graft.cc.driverMaxPairs")
+      .map(_.toLong).getOrElse(DriverCcMaxPairs)
+    if (estPairs <= driverMax) {
+      val edges = pairs.as[(Long, Long)].collect()
+      buckets.unpersist()
+      capObs.foreach { o =>
+        onCapMetrics(o.get.collect { case (k, v: Long) => k -> v }.toMap)
+      }
+      val labeled = CcCheck.labeledNodes(edges.toSeq)
+      val labelsDf = spark.createDataFrame(labeled).toDF("doc_id", "lbl")
+      return docs.select($"doc_id")
+        .join(broadcast(labelsDf), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+    }
     // both directions in ONE pass over the pair relation (a two-branch
     // union would recompute the LSH self-join once per direction),
     // materialized once — read by every iteration. A plain persist, not
@@ -160,8 +195,11 @@ object CurationOps {
     // sweep showed SURVIVES (checkpoint's non-evictable blocks OOM'd at
     // any heap, un-partitioned hops filled a 72 GB volume with
     // per-round edge shuffles).
+    val checkpointMax = spark.conf
+      .getOption("spark.graft.cc.edgeCheckpointMaxRows")
+      .map(_.toLong).getOrElse(EdgeCheckpointMaxRows)
     val edges =
-      if (estPairs * 2 <= EdgeCheckpointMaxRows)
+      if (estPairs * 2 <= checkpointMax)
         edgesBase.localCheckpoint()
       else {
         val e = edgesBase.repartition($"src")

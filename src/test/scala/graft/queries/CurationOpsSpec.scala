@@ -49,6 +49,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.values.toSet.size < got.size, "no doc ever clustered")
   }
 
+  test("components: all three adaptive tiers produce identical labelings") {
+    // same fixture, three plans: driver union-find (the default at this
+    // scale), distributed fixpoint over checkpointed edges, distributed
+    // fixpoint over the src-partitioned persisted edges (the sf10 form) —
+    // forced via the session conf gates
+    def run(): Array[(Long, Long)] =
+      SparkEntry.queries("dedup_clusters")(spark, SfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val driver = run()
+    val checkpointed =
+      try {
+        spark.conf.set("spark.graft.cc.driverMaxPairs", "0")
+        run()
+      } finally spark.conf.unset("spark.graft.cc.driverMaxPairs")
+    val partitioned =
+      try {
+        spark.conf.set("spark.graft.cc.driverMaxPairs", "0")
+        spark.conf.set("spark.graft.cc.edgeCheckpointMaxRows", "0")
+        run()
+      } finally {
+        spark.conf.unset("spark.graft.cc.driverMaxPairs")
+        spark.conf.unset("spark.graft.cc.edgeCheckpointMaxRows")
+      }
+    assert(driver.sameElements(checkpointed),
+      "driver union-find diverged from the checkpointed fixpoint")
+    assert(driver.sameElements(partitioned),
+      "driver union-find diverged from the partitioned fixpoint")
+    assert(driver.map(_._2).distinct.length < driver.length,
+      "fixture never clustered — parity is vacuous")
+  }
+
   test("pack_sequences matches greedy per-shard packing recomputed in Scala") {
     val rows = SparkEntry.queries("pack_sequences")(spark, SfDir)
       .collect()
