@@ -356,16 +356,22 @@ final class Via(spark: SparkSession, warehouse: String,
     // store).
     if (fs.exists(new Path(graphIndexPath))) {
       val buf = graft.search.GraphIndex.bufferRows(spark, graphIndexPath)
-      val storeKeys =
+      // maintenance reads the LIVE store, never the pinned serving
+      // snapshot: a stale pin would undercount store keys (missing
+      // drift) and, worse, a triggered re-sync would rebuild the index
+      // from the snapshot and drop rows appended since the pin
+      val liveTier2 =
         if (fs.exists(new Path(tier2Path)))
-          tier2.select(graft.search.TierIndex.rowKey).distinct().count()
-        else 0L
+          Some(spark.read.parquet(tier2Path))
+        else None
+      val storeKeys = liveTier2.fold(0L)(
+        _.select(graft.search.TierIndex.rowKey).distinct().count())
       val idxKeys =
         graft.search.GraphIndex.indexedKeyCount(spark, graphIndexPath)
       graft.search.GraphIndex.nodeCount(spark, graphIndexPath) match {
         case _ if storeKeys > idxKeys =>
           graft.search.GraphIndex.rebuildFrom(spark,
-            graft.search.TierIndex.nodes(tier2), graphIndexPath)
+            graft.search.TierIndex.nodes(liveTier2.get), graphIndexPath)
           acts += Via.Maintenance("graphidx", "sync",
             s"store has $storeKeys keys vs $idxKeys indexed: " +
               "re-synced from Tier-2")

@@ -203,9 +203,14 @@ class TierServeSpec extends SparkSpec {
     assert(GraphIndex.indexedKeyCount(spark, via.graphIndexPath) == storeKeys)
     // drift: rows written to Tier-2 BEHIND the index's back (the pre-fix
     // batch path, a crash between the two writes) are found and re-synced
+    // — even while a STALE serving pin is held (maintenance must read the
+    // live store, not the snapshot, or it both misses the drift and would
+    // re-sync from rows missing since the pin)
+    via.pinServing()
     tier2Fixture(50, idOffset = 40000L)
       .write.mode("append").partitionBy("dt").parquet(via.tier2Path)
     val acts = via.maintainIndexes()
+    via.unpinServing()
     assert(acts.find(_.target == "graphidx").get.action == "sync",
       acts.mkString("; "))
     assert(GraphIndex.indexedKeyCount(spark, via.graphIndexPath) ==
