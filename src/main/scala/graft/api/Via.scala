@@ -56,7 +56,17 @@ final class Via(spark: SparkSession, warehouse: String,
     * cache materialization runs outside the lock; only the
     * swap-and-unpersist is serialized. */
   def pinServing(): Unit = {
-    val df = spark.read.parquet(tier2Path).cache()
+    // range-clustered by rhythm_hash before caching: the in-memory
+    // columnar cache keeps per-batch column stats and prunes batches
+    // against filters (spark.sql.inMemoryColumnarStorage.partitionPruning),
+    // so the hash-keyed serving lookups (triage's example vectors — an
+    // every-call operation) decode only the 1-2 batches whose hash range
+    // matches instead of every dense vector in the snapshot. Scan-shaped
+    // verbs read the same rows regardless of order.
+    val df = spark.read.parquet(tier2Path)
+      .repartitionByRange(org.apache.spark.sql.functions.col("rhythm_hash"))
+      .sortWithinPartitions("rhythm_hash")
+      .cache()
     df.count()
     val displaced = pinLock.synchronized {
       val old = pinnedTier2
