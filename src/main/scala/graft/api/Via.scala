@@ -415,6 +415,18 @@ final class Via(spark: SparkSession, warehouse: String,
       () => graft.search.TextIndex.compact(spark, p, targetBytes)))
     ivfIndexPath.foreach(p => compactIfFragmented("ivfidx", p,
       () => graft.search.IvfIndex.compact(spark, p, targetBytes)))
+    // a pinned serving snapshot's lineage is the parquet file list frozen
+    // at pin time: once a maintenance action REWRITES the store
+    // (compaction swap, graph re-sync's source listing is unaffected but
+    // tier2 compaction is), an evicted cache block would recompute
+    // against deleted files and fail the serving call. Any sweep that
+    // mutated a store therefore re-pins — the commit-point refresh the
+    // pin model prescribes, run by the verb that created the hazard.
+    if (pinnedTier2.isDefined && acts.exists(_.action != "none")) {
+      refreshServing()
+      acts += Via.Maintenance("serving", "repin",
+        "store mutated under a pinned snapshot: refreshed the pin")
+    }
     acts.toSeq
   }
 

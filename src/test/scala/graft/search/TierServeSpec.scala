@@ -210,9 +210,13 @@ class TierServeSpec extends SparkSpec {
     tier2Fixture(50, idOffset = 40000L)
       .write.mode("append").partitionBy("dt").parquet(via.tier2Path)
     val acts = via.maintainIndexes()
-    via.unpinServing()
     assert(acts.find(_.target == "graphidx").get.action == "sync",
       acts.mkString("; "))
+    // the sweep mutated stores under a held pin: it must re-pin, or an
+    // evicted cache block would recompute against compacted-away files
+    assert(acts.find(_.target == "serving").get.action == "repin",
+      acts.mkString("; "))
+    via.unpinServing()
     assert(GraphIndex.indexedKeyCount(spark, via.graphIndexPath) ==
       storeKeys + 50L)
     assert(GraphIndex.bufferRows(spark, via.graphIndexPath) == 0L)
