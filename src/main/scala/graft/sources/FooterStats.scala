@@ -25,6 +25,13 @@ object FooterStats {
     * unreadable mid-rewrite (a compaction swap) — callers fall back to
     * the equivalent Spark aggregate, so stats here are an accelerator,
     * never a correctness dependency. */
+  /** Files per directory beyond which the stats path declines (None →
+    * caller's distributed fallback): footer reads are driver-side IO,
+    * and a badly fragmented live partition (hundreds of micro-batch
+    * files awaiting compaction) should spend cluster parallelism, not
+    * driver threads. Compacted stores sit far below this. */
+  val MaxFiles = 256
+
   def maxLong(spark: SparkSession, dir: String, column: String): Option[Long] = {
     val root = new Path(dir)
     val conf = spark.sessionState.newHadoopConf()
@@ -36,7 +43,7 @@ object FooterStats {
         !n.startsWith(".") && !n.startsWith("_")
       })
       .map(_.getPath)
-    if (files.isEmpty) return None
+    if (files.isEmpty || files.length > MaxFiles) return None
     // footers are read CONCURRENTLY: each open is ~5-10 ms of blocking
     // metadata IO, and an un-compacted live partition holds one file per
     // writer task per batch — sequential reads were the whole cost of
