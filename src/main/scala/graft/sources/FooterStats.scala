@@ -82,11 +82,19 @@ object FooterStats {
           val perBlock = blocks.map { b =>
             b.getColumns.asScala
               .find(_.getPath.toDotString == column)
-              .map(_.getStatistics)
-              .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-              .map(_.genericGetMax) match {
-              case Some(v: java.lang.Long) => Some(v.longValue())
-              case _ => None
+              .map(_.getStatistics) match {
+              case Some(s) if s != null && !s.isEmpty && s.hasNonNullValue =>
+                s.genericGetMax match {
+                  case v: java.lang.Long => Some(v.longValue())
+                  case _ => None // stats exist but aren't INT64
+                }
+              case Some(s) if s != null && !s.isEmpty &&
+                  s.isNumNullsSet && s.getNumNulls == b.getRowCount =>
+                // PROVABLY all-null block: contributes no non-null rows,
+                // so it bounds nothing — like an empty file, not like
+                // missing stats
+                Some(Long.MinValue)
+              case _ => None // stats absent/dropped: can't prove a bound
             }
           }
           if (perBlock.exists(_.isEmpty)) None else Some(perBlock.flatten.max)
