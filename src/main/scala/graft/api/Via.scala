@@ -63,9 +63,12 @@ final class Via(spark: SparkSession, warehouse: String,
     // every-call operation) decode only the 1-2 batches whose hash range
     // matches instead of every dense vector in the snapshot. Scan-shaped
     // verbs read the same rows regardless of order.
-    val df = spark.read.parquet(tier2Path)
-      .repartitionByRange(org.apache.spark.sql.functions.col("rhythm_hash"))
-      .sortWithinPartitions("rhythm_hash")
+    val raw = spark.read.parquet(tier2Path)
+    val df = (if (raw.columns.contains("rhythm_hash"))
+        raw.repartitionByRange(
+            org.apache.spark.sql.functions.col("rhythm_hash"))
+          .sortWithinPartitions("rhythm_hash")
+      else raw)
       .cache()
     df.count()
     val displaced = pinLock.synchronized {
