@@ -180,6 +180,41 @@ class IngestSinkSpec extends SparkSpec {
     assert(bodies.length == 9, s"expected 9 rows, got ${bodies.toSeq}")
   }
 
+  test("window-probed tail stays exact under live streaming ingest") {
+    val work = Files.createTempDirectory("ingest-tail").toString
+    val inDir = s"$work/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val via = new Via(spark, work)
+    def fullTail(n: Int): Seq[String] =
+      IngestPipeline.tail(spark.read.parquet(via.tier1Path), n, None)
+        .collect().map(_.toString).sorted.toSeq
+    def probedTail(n: Int): Seq[String] =
+      via.tail(n).collect().map(_.toString).sorted.toSeq
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/f0.jsonl"),
+      (0 until 40).map(i => otelLine("svc", day1 + i * 7, s"w0 event $i"))
+        .mkString("\n"))
+    val q = IngestPipeline.start(spark, inDir, via.tier1Path,
+      s"$work/ckpt", triggerMs = 10, maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      assert(probedTail(10) == fullTail(10), "tail wrong after batch 0")
+      // more waves land in many small uncompacted b<id>- files: the
+      // footer anchor must track the advancing max and the probe must
+      // stay row-identical to the full scan between every wave
+      (1 to 3).foreach { wave =>
+        Files.writeString(java.nio.file.Paths.get(s"$inDir/f$wave.jsonl"),
+          (0 until 40).map(i =>
+            otelLine("svc", day1 + wave * 300 + i * 7, s"w$wave event $i"))
+            .mkString("\n"))
+        q.processAllAvailable()
+        assert(probedTail(10) == fullTail(10), s"tail diverged after wave $wave")
+        assert(probedTail(10).nonEmpty)
+      }
+      // the newest rows really are the last wave's
+      assert(via.tail(5).collect().forall(_.getAs[String]("body")
+        .startsWith("w3")), "tail must serve the newest wave")
+    } finally q.stop()
+  }
+
   test("refuses a legacy FileStreamSink store with a migration message") {
     val work = Files.createTempDirectory("ingest-legacy").toString
     Files.createDirectories(
