@@ -44,6 +44,32 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("components: driver and distributed tiers agree on random corpora") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      // random near-dup groups: members share a 30-word base with tiny
+      // tails, so LSH links most of each group; group sizes 1-3 make
+      // singletons, pairs and chains all appear
+      val docs = (0 until 12).flatMap { g =>
+        val words = (0 until 30).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+        (0 until 1 + rnd.nextInt(3)).map(m => (g * 10L + m, s"$words tail$m"))
+      }.toDF("doc_id", "text")
+      def run(): Seq[(Long, Long)] =
+        CurationOps.connectedComponents(docs).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val driver = run()
+      val dist =
+        try {
+          spark.conf.set("spark.graft.cc.driverMaxPairs", "0")
+          run()
+        } finally spark.conf.unset("spark.graft.cc.driverMaxPairs")
+      assert(driver == dist, s"tier divergence at seed $seed")
+      assert(driver.map(_._1) == docs.select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq, s"coverage at seed $seed")
+    }
+  }
+
   test("TopKPerGroup == window top-k on random grouped data (10 seeded trials)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
