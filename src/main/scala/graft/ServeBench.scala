@@ -229,7 +229,7 @@ object ServeBench {
     // callers at once — the load shape the single-caller table above
     // cannot see (lock convoys, pool contention, re-cache storms).
     val conc = sys.env.get("SPARK_GRAFT_SERVE_BIG_CONC").map(_.toInt).getOrElse(8)
-    if (conc > 0) {
+    def runConcLeg(tag: String): Unit = {
       val verbs = Array("clusters", "triage")
       val stop = new AtomicBoolean(false)
       val obs = new java.util.concurrent.ConcurrentLinkedQueue[Obs]()
@@ -261,13 +261,30 @@ object ServeBench {
       verbs.foreach { v =>
         val xs = all.filter(_.verb == v).map(_.micros)
         val line =
-          f"""{"leg":"serve_big_conc","level":$conc,"verb":"$v","rows":$bigRows,""" +
+          f"""{"leg":"$tag","level":$conc,"verb":"$v","rows":$bigRows,""" +
           f""""calls":${xs.size},"p50_ms":${pctL(xs, 0.5)}%.1f,""" +
           f""""p95_ms":${pctL(xs, 0.95)}%.1f,"qps_total":$qps%.2f}"""
         println(s"[servebench] $line")
         Files.writeString(resultsPath, line + "\n",
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       }
+    }
+    if (conc > 0) {
+      // SAME-PROCESS A/B of the pin layout (run-to-run ambient swings on
+      // this box dwarf the effect otherwise): the default time-order pin
+      // vs the rhythm_hash-range-clustered pin, same callers/duration.
+      // The measured answer (600k, 8 mixed callers): time order 22.2 QPS
+      // vs hash order 5.6 — the ts-window filters lose their batch
+      // skipping under hash clustering, which costs more than the hash
+      // lookups gain, hence clusterByHash stays opt-in.
+      viaGraphPin.unpinServing(); viaGraphPin.pinServing()
+      (1 to 2).foreach(_ => Seq("clusters", "triage")
+        .foreach(callBig(viaGraphPin, _)))
+      runConcLeg("serve_big_conc")
+      viaGraphPin.unpinServing(); viaGraphPin.pinServing(clusterByHash = true)
+      (1 to 2).foreach(_ => Seq("clusters", "triage")
+        .foreach(callBig(viaGraphPin, _)))
+      runConcLeg("serve_big_conc_hashpin")
     }
     spark.stop()
   }
