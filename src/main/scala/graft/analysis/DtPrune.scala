@@ -29,9 +29,20 @@ object DtPrune {
     * (IngestPipeline.derive) and `to_date` is monotone in `ts_sec` for a
     * fixed session timezone, this predicate is IMPLIED by any
     * `ts_sec ∈ [fromSec, toSec]` filter — adding it never changes results,
-    * it only enables partition pruning. */
-  def apply(df: DataFrame, fromSec: Long, toSec: Long): DataFrame =
-    if (df.columns.contains("dt"))
-      df.filter(col("dt").between(dtOf(lit(fromSec)), dtOf(lit(toSec))))
-    else df
+    * it only enables partition pruning.
+    *
+    * `slackDays` widens both dt bounds by that many days for callers that
+    * must stay exact when the STORE was written under a different session
+    * timezone than the reader's (partition names carry the writer's zone;
+    * the widest legal divergence, UTC-12 vs UTC+14 = 26 h, moves a row's
+    * date by at most 2 days). Constant extra listing, still O(window)
+    * partitions. */
+  def apply(df: DataFrame, fromSec: Long, toSec: Long,
+      slackDays: Int = 0): DataFrame =
+    if (df.columns.contains("dt")) {
+      val lo = dtOf(lit(fromSec)); val hi = dtOf(lit(toSec))
+      if (slackDays == 0) df.filter(col("dt").between(lo, hi))
+      else df.filter(col("dt").between(
+        date_sub(lo, slackDays), date_add(hi, slackDays)))
+    } else df
 }

@@ -45,6 +45,10 @@ final class Via(spark: SparkSession, warehouse: String,
   // batches / maintenance). Unpinned behavior is unchanged: each call
   // reads the store fresh.
   @volatile private var pinnedTier2: Option[DataFrame] = None
+  // layout of the CURRENT pin, so refreshes re-pin with the same layout:
+  // a deployment that opted into the hash-clustered layout must not have
+  // it silently reverted by a maintenance sweep's repin (ADVICE r12)
+  @volatile private var pinnedLayoutHash: Boolean = false
 
   /** Pin the current Tier-2 store as the serving snapshot (caches it in
     * executor memory; the first call pays the materialization).
@@ -82,13 +86,20 @@ final class Via(spark: SparkSession, warehouse: String,
     val displaced = pinLock.synchronized {
       val old = pinnedTier2
       pinnedTier2 = Some(df)
+      pinnedLayoutHash = clusterByHash
       old
     }
     displaced.foreach(_.unpersist())
   }
 
-  /** Re-pin the snapshot over the store's current content. */
-  def refreshServing(): Unit = pinServing()
+  /** Re-pin the snapshot over the store's current content, KEEPING the
+    * current pin's layout choice. */
+  def refreshServing(): Unit = pinServing(pinnedLayoutHash)
+
+  /** Layout of the current pin (false = scan order, true = hash-
+    * clustered) — exposed for specs pinning the repin-keeps-layout
+    * contract. */
+  private[graft] def servingLayoutHash: Boolean = pinnedLayoutHash
 
   /** Drop the pin: serving calls read the store per call again. */
   def unpinServing(): Unit = {
@@ -128,24 +139,27 @@ final class Via(spark: SparkSession, warehouse: String,
     * filters / sparse stores), becoming the plain full scan once it
     * covers the oldest partition's day-start — at which point the ts
     * bound excludes nothing and the result is exact by construction.
-    * Row-identical to the full-scan form (ViaSpec). */
+    * Row-identical to the full-scan form (ViaSpec), in ANY session
+    * timezone: the day-start arithmetic runs in the session zone (dt
+    * derives from ts_sec in that zone — ADVICE r12), the probe's dt
+    * bounds carry ±2 days of cross-timezone slack, and the terminal
+    * iteration IS the plain full scan. */
   def tail(n: Int = 100, filter: Option[String] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.{col, max}
     val root = new Path(tier1Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val allDts =
-      if (fs.exists(root))
-        fs.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSeq
-      else Seq.empty
     // only date-parseable leaves anchor the probe: a null-ts partition
     // (__HIVE_DEFAULT_PARTITION__) sorts after every date string and
     // would otherwise be taken as "newest". Its rows sort behind every
     // timestamped row (desc = nulls last), so they can only surface when
     // the store holds fewer than n timestamped rows — the terminal
-    // shortfall check below full-scans for exactly that case.
-    val dts = allDts
+    // full scan below covers exactly that case.
+    val dts =
+      (if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSeq
+      else Seq.empty)
       .filter(d => scala.util.Try(java.time.LocalDate.parse(d)).isSuccess)
       .sorted.reverse
     val t1 = tier1
@@ -164,28 +178,38 @@ final class Via(spark: SparkSession, warehouse: String,
       if (row.isNullAt(0)) return IngestPipeline.tail(t1, n, filter)
       row.getAs[Number](0).longValue()
     }
-    // UTC day-start of the OLDEST partition: once the probe window's
-    // lower bound passes it, `ts_sec >= from` excludes no stored row
-    // (every row's ts sits inside its own day) — the probe is the full
-    // scan and its result is final even when still short of n.
-    val oldestStart = java.time.LocalDate.parse(dts.last).toEpochDay * 86400L
+    // Day-start of the OLDEST partition in the SESSION timezone: dt =
+    // to_date(timestamp_seconds(ts_sec)) evaluates in the session tz
+    // (IngestPipeline does not pin UTC), so partition dt=D spans
+    // [D 00:00, D+1 00:00) IN THAT ZONE. The previous UTC form declared
+    // a short result final in zones east of UTC while `ts_sec >= from`
+    // still excluded the oldest partition's pre-UTC-midnight rows
+    // (ADVICE r12 medium).
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val oldestStart =
+      java.time.LocalDate.parse(dts.last).atStartOfDay(zone).toEpochSecond
     var w = Via.TailProbeWindowSec
     while (true) {
       val from = maxTs - w
-      val probe = graft.analysis.DtPrune(t1, from, maxTs)
+      if (from <= oldestStart)
+        // the window covers every dated partition, so probing can no
+        // longer narrow the scan: run the plain full scan. This is also
+        // the exactness backstop for what partition-name arithmetic
+        // cannot see — a store WRITTEN under a different session
+        // timezone than the reader's, and undated (null-ts) partitions.
+        return IngestPipeline.tail(t1, n, filter)
+      // dt bounds carry ±2 days of slack: partition names were derived
+      // in the WRITER's session tz, and the widest legal tz divergence
+      // (UTC-12 vs UTC+14 = 26 h) shifts a row's date by at most 2 days
+      // vs the reader's zone. Constant extra listing, never wrong rows —
+      // the `ts_sec` row filter below is the correctness bound.
+      val probe = graft.analysis.DtPrune(t1, from, maxTs, slackDays = 2)
         .filter(col("ts_sec") >= from)
       val res = IngestPipeline.tail(probe, n, filter)
       val rows = res.collect()
       if (rows.length >= n)
         return spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), res.schema)
-      if (from <= oldestStart)
-        // window covers every dated partition and is still short: exact
-        // UNLESS undated (null-ts) rows exist to pad the result — then
-        // only the full scan sees them
-        return if (allDts.length == dts.length)
-          spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
-        else IngestPipeline.tail(t1, n, filter)
       w *= 8
     }
     sys.error("unreachable")
@@ -427,16 +451,18 @@ final class Via(spark: SparkSession, warehouse: String,
     ivfIndexPath.foreach(p => compactIfFragmented("ivfidx", p,
       () => graft.search.IvfIndex.compact(spark, p, targetBytes)))
     // a pinned serving snapshot's lineage is the parquet file list frozen
-    // at pin time: once a maintenance action REWRITES the store
-    // (compaction swap, graph re-sync's source listing is unaffected but
-    // tier2 compaction is), an evicted cache block would recompute
-    // against deleted files and fail the serving call. Any sweep that
-    // mutated a store therefore re-pins — the commit-point refresh the
-    // pin model prescribes, run by the verb that created the hazard.
-    if (pinnedTier2.isDefined && acts.exists(_.action != "none")) {
+    // at pin time: once a maintenance action REWRITES TIER-2 (the
+    // compaction swap deletes the listed files), an evicted cache block
+    // would recompute against deleted files and fail the serving call.
+    // Only a tier2 rewrite creates that hazard — tier1 compaction and
+    // index folds/syncs never touch the pinned store's files, so they do
+    // not pay a re-materialization (ADVICE r12). The repin keeps the
+    // pin's layout choice (refreshServing records it).
+    if (pinnedTier2.isDefined &&
+        acts.exists(a => a.target == "tier2" && a.action != "none")) {
       refreshServing()
       acts += Via.Maintenance("serving", "repin",
-        "store mutated under a pinned snapshot: refreshed the pin")
+        "tier2 rewritten under a pinned snapshot: refreshed the pin")
     }
     acts.toSeq
   }

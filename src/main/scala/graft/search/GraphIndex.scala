@@ -327,21 +327,27 @@ object GraphIndex {
     }
   }
 
-  /** Write a small control file ATOMICALLY: temp file + delete + rename.
-    * The previous truncate-then-write left the whole write duration as a
-    * window where a concurrent read observed an EMPTY file (parsed as
-    * version 0 -> spurious re-cache, possibly against a mid-swap graph
-    * dir — ADVICE r11); rename narrows it to the delete/rename instant. */
+  /** Write a small control file ATOMICALLY: unique temp file + rename
+    * OVER the destination. On POSIX-backed local FS the overwriting
+    * rename is atomic, so readers see either the old or the new content —
+    * never a missing file (parsed as version 0 -> spurious re-cache,
+    * ADVICE r11) and never someone else's half-written temp (the r12
+    * finding: a FIXED temp name let two concurrent writers publish each
+    * other's partial writes; the unique suffix removes the sharing).
+    * Only a filesystem that refuses overwriting renames (HDFS) takes the
+    * delete-then-rename path, whose window is the rename instant. */
   private def writeControlFile(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path, value: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(
-      dest.getParent, dest.getName + ".tmp")
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+      s"${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"cannot publish control file $dest")
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"cannot publish control file $dest")
+    }
   }
 
   private def bumpVersion(spark: SparkSession, path: String): Unit = {

@@ -32,6 +32,21 @@ object FooterStats {
     * driver threads. Compacted stores sit far below this. */
   val MaxFiles = 256
 
+  /** Shared bounded pool for footer IO. Per-call pool creation/teardown
+    * sat on the hot serving path (every `Via.tail` probe — ADVICE r12),
+    * and default non-daemon threads could pin JVM shutdown; 16 lazy
+    * daemon threads are reused across calls instead. Bounded pool, not
+    * the global EC: this is blocking metadata IO on the driver. */
+  private lazy val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-footer-io-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
+
   def maxLong(spark: SparkSession, dir: String, column: String): Option[Long] = {
     val root = new Path(dir)
     val conf = spark.sessionState.newHadoopConf()
@@ -47,24 +62,18 @@ object FooterStats {
     // footers are read CONCURRENTLY: each open is ~5-10 ms of blocking
     // metadata IO, and an un-compacted live partition holds one file per
     // writer task per batch — sequential reads were the whole cost of
-    // the stats path at 32 files (TailBench). Bounded pool, not the
-    // global EC: this is blocking IO on the driver.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(files.length, 16))
-    try {
-      import scala.jdk.CollectionConverters._
-      val futures = files.toSeq.map { f =>
-        pool.submit(new java.util.concurrent.Callable[Option[Long]] {
-          def call(): Option[Long] = fileMaxLong(f, conf, column)
-        })
-      }
-      val perFile = futures.map(_.get())
-      if (perFile.exists(_.isEmpty)) None // one statless file poisons it
-      else perFile.flatten.filter(_ != Long.MinValue) match {
-        case s if s.isEmpty => None // all files empty of row groups
-        case s => Some(s.max)
-      }
-    } finally pool.shutdown()
+    // the stats path at 32 files (TailBench).
+    val futures = files.toSeq.map { f =>
+      pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = fileMaxLong(f, conf, column)
+      })
+    }
+    val perFile = futures.map(_.get())
+    if (perFile.exists(_.isEmpty)) None // one statless file poisons it
+    else perFile.flatten.filter(_ != Long.MinValue) match {
+      case s if s.isEmpty => None // all files empty of row groups
+      case s => Some(s.max)
+    }
   }
 
   /** Max of `column` in one file's footer; Long.MinValue marks a file

@@ -148,6 +148,38 @@ class ViaSpec extends SparkSpec {
     assert(via.tail(n = 100, filter = Some("earlyterm")).count() == 20)
   }
 
+  test("tail in a non-UTC session timezone: terminal shortfall stays exact") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // UTC+14: the local day starts 14 h BEFORE the UTC day, so the
+      // oldest partition holds rows below its name's UTC epoch. The
+      // pre-r13 terminal condition (UTC day-start) declared a short
+      // result final while `ts_sec >= from` still excluded those rows —
+      // tail silently dropped them (ADVICE r12 medium).
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val via = new Via(spark, Files.createTempDirectory("via-tailtz").toString)
+      val utcMidnight = (now / 86400L + 1) * 86400L
+      val early = (0 until 6).map(i =>
+        otel("svc", "INFO", utcMidnight - 50000 + i, s"tzearly item $i"))
+      val late = (0 until 3).map(i =>
+        otel("svc", "INFO", utcMidnight + 1000 + i, s"tzlate item $i"))
+      via.ingestBatch((early ++ late).toDF("value"))
+      // all nine rows share ONE local-day partition that straddles the
+      // UTC midnight
+      assert(spark.read.parquet(via.tier1Path)
+        .select("dt").distinct().count() == 1)
+      // more rows requested than exist: the terminal full scan surfaces
+      // all 9 (the UTC-day-start form returned only the 3 post-midnight)
+      assert(via.tail(n = 100).count() == 9)
+      val got = via.tail(n = 9).collect().map(_.toString).sorted
+      val full = graft.streaming.IngestPipeline.tail(
+          spark.read.parquet(via.tier1Path), 9, None)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(full), "tz-local tail diverged from full scan")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("tail over a store with a null-ts partition: probe stays exact") {
     import spark.implicits._
     val via = new Via(spark, Files.createTempDirectory("via-tailnull").toString)

@@ -212,10 +212,22 @@ class TierServeSpec extends SparkSpec {
     val acts = via.maintainIndexes()
     assert(acts.find(_.target == "graphidx").get.action == "sync",
       acts.mkString("; "))
-    // the sweep mutated stores under a held pin: it must re-pin, or an
-    // evicted cache block would recompute against compacted-away files
-    assert(acts.find(_.target == "serving").get.action == "repin",
-      acts.mkString("; "))
+    // a graphidx sync does NOT rewrite tier2's files, so the held pin
+    // stays VALID (its frozen file listing is intact) and the sweep must
+    // not pay a re-materialization for it (ADVICE r12); only a tier2
+    // rewrite (compaction swap) repins — asserted below
+    assert(!acts.exists(_.target == "serving"), acts.mkString("; "))
+    // force a tier2 rewrite under the same held pin: the repin fires and
+    // KEEPS the pin's layout choice (ADVICE r12: refreshServing used to
+    // silently revert an opted-in hash layout)
+    via.pinServing(clusterByHash = true)
+    val acts2 = via.maintainIndexes(smallFileThreshold = 1)
+    assert(acts2.find(_.target == "tier2").get.action == "compact",
+      acts2.mkString("; "))
+    assert(acts2.find(_.target == "serving").get.action == "repin",
+      acts2.mkString("; "))
+    assert(via.servingLayoutHash,
+      "maintenance repin reverted the opted-in hash-clustered layout")
     via.unpinServing()
     assert(GraphIndex.indexedKeyCount(spark, via.graphIndexPath) ==
       storeKeys + 50L)
