@@ -20,11 +20,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *                  above which `clusters`/`triage` serve through the
   *                  graph ANN leg instead of the exact scan — mirroring
   *                  the reference's always-HNSW Tier-2 while keeping the
-  *                  exact path where scanning is cheaper than probing
-  *                  (the measured ~100k-vector crossover, SCALE.md)
+  *                  exact path where scanning is cheaper than probing.
+  *                  -1 (the default) routes EACH VERB at its own measured
+  *                  crossover ([[Via.ClustersServeThreshold]] /
+  *                  [[Via.TriageServeThreshold]] — triage's exact scan
+  *                  stays competitive far longer because its query vector
+  *                  is one cheap filtered average while clusters pays a
+  *                  full-text match per row; SCALE.md crossover table); an
+  *                  explicit value overrides BOTH verbs (the r12-and-
+  *                  earlier behavior, used by benches to force one path).
+  * @param clustersServeThreshold per-verb override for `clusters` (-1 =
+  *                  inherit `graphServeThreshold` resolution)
+  * @param triageServeThreshold per-verb override for `triage` (-1 =
+  *                  inherit `graphServeThreshold` resolution)
   */
 final class Via(spark: SparkSession, warehouse: String,
-    graphServeThreshold: Long = Via.GraphServeThreshold) {
+    graphServeThreshold: Long = -1L,
+    clustersServeThreshold: Long = -1L,
+    triageServeThreshold: Long = -1L) {
+
+  private def resolveThreshold(perVerb: Long, verbDefault: Long): Long =
+    if (perVerb >= 0) perVerb
+    else if (graphServeThreshold >= 0) graphServeThreshold
+    else verbDefault
+  /** Resolved routing gates (node count at/above which the verb serves
+    * through the graph index). */
+  private[graft] val clustersGate: Long =
+    resolveThreshold(clustersServeThreshold, Via.ClustersServeThreshold)
+  private[graft] val triageGate: Long =
+    resolveThreshold(triageServeThreshold, Via.TriageServeThreshold)
 
   val tier1Path = s"$warehouse/tier1"
   val tier2Path = s"$warehouse/tier2"
@@ -480,7 +504,7 @@ final class Via(spark: SparkSession, warehouse: String,
       endTs: Option[Long] = None,
       textFilter: Option[String] = None): DataFrame =
     textFilter match {
-      case Some(f) if graphServes =>
+      case Some(f) if graphServes(clustersGate) =>
         ClusterSearch.clustersIndexed(tier2, graphIndexPath, Some(rules),
           nowSec, startTs, endTs, textFilter = f)
       case _ =>
@@ -490,14 +514,19 @@ final class Via(spark: SparkSession, warehouse: String,
 
   // --- POST /analysis/tier2/triage (V3/A7) ----------------------------
   def triage(positive: Seq[String], negative: Seq[String]): DataFrame =
-    if (graphServes)
+    if (graphServes(triageGate))
       ClusterSearch.triageIndexed(tier2, graphIndexPath, positive, negative)
     else ClusterSearch.triage(tier2, positive, negative)
 
-  /** The ANN-serving gate: graph index present and at/above threshold. */
-  private def graphServes: Boolean =
+  /** The ANN-serving gate: graph index present and at/above the verb's
+    * threshold. */
+  private def graphServes(threshold: Long): Boolean =
     graft.search.GraphIndex.nodeCount(spark, graphIndexPath)
-      .exists(_ >= graphServeThreshold)
+      .exists(_ >= threshold)
+  /** Routing decisions exposed for specs (gate semantics, not parity —
+    * parity is TierServeSpec's job). */
+  private[graft] def clustersServesViaGraph: Boolean = graphServes(clustersGate)
+  private[graft] def triageServesViaGraph: Boolean = graphServes(triageGate)
 
   /** Bulk-(re)build the Tier-2 serving graph index from the current
     * store — the initial build; [[startStreamingPromotion]] keeps it
@@ -538,9 +567,21 @@ object Via {
     * occurrences of the patched hash). */
   val EvalContextLogs = 10
 
-  /** Graph-serving corpus-size gate: below this the exact Tier-2 scan
-    * wins (ScaleBench's measured ~100k crossover for flat-vs-indexed
-    * probes at serving beam widths). */
+  /** Graph-serving corpus-size gate for `clusters`: the text-filtered
+    * exact scan pays a full-text match + embed-cosine per row, so the
+    * graph wins early (ScaleBench's measured ~100k crossover for
+    * flat-vs-indexed probes at serving beam widths; ServeBench r12:
+    * graph already 1.9× faster at 600k). */
+  val ClustersServeThreshold = 100000L
+  /** Graph-serving gate for `triage`: its exact scan is one cheap
+    * filtered-average + cosine rank, so the exact pin stays faster
+    * longer — measured exact 102 ms vs graph 152 ms at 150k, crossing
+    * before 600k (210 vs 277 ms; ServeBench r12, re-measured at 300k in
+    * SCALE.md r13). Routing BOTH verbs at 100k made triage pay up to
+    * ~1.5× in the 100k-600k band (VERDICT r12 item 2). */
+  val TriageServeThreshold = 300000L
+  /** Pre-r13 shared gate, kept for callers that want one explicit
+    * threshold for both verbs (benches forcing a path). */
   val GraphServeThreshold = 100000L
   /** Initial `tail` probe window (seconds of event time before the
     * store's newest row). Sized so a reference-rate stream (100 logs/s,

@@ -171,6 +171,39 @@ class TierServeSpec extends SparkSpec {
     assert(rowStrs(viaGraph.clusters(now)) == rowStrs(viaExact.clusters(now)))
   }
 
+  test("per-verb graph-serve routing: gates resolve and route independently") {
+    val wh = java.nio.file.Files.createTempDirectory("viagate").toString
+    tier2Fixture(600).write.partitionBy("dt").parquet(s"$wh/tier2")
+    val viaSplit = new Via(spark, wh,
+      clustersServeThreshold = 1L, triageServeThreshold = 10000L)
+    viaSplit.buildGraphIndex()
+    // the 600-node store sits between the two gates: clusters routes to
+    // the graph while triage keeps the exact scan (the r12 finding —
+    // triage's crossover is far later, one shared gate made it pay ~1.5×
+    // in the band)
+    assert(viaSplit.clustersServesViaGraph && !viaSplit.triageServesViaGraph)
+    // defaults: both measured thresholds sit above this store
+    val viaDef = new Via(spark, wh)
+    assert(viaDef.clustersGate == Via.ClustersServeThreshold &&
+      viaDef.triageGate == Via.TriageServeThreshold)
+    assert(!viaDef.clustersServesViaGraph && !viaDef.triageServesViaGraph)
+    // an explicit shared threshold still overrides BOTH verbs (bench
+    // compatibility: forcing one path)
+    val viaShared = new Via(spark, wh, graphServeThreshold = 1L)
+    assert(viaShared.clustersServesViaGraph && viaShared.triageServesViaGraph)
+    // and a per-verb value wins over the shared one
+    val viaMixed = new Via(spark, wh, graphServeThreshold = 1L,
+      triageServeThreshold = 10000L)
+    assert(viaMixed.clustersServesViaGraph && !viaMixed.triageServesViaGraph)
+    // routed-vs-exact parity on the split Via (both paths live here)
+    val now = 1700000000L + 700 * 60
+    val viaExact = new Via(spark, wh, graphServeThreshold = Long.MaxValue)
+    assert(rowStrs(viaSplit.clusters(now, textFilter = Some("failed user"))) ==
+      rowStrs(viaExact.clusters(now, textFilter = Some("failed user"))))
+    assert(rowStrs(viaSplit.triage(Seq("h3", "h17"), Seq("h40"))) ==
+      rowStrs(viaExact.triage(Seq("h3", "h17"), Seq("h40"))))
+  }
+
   test("batch promotion follows an existing graph; drift re-syncs (ADVICE r11)") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("bfresh").toString
