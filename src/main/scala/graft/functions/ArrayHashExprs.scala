@@ -168,19 +168,28 @@ object ShingleHashes {
     * miss or slot collision recomputes, so the values are bit-identical
     * to the uncached kernel. hexChars rides in the value slot so the
     * k=4/15-hex and k=5/7-hex callers cannot cross-contaminate (shingle
-    * LENGTH differs per k, so the string key alone separates the ks). */
-  private val CacheBits = 17
-  private final class Memo {
-    val keys = new Array[String](1 << CacheBits)
-    val vals = new Array[Long](1 << CacheBits)
-    val hexs = new Array[Int](1 << CacheBits)
+    * LENGTH differs per k, so the string key alone separates the ks).
+    * Sized by `spark.graft.memo.shingleBits` at executor init
+    * ([[MemoConf]]) — shrinkable without a rebuild. */
+  private lazy val CacheBits =
+    MemoConf.bits("spark.graft.memo.shingleBits", 17)
+  private[functions] final class Memo(bits: Int) {
+    val mask = (1 << bits) - 1
+    val shift = 32 - bits
+    val keys = new Array[String](1 << bits)
+    val vals = new Array[Long](1 << bits)
+    val hexs = new Array[Int](1 << bits)
   }
   private val memos = new ThreadLocal[Memo] {
-    override def initialValue(): Memo = new Memo
+    override def initialValue(): Memo = new Memo(CacheBits)
   }
 
   def compute(input: org.apache.spark.unsafe.types.UTF8String,
-      k: Int, hexChars: Int): GenericArrayData = {
+      k: Int, hexChars: Int): GenericArrayData =
+    compute(input, k, hexChars, memos.get())
+
+  private[functions] def compute(input: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, hexChars: Int, memo: Memo): GenericArrayData = {
     val norm = input.toString.toLowerCase.replaceAll("\\s+", " ")
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -188,14 +197,13 @@ object ShingleHashes {
       seen.add(norm.substring(i, i + k))
       i += 1
     }
-    val memo = memos.get()
-    val mask = (1 << CacheBits) - 1
+    val mask = memo.mask
     val out = new Array[Long](seen.size)
     var j = 0
     val it = seen.iterator()
     while (it.hasNext) {
       val s = it.next()
-      val slot = (s.hashCode * 0x9E3779B1) >>> (32 - CacheBits) & mask
+      val slot = (s.hashCode * 0x9E3779B1) >>> memo.shift & mask
       val cached = memo.keys(slot)
       if (memo.hexs(slot) == hexChars && cached != null && cached.equals(s)) {
         out(j) = memo.vals(slot)

@@ -51,33 +51,41 @@ object EmbedText {
     * MurmurHash — the vector is bit-identical to the uncached kernel
     * (same memoization pattern as the simhash/shingle kernels). The
     * 3-gram loop is the measured bulk of the embedding scan (one
-    * substring + hash per CHARACTER); word unigrams stay uncached. */
-  private val CacheBits = 16
-  private final class GramCache {
-    val keys = new Array[Long](1 << CacheBits)
-    val vals = new Array[Int](1 << CacheBits)
+    * substring + hash per CHARACTER); word unigrams stay uncached.
+    * Sized by `spark.graft.memo.embedBits` at executor init
+    * ([[MemoConf]]) — shrinkable without a rebuild. */
+  private lazy val CacheBits =
+    MemoConf.bits("spark.graft.memo.embedBits", 16)
+  private[functions] final class GramCache(bits: Int) {
+    val mask = (1 << bits) - 1
+    val shift = 64 - bits
+    val keys = new Array[Long](1 << bits)
+    val vals = new Array[Int](1 << bits)
   }
   private val caches = new ThreadLocal[GramCache] {
-    override def initialValue(): GramCache = new GramCache
+    override def initialValue(): GramCache = new GramCache(CacheBits)
   }
 
   /** Static kernel reachable from generated Java code. */
   def embed(input: UTF8String): GenericArrayData =
     new GenericArrayData(embedString(input.toString))
 
-  def embedString(text: String): Array[Float] = {
+  def embedString(text: String): Array[Float] =
+    embedString(text, caches.get())
+
+  private[functions] def embedString(text: String,
+      cache: GramCache): Array[Float] = {
     val v = new Array[Float](Dim)
     val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
     if (norm.nonEmpty) {
       norm.split(" ").foreach(addFeature(_, v))
-      val cache = caches.get()
-      val mask = (1 << CacheBits) - 1
+      val mask = cache.mask
       var i = 0
       while (i + 3 <= norm.length) {
         val key = (norm.charAt(i).toLong << 32) |
           (norm.charAt(i + 1).toLong << 16) |
           norm.charAt(i + 2).toLong
-        val slot = ((key * 0x9E3779B97F4A7C15L) >>> (64 - CacheBits)).toInt & mask
+        val slot = ((key * 0x9E3779B97F4A7C15L) >>> cache.shift).toInt & mask
         val code =
           if (key != 0L && cache.keys(slot) == key) cache.vals(slot)
           else {

@@ -61,20 +61,29 @@ object Simhash64 {
     * per thread instead of once per occurrence. Collisions simply
     * overwrite (it is a cache, not a map): a miss or slot mismatch
     * recomputes the digest, so the RESULT is bit-identical to the
-    * uncached kernel in every case. 2^18 slots × 16 B = 4 MB/thread. */
-  private val CacheBits = 18
-  private final class ShingleCache {
-    val keys = new Array[Long](1 << CacheBits)
-    val vals = new Array[Long](1 << CacheBits)
+    * uncached kernel in every case. 2^18 slots × 16 B = 4 MB/thread at
+    * the default; sized by `spark.graft.memo.simhashBits` at executor
+    * init ([[MemoConf]]) — shrinkable without a rebuild. */
+  private lazy val CacheBits =
+    MemoConf.bits("spark.graft.memo.simhashBits", 18)
+  private[functions] final class ShingleCache(bits: Int) {
+    val mask = (1 << bits) - 1
+    val shift = 64 - bits
+    val keys = new Array[Long](1 << bits)
+    val vals = new Array[Long](1 << bits)
   }
   private val caches = new ThreadLocal[ShingleCache] {
-    override def initialValue(): ShingleCache = new ShingleCache
+    override def initialValue(): ShingleCache = new ShingleCache(CacheBits)
   }
 
   /** Static kernel reachable from generated Java code. */
   def compute(input: UTF8String): Long = computeString(input.toString)
 
-  def computeString(text: String): Long = {
+  def computeString(text: String): Long =
+    computeString(text, caches.get())
+
+  private[functions] def computeString(text: String,
+      cache: ShingleCache): Long = {
     val norm = text.toLowerCase.replaceAll("\\s+", " ")
     val n = norm.length
     val ones = new Array[Int](64)
@@ -83,8 +92,7 @@ object Simhash64 {
       accumulate(hashFeature(norm), ones)
       total = 1
     } else {
-      val cache = caches.get()
-      val mask = (1 << CacheBits) - 1
+      val mask = cache.mask
       var i = 0
       while (i + Shingle <= n) {
         // 4 UTF-16 chars pack losslessly into the 64-bit cache key;
@@ -94,7 +102,7 @@ object Simhash64 {
           (norm.charAt(i + 1).toLong << 32) |
           (norm.charAt(i + 2).toLong << 16) |
           norm.charAt(i + 3).toLong
-        val slot = ((key * 0x9E3779B97F4A7C15L) >>> (64 - CacheBits)).toInt & mask
+        val slot = ((key * 0x9E3779B97F4A7C15L) >>> cache.shift).toInt & mask
         val hv =
           if (key != 0L && cache.keys(slot) == key) cache.vals(slot)
           else {
