@@ -356,6 +356,44 @@ object GraphIndex {
     writeControlFile(fs, versionFile(root), (version(spark, path) + 1).toString)
   }
 
+  // ---------------------------------------------------------------------
+  // Buffer version stamp: `_buffer.version` under the index root, bumped
+  // by every buffer MUTATION ([[append]], [[appendBatch]], and the
+  // [[rebuild]] fold that clears buffer files). The serving path keeps a
+  // driver-resident decoded copy of the buffer keyed by this stamp, so a
+  // probe against a QUIESCENT store reads one tiny file instead of
+  // launching a Spark job + parquet re-read per call (VERDICT r12 item 5
+  // — the per-call job-scheduling floor was the dominant serving cost).
+  // Mutations bump AFTER their files land, and every mutation verb bumps
+  // before returning, so rows are probe-visible at call boundaries — the
+  // same freshness contract the per-call re-read gave.
+  // ---------------------------------------------------------------------
+
+  private def bufferVersionFile(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_buffer.version")
+
+  /** Current buffer stamp (0 for a store no buffer write has touched). */
+  def bufferVersion(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = bufferVersionFile(root)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      catch { case _: NumberFormatException => 0L }
+      finally in.close()
+    }
+  }
+
+  private def bumpBufferVersion(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    writeControlFile(fs, bufferVersionFile(root),
+      (bufferVersion(spark, path) + 1).toString)
+  }
+
   private def countFile(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_graph.count")
 
@@ -432,11 +470,13 @@ object GraphIndex {
   // ---------------------------------------------------------------------
 
   /** Append fresh vectors to the exact-scored buffer segment. */
-  def append(newVectors: DataFrame, path: String): Unit =
+  def append(newVectors: DataFrame, path: String): Unit = {
     ensurePayload(newVectors).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("embedding"),
         col("payload"))
       .write.mode("append").parquet(s"$path/buffer")
+    bumpBufferVersion(newVectors.sparkSession, path)
+  }
 
   /** Batch-IDEMPOTENT buffer append — the streaming-maintenance write
     * (the [[AnnIndex.appendBatch]] contract applied to the graph's
@@ -449,7 +489,7 @@ object GraphIndex {
     * nothing. Probes union both buffer dirs; [[rebuild]] folds and
     * clears both (do not rebuild while a crashed stream may still replay
     * a snapshotted batch — the [[AnnIndex.fold]] caveat). */
-  def appendBatch(newVectors: DataFrame, path: String, batchId: Long): Unit =
+  def appendBatch(newVectors: DataFrame, path: String, batchId: Long): Unit = {
     ensurePayload(newVectors).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("embedding"),
         col("payload"),
@@ -458,6 +498,8 @@ object GraphIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$path/buffer-batches")
+    bumpBufferVersion(newVectors.sparkSession, path)
+  }
 
   private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
@@ -596,6 +638,12 @@ object GraphIndex {
     bumpVersion(spark, path)
     bufSnapshot.foreach(f => fs.delete(f, false))
     batchSnapshot.foreach(d => fs.delete(d, true))
+    // the fold cleared buffer files: invalidate resident buffer copies.
+    // A probe racing this window sees either (stale buffer ∪ new graph) —
+    // folded rows appear on BOTH sides and the serving merge dedups by
+    // vec_id — or the refreshed empty-after-fold buffer; complete either
+    // way.
+    bumpBufferVersion(spark, path)
     fs.delete(oldDir, true); fs.delete(tmpRoot, true)
   }
 
@@ -709,9 +757,12 @@ object GraphIndex {
     * rows (VERDICT r11 collect audit). Fresh rows keep exact recall
     * within the top-k contract — a buffer row in the true cosine top-k
     * always survives the merge, because its own score is exact and
-    * graph-side scores are true cosines of other rows. The buffer is
-    * still READ per call (it mutates between probes); that scan is
-    * bounded by the `Via.maintainIndexes` rebuild cadence. */
+    * graph-side scores are true cosines of other rows. The buffer side
+    * is DRIVER-RESIDENT behind the `_buffer.version` stamp (r13): a
+    * quiescent store pays one tiny stamp read and an in-process scoring
+    * loop — zero Spark jobs — and only a mutation (append/fold) re-reads
+    * the parquet; an oversized buffer declines to the per-call job path
+    * (still k-bounded). */
   def servingCandidates(spark: SparkSession, path: String,
       q: Seq[Double], k: Int, ef: Int = EfSearch): Seq[Long] =
     servingHits(spark, path, q, k, ef).map(_.vec_id)
@@ -723,6 +774,66 @@ object GraphIndex {
     * contract; the r11 weak-mark fix). */
   final case class ServingHit(vec_id: Long, score: Double,
       payload: String, embedding: Seq[Double])
+
+  // ---------------------------------------------------------------------
+  // Driver-resident buffer segment (VERDICT r12 item 5): the buffer was
+  // re-read from parquet WITH a Spark job on every serving probe — the
+  // job-scheduling floor, not the math, dominated serving latency once
+  // the graph side went resident. The buffer is small by the rebuild-
+  // cadence contract (Via.MaintainBufferRatio), so its decoded rows live
+  // on the driver keyed by the `_buffer.version` stamp: a probe against
+  // a quiescent store scores it in-process — zero Spark jobs on the
+  // buffer side. Oversized buffers (maintenance overdue) decline to the
+  // per-call job path, never to wrong answers.
+  // ---------------------------------------------------------------------
+
+  /** Buffer rows above which the serving path declines to hold the
+    * buffer driver-resident (conf
+    * `spark.graft.serve.residentBufferMaxRows`): ~3 KB/row at 384-d puts
+    * the default's ceiling at ~300 MB of driver heap. */
+  val DefaultResidentBufferMaxRows = 100000L
+
+  private final class ResidentBuffer(val version: Long,
+      val ids: Array[Long], val vecs: Array[Array[Double]],
+      val norms: Array[Double], val payloads: Array[String]) {
+    def declined: Boolean = ids == null
+  }
+  private val residentBuffers =
+    new java.util.concurrent.ConcurrentHashMap[String, ResidentBuffer]()
+
+  private def residentBufferFor(spark: SparkSession,
+      path: String): ResidentBuffer = {
+    val bv = bufferVersion(spark, path)
+    residentBuffers.compute(path, (p, old) =>
+      if (old != null && old.version == bv) old
+      else {
+        val maxRows =
+          try spark.conf.get("spark.graft.serve.residentBufferMaxRows",
+            DefaultResidentBufferMaxRows.toString).toLong
+          catch { case _: Exception => DefaultResidentBufferMaxRows }
+        bufferDf(spark, p) match {
+          case None => new ResidentBuffer(bv, Array.empty[Long],
+            Array.empty[Array[Double]], Array.empty[Double],
+            Array.empty[String])
+          case Some(b) =>
+            // limit+1 bounds the collect AND detects overflow without a
+            // separate count job
+            val lim = (math.min(math.max(maxRows, 0L), 10000000L) + 1L).toInt
+            val rows = b.select(col("vec_id"),
+                col("embedding").cast("array<double>").as("embedding"),
+                col("payload"))
+              .limit(lim).collect()
+            if (rows.length >= lim)
+              new ResidentBuffer(bv, null, null, null, null) // declined
+            else {
+              val vecs = rows.map(_.getSeq[Double](1).toArray)
+              new ResidentBuffer(bv, rows.map(_.getLong(0)), vecs,
+                vecs.map(norm),
+                rows.map(r => if (r.isNullAt(2)) null else r.getString(2)))
+            }
+        }
+      })
+  }
 
   /** [[servingCandidates]] returning payload + embedding with each hit:
     * the per-call collect is O(parts·ef + k) ROWS — independent of both
@@ -748,20 +859,39 @@ object GraphIndex {
           sg.payloads(i), sg.vecs(i).toSeq))
       }
     }.collect()
-    val bufHits = bufferDf(spark, path) match {
-      case None => Array.empty[ServingHit]
-      case Some(b) =>
-        // exact cosine per buffered row, top-k INSIDE the job — the
-        // collect is <= k rows whatever the buffer has grown to
-        b.select(col("vec_id"),
-            cosineToConst(col("embedding").cast("array<double>"), q).as("s"),
-            col("payload"),
-            col("embedding").cast("array<double>").as("embedding"))
-          .orderBy(col("s").desc, col("vec_id"))
-          .limit(k)
-          .as[(Long, Double, String, Seq[Double])].collect()
-          .map { case (id, s, p, e) => ServingHit(id, s, p, e) }
-    }
+    val rb = residentBufferFor(spark, path)
+    val bufHits: Array[ServingHit] =
+      if (!rb.declined) {
+        // exact cosine per resident row IN-PROCESS — zero Spark jobs on
+        // a quiescent store. Same arithmetic as the job path's
+        // CosineConstExpr (dot / (‖v‖·‖q‖); 0 for a zero-norm side;
+        // dimension-mismatched rows score null there and sort last, so
+        // skipping them here is order-identical within the top-k), same
+        // (score desc, vec_id) tie order.
+        rb.ids.indices.iterator
+          .filter(i => rb.vecs(i).length == qA.length)
+          .map { i =>
+            val s =
+              if (qn == 0.0 || rb.norms(i) == 0.0) 0.0
+              else dot(rb.vecs(i), qA) / (rb.norms(i) * qn)
+            ServingHit(rb.ids(i), s, rb.payloads(i), rb.vecs(i).toSeq)
+          }
+          .toArray.sortBy(h => (-h.score, h.vec_id)).take(k)
+      } else bufferDf(spark, path) match {
+        case None => Array.empty[ServingHit]
+        case Some(b) =>
+          // oversized buffer (maintenance overdue): exact cosine per
+          // buffered row, top-k INSIDE the job — the collect is <= k
+          // rows whatever the buffer has grown to
+          b.select(col("vec_id"),
+              cosineToConst(col("embedding").cast("array<double>"), q).as("s"),
+              col("payload"),
+              col("embedding").cast("array<double>").as("embedding"))
+            .orderBy(col("s").desc, col("vec_id"))
+            .limit(k)
+            .as[(Long, Double, String, Seq[Double])].collect()
+            .map { case (id, s, p, e) => ServingHit(id, s, p, e) }
+      }
     val seen = mutable.Set.empty[Long]
     (hits ++ bufHits).sortBy(h => (-h.score, h.vec_id))
       .iterator.filter(h => seen.add(h.vec_id)).take(k).toSeq

@@ -114,6 +114,56 @@ class GraphIndexSpec extends SparkSpec {
     assert(gotAll.sameElements(wantAll))
   }
 
+  test("servingHits: resident buffer == per-call job path; mutations visible") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, SfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val fresh = emb.filter(col("vec_id") >= 400 && col("vec_id") < 460)
+    // the SAME corpus built twice (build is deterministic — pinned above):
+    // one store probed through the driver-resident buffer, the other
+    // forced onto the per-call Spark-job fallback via a 0-row cap
+    val pathRes = java.nio.file.Files.createTempDirectory("gres").toString + "/g"
+    val pathJob = java.nio.file.Files.createTempDirectory("gjob").toString + "/g"
+    Seq(pathRes, pathJob).foreach { p =>
+      GraphIndex.build(base, p); GraphIndex.append(fresh, p)
+    }
+    def hits(p: String): Seq[(Long, Double, Seq[Double])] = GraphIndex
+      .servingHits(spark, p, Q, 20, ef = GraphIndex.GateEf)
+      .map(h => (h.vec_id, h.score, h.embedding))
+    val resident = hits(pathRes)
+    val prev = spark.conf.getOption("spark.graft.serve.residentBufferMaxRows")
+    try {
+      spark.conf.set("spark.graft.serve.residentBufferMaxRows", "0")
+      val job = hits(pathJob)
+      assert(resident == job,
+        s"resident buffer diverged from the job path:\n$resident\nvs\n$job")
+      // buffered rows really flow through both paths (fresh ids present)
+      assert(resident.exists(_._1 >= 400))
+    } finally {
+      prev.fold(spark.conf.unset("spark.graft.serve.residentBufferMaxRows"))(
+        v => spark.conf.set("spark.graft.serve.residentBufferMaxRows", v))
+    }
+    // mutation visibility at call boundaries: an append is served by the
+    // very next probe (the stamp bump re-reads the buffer)...
+    val more = emb.filter(col("vec_id") >= 460 && col("vec_id") < 470)
+    GraphIndex.append(more, pathRes)
+    val afterAppend = hits(pathRes)
+    // exact top-20 with servingHits' own (unrounded score desc, vec_id)
+    // order — the reference both serving paths must reproduce
+    val k20 = base.union(fresh).union(more)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosineToConst(
+          col("embedding").cast("array<double>"), Q).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterAppend.map(_._1) == k20,
+      "appended rows not visible to the resident serving path")
+    // ...and a rebuild (buffer fold) invalidates the resident copy
+    GraphIndex.rebuild(spark, pathRes)
+    assert(hits(pathRes).map(_._1) == k20,
+      "post-rebuild serving hits diverged (stale resident buffer?)")
+  }
+
   test("rebuild recovery: a crash between the swap renames is restored") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, SfDir)
