@@ -33,6 +33,11 @@ object RhythmAnalyzer {
     * (`rhythm_analysis_service.py:74`, `qdrant_service.py:147-157`). */
   val DefaultBaselineLookbackSec: Long = 30L * 86400
 
+  /** Baseline sample size (the reference's 10k-point scroll,
+    * `rhythm_analysis_service.py:74`) — shared with the anchored-window
+    * probe so its coverage check matches what [[detect]] samples. */
+  val DefaultHistSample: Int = 10000
+
   /** @param ev columns: rhythm_hash STRING, ts_sec LONG (+ optional
     *        tie-break column for a fully deterministic baseline sample)
     * @param baselineLookbackSec bound on how far before `windowStart` the
@@ -44,7 +49,7 @@ object RhythmAnalyzer {
       ev: DataFrame,
       windowStart: Long,
       windowSec: Double,
-      histSample: Int = 10000,
+      histSample: Int = DefaultHistSample,
       noveltyMinCount: Int = 2,
       freqMinCount: Int = 3,
       freqSigma: Double = 2.5,

@@ -35,6 +35,127 @@ object AnalysisJob {
       toSec: Long): DataFrame =
     DtPrune(spark.read.parquet(tier1Path), fromSec, toSec)
 
+  /** Initial event-time span probed below the window for the baseline
+    * sample (widens ×8 on shortfall): at the reference's 100 logs/s an
+    * hour holds ~36× the 10k sample. */
+  val AnchorInitialSpanSec: Long = 3600L
+  /** Cross-timezone slack on partition-name day arithmetic (the widest
+    * legal divergence between writer and reader session zones is 26 h —
+    * same bound `Via.tail` carries). */
+  private val TzSlackSec: Long = 2L * 86400
+
+  /** [[tier1Window]] narrowed to the FILES the analysis cycle can
+    * actually need — the zone-map anchor (VERDICT r12 item 7).
+    *
+    * `RhythmAnalyzer.detect` consumes two slices of Tier-1: every row
+    * with `ts_sec >= windowStart` (the 60 s window) and the most recent
+    * `histSample` rows older than that (the baseline). On a compacted
+    * multi-GB day the dt-pruned scan still lists, footer-reads and
+    * task-schedules the WHOLE day every trigger for what is almost
+    * always its newest one or two row groups. This probes an anchor
+    * `windowStart - span` instead:
+    *
+    *  - partitions whose day-end (+ tz slack) falls below the anchor are
+    *    excluded by name arithmetic alone — no footer reads for cold
+    *    history;
+    *  - within the straddling partitions, a file is kept iff its parquet
+    *    footer cannot prove `max(ts_sec) < anchor` (exclusion by proof,
+    *    inclusion by default — a stat-less file is kept);
+    *  - every row with `ts_sec >= anchor` therefore survives (its file's
+    *    max is >= its own ts), so if the kept set holds >= `histSample`
+    *    baseline rows the global baseline top-k lies entirely inside it
+    *    and the anchored relation is EXACT for both consumers — the same
+    *    ">= n in-window rows => global top-n in-window" argument
+    *    `Via.tail` rides; on shortfall the span widens ×8 and past the
+    *    look-back horizon it falls back to the plain [[tier1Window]].
+    *
+    * Declines (→ full window) when anchoring cannot help or cannot be
+    * proven: no dated partitions, straddling partitions holding more
+    * than `FooterStats.MaxFiles` files (un-compacted stores should spend
+    * cluster parallelism, not driver footer reads), no file excluded, or
+    * `spark.graft.analysis.anchor=false` (the operational off-switch and
+    * the A/B lever AnchorBench uses). */
+  private[graft] def anchoredTier1(
+      spark: SparkSession,
+      tier1Path: String,
+      windowStart: Long,
+      nowSec: Long,
+      baselineLookbackSec: Long,
+      histSample: Int = RhythmAnalyzer.DefaultHistSample): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def full() = tier1Window(spark, tier1Path,
+      windowStart - baselineLookbackSec, nowSec)
+    if (!spark.conf.get("spark.graft.analysis.anchor", "true").toBoolean)
+      return full()
+    val root = new Path(tier1Path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return full()
+    val zone =
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    def dateOf(sec: Long) =
+      java.time.Instant.ofEpochSecond(sec).atZone(zone).toLocalDate
+    val fromD = dateOf(windowStart - baselineLookbackSec)
+    val toD = dateOf(nowSec)
+    // the same dated-partition set DtPrune's expression scans (session-tz
+    // dates); undated leaves are invisible to both paths
+    val leaves = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("dt="))
+      .flatMap(p => scala.util.Try(
+        java.time.LocalDate.parse(p.getName.stripPrefix("dt="))).toOption
+        .map(d => (d, p)))
+      .filter { case (d, _) => !d.isBefore(fromD) && !d.isAfter(toD) }
+      .sortBy(_._1.toEpochDay)
+    if (leaves.isEmpty) return full()
+    val totalLeaves = leaves.length
+    var span = AnchorInitialSpanSec
+    while (span < baselineLookbackSec) {
+      val anchor = windowStart - span
+      // partitions that could hold a row with ts >= anchor
+      val live = leaves.filter { case (d, _) =>
+        d.plusDays(1).atStartOfDay(zone).toEpochSecond + TzSlackSec > anchor }
+      val stats = live.flatMap { case (_, p) =>
+        graft.sources.FooterStats.perFileStats(spark, p.toString, "ts_sec") }
+      if (stats.length > graft.sources.FooterStats.MaxFiles) return full()
+      val kept = stats.collect { case (f, m) if m.forall(_.max >= anchor) => f }
+      if (live.length == totalLeaves && kept.length == stats.length)
+        return full() // nothing excluded: anchoring buys nothing here
+      // Coverage proof, entirely from footers (zero Spark jobs — a count
+      // job per trigger measurably outweighed the pruning it enabled):
+      // only rows at/above the anchor may count, because the kept set
+      // provably holds EVERY such row while an excluded file can hold
+      // rows newer than a kept file's sub-anchor stragglers. A file
+      // whose whole [min, max] sits inside [anchorLow, windowStart)
+      // contributes its non-null row count; straddling or stat-less
+      // files contribute 0 — the bound only ever UNDERSTATES coverage,
+      // so a pass is a proof and a miss just widens the span.
+      val anchorLow = math.max(anchor, windowStart - baselineLookbackSec)
+      val provenBaseRows = stats.iterator.flatMap(_._2)
+        .filter(s => s.min >= anchorLow && s.max < windowStart)
+        .map(_.nonNullRows).sum
+      if (provenBaseRows >= histSample && kept.nonEmpty) {
+        // schema from the NEWEST kept file's footer, driver-side: plain
+        // `spark.read.parquet(files)` fires a Spark job just to infer it
+        // (the job floor ate the anchoring win — AnchorBench); the
+        // newest file carries the latest engine schema, which is at
+        // least as current as stock inference's pick-any-file. The
+        // partition column rides along explicitly (file footers don't
+        // know it). Unreadable footer → plain inference.
+        val newest = stats
+          .filter { case (_, m) => m.forall(_.max >= anchor) }
+          .maxBy(_._2.map(_.max).getOrElse(Long.MinValue))._1
+        val reader = graft.sources.FooterStats.fileSchema(spark, newest)
+          .map(s => spark.read.schema(
+            s.add(org.apache.spark.sql.types.StructField("dt",
+              org.apache.spark.sql.types.DateType, nullable = true))))
+          .getOrElse(spark.read)
+        return reader.option("basePath", tier1Path)
+          .parquet(kept.map(_.toString): _*)
+      }
+      span *= 8
+    }
+    full()
+  }
+
   /** One analysis cycle (the body of the 60 s loop, also the
     * `POST /analysis/tier1/rhythm_anomalies` semantics). Returns the
     * promoted clusters (possibly empty). */
@@ -48,9 +169,12 @@ object AnalysisJob {
       baselineLookbackSec: Long = RhythmAnalyzer.DefaultBaselineLookbackSec,
       graphIndexPath: Option[String] = None): DataFrame = {
     val windowStart = nowSec - windowSec
-    // the detector needs window + look-back horizon; dt-prune to exactly that
-    val t1 = tier1Window(spark, tier1Path,
-      windowStart - baselineLookbackSec, nowSec)
+    // the detector needs window + look-back horizon: dt-pruned to exactly
+    // that, then file-anchored below the window (footer zone maps) so a
+    // compacted multi-GB day feeds the 60 s trigger from its newest row
+    // groups only — provably result-identical (see [[anchoredTier1]])
+    val t1 = anchoredTier1(spark, tier1Path, windowStart, nowSec,
+      baselineLookbackSec)
     val anomalies = rules.enforce(
       RhythmAnalyzer.detect(t1, windowStart, windowSec.toDouble,
         baselineLookbackSec = baselineLookbackSec), nowSec)
