@@ -121,6 +121,17 @@ object Layout {
     def isData(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
     val Trash = "_compact-(.+)\\.old".r
+    // Trash names must contain NO '=': Spark's hidden-path filter skips
+    // underscore-prefixed names UNLESS they contain '=' (kept visible to
+    // support partition columns whose name starts with '_'), so a reader
+    // racing the swap window would list `_compact-dt=...old`, partition-
+    // parse it, and die with CONFLICTING_PARTITION_COLUMN_NAMES — found
+    // by CompactionSpec's tail-race test (VERDICT r12 item 8). '=' is
+    // encoded out of the name; recovery decodes, and a legacy '='-style
+    // trash from an older store still matches and decodes to itself.
+    def trashNameOf(leaf: String): String =
+      s"_compact-${leaf.replace("=", "%3D")}.old"
+    def leafOfTrash(encoded: String): String = encoded.replace("%3D", "=")
     val SnapshotManifest = "_compact_snapshot"
     def dataNames(dir: Path): Set[String] =
       if (!fs.exists(dir)) Set.empty
@@ -166,7 +177,8 @@ object Layout {
     def recover(dir: Path): Unit =
       fs.listStatus(dir).filter(_.isDirectory).foreach { s =>
         s.getPath.getName match {
-          case Trash(leaf) =>
+          case Trash(encodedLeaf) =>
+            val leaf = leafOfTrash(encodedLeaf)
             val dest = new Path(dir, leaf)
             val staleTmp = new Path(dir, s".compact-$leaf.tmp")
             val manifest = readManifest(s.getPath)
@@ -245,7 +257,7 @@ object Layout {
         before += files.length
         if (files.length > want) {
           val tmp = new Path(dir.getParent, s".compact-${dir.getName}.tmp")
-          val trash = new Path(dir.getParent, s"_compact-${dir.getName}.old")
+          val trash = new Path(dir.getParent, trashNameOf(dir.getName))
           fs.delete(tmp, true); fs.delete(trash, true)
           // rewrite exactly the SNAPSHOT files (not a re-listed dir):
           // the late-file sweep below relies on "rewritten ≡ snapshot"

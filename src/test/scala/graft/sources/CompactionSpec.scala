@@ -208,7 +208,7 @@ class CompactionSpec extends SparkSpec {
     val got = spark.read.parquet(tmp).select("id").as[Long].collect().toSet
     assert(got == (0L until 8L).toSet + 99L,
       s"between-renames commit must survive compaction, got $got")
-    assert(!new java.io.File(s"$tmp/_compact-dt=2026-01-01.old").exists,
+    assert(!new java.io.File(s"$tmp/_compact-dt%3D2026-01-01.old").exists,
       "trash must be dropped after a successful swap")
   }
 
@@ -274,5 +274,59 @@ class CompactionSpec extends SparkSpec {
     val got = spark.read.parquet(tmp).select("id").as[Long].collect().toSet
     assert(got == (0L until 6L).toSet + 99L,
       s"recovery must preserve the late commit, got $got")
+  }
+
+  test("tail: stats path == distributed fallback at every compaction race window") {
+    // VERDICT r12 item 8: Via.tail anchors its probe on driver-side
+    // footer stats; a live compaction swap can yank files and whole
+    // leaves between tail's listing, its footer reads, and its scan. At
+    // BOTH seam windows (rewrite-written→swap-out, swap-out→swap-in) the
+    // stats-anchored tail must return exactly what the plain full scan
+    // returns AT THAT INSTANT — readers racing a swap may transiently
+    // miss the mid-swap leaf (the documented window every swap-based
+    // maintenance op shares), but the stats path must never diverge from
+    // the fallback's view of the same racing store.
+    import spark.implicits._
+    val via = new graft.api.Via(spark,
+      Files.createTempDirectory("tailrace").toString)
+    def otel(ts: Long, body: String) =
+      s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc"}}]},""" +
+        s""""scopeLogs":[{"logRecords":[{"timeUnixNano":"${ts}000000000","severityText":"INFO",""" +
+        s""""body":{"stringValue":"$body"}}]}]}]}"""
+    val now = 1700000000L
+    // two days, each fragmented by several appends (real footer spread)
+    (0 until 4).foreach { b =>
+      via.ingestBatch((0 until 10).map(i =>
+        otel(now - 86400 + b * 100 + i, s"oldday b$b i$i")).toDF("value"))
+      via.ingestBatch((0 until 10).map(i =>
+        otel(now + b * 100 + i, s"newday b$b i$i")).toDF("value"))
+    }
+    var checks = 0
+    def check(tag: String): Unit = {
+      val probe = via.tail(n = 12).collect().map(_.toString).sorted.toSeq
+      val full = graft.streaming.IngestPipeline
+        .tail(spark.read.parquet(via.tier1Path), 12, None)
+        .collect().map(_.toString).sorted.toSeq
+      assert(probe == full, s"stats tail diverged from full scan: $tag")
+      checks += 1
+    }
+    check("before compaction")
+    Layout.compact(spark, via.tier1Path, targetBytes = 1L << 30,
+      onBeforeSwap = { leaf =>
+        // a late commit lands in the leaf inside the race window, THEN
+        // tail runs: the footer anchor must see the same store state the
+        // full scan sees (including the brand-new max ts)
+        via.ingestBatch(Seq(otel(now + 5000,
+          s"late during ${leaf.getName}")).toDF("value"))
+        check(s"listing->swap window (${leaf.getName})")
+      },
+      onAfterSwapOut = { leaf =>
+        // the leaf is GONE mid-swap: both paths transiently miss it, and
+        // they must miss it IDENTICALLY
+        check(s"swap-out->swap-in window (${leaf.getName})")
+      })
+    check("after compaction")
+    // both days' seams actually fired (2 leaves × 2 windows + 2 ends)
+    assert(checks == 6, s"expected all race windows exercised, got $checks")
   }
 }
