@@ -76,6 +76,15 @@ final class Via(spark: SparkSession, warehouse: String,
 
   /** Pin the current Tier-2 store as the serving snapshot (caches it in
     * executor memory; the first call pays the materialization).
+    *
+    * SESSION-WIDE effect (the searcher model's sharp edge): Spark's
+    * CacheManager substitutes the cached plan into ANY same-session
+    * query that reads the same root — so while a pin is held, every
+    * plain `spark.read.parquet(tier2Path)` in the session serves the
+    * SNAPSHOT, including reads by other `Via` instances. Engine code
+    * that must see the live store reads the explicit file list instead
+    * ([[liveTier2Read]] — maintenance drift checks); external code
+    * sharing the session should do the same or use a separate session.
     * Synchronized with [[unpinServing]] so the displaced snapshot is
     * always the one unpersisted: two unsynchronized concurrent calls
     * could both read the same `old`, both unpersist it, and leave one of
@@ -135,6 +144,33 @@ final class Via(spark: SparkSession, warehouse: String,
     displaced.foreach(_.unpersist())
   }
   private val pinLock = new Object
+
+  /** Tier-2 read GUARANTEED to see the live store even while a serving
+    * pin is held. Spark's CacheManager substitutes a cached plan into
+    * ANY later query containing an equal fragment — so with a pin held,
+    * a plain `spark.read.parquet(tier2Path)` silently serves the
+    * SNAPSHOT, not the store, whenever the store advanced through
+    * writes Spark's own writers didn't make (the ledgered streaming
+    * appends, compaction's renames). Measured: a root read under a pin
+    * returned pre-append rows until unpersist (r13, found by FreshBench
+    * racing promotion against a pinned server). Reading the EXPLICIT
+    * file list is a different plan the cache never matches; listing is
+    * maintenance-cadence cost. */
+  private def liveTier2Read(): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tier2Path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) files(s.getPath)
+        else Seq(s.getPath.toString)
+      }
+    val fl = files(root)
+    if (fl.isEmpty) spark.read.parquet(tier2Path)
+    else spark.read.option("basePath", tier2Path).parquet(fl: _*)
+  }
 
   // --- POST /ingest/stream (S1) ---------------------------------------
   /** Start streaming ingest from a JSONL drop directory. */
@@ -263,28 +299,40 @@ final class Via(spark: SparkSession, warehouse: String,
     * them and duplicate rows). They are excluded via `skipFile` and pass
     * through the swap untouched; committed files compact freely because
     * a committed batch is never replayed. */
-  def compactTier1(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats = {
+  def compactTier1(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats =
+    compactLedgeredStore(tier1Path, targetBytes, skipOpenLeaf = true)
+
+  /** Compact Tier-2. Safe under the live [[PromotionStream]] appender,
+    * which (r13) lands batches through the SAME idempotent
+    * `b<batchId>-`-file protocol as Tier-1 ingest — so uncommitted
+    * in-flight batch files pass through the swap untouched and mid-swap
+    * commits survive via the late-append sweep (CompactionSpec race
+    * tests). Unlike tier1 the OPEN day leaf is compacted too: Tier-2 is
+    * control-plane volume (a handful of promoted clusters per window),
+    * so the hot-leaf rewrite-waste argument doesn't apply and skipping
+    * it would leave the maintenance sweep permanently non-quiescent. */
+  def compactTier2(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats =
+    compactLedgeredStore(tier2Path, targetBytes, skipOpenLeaf = false)
+
+  private def compactLedgeredStore(storePath: String, targetBytes: Long,
+      skipOpenLeaf: Boolean): graft.sources.Layout.CompactionStats = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(tier1Path)
+    val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val openDt = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("dt=")).sorted.lastOption
+    val openDt =
+      if (skipOpenLeaf)
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("dt=")).sorted.lastOption
+      else None
     val committedMax = IngestPipeline.committedMax(fs, root)
     val UncommittedBatchFile = "b(\\d+)-.*".r
-    graft.sources.Layout.compact(spark, tier1Path, targetBytes,
+    graft.sources.Layout.compact(spark, storePath, targetBytes,
       skipLeaf = dir => openDt.contains(dir.getName),
       skipFile = f => f.getName match {
         case UncommittedBatchFile(id) => id.toLong > committedMax
         case _ => false
       })
   }
-
-  /** Compact Tier-2. Safe under the live [[PromotionStream]] appender:
-    * it only ever CREATES new `(batch_id, dt)` leaves, never appends
-    * into an existing one (the listing-snapshot precondition
-    * `Layout.compact` documents; CompactionSpec proves it live). */
-  def compactTier2(targetBytes: Long = 128L * 1024 * 1024): graft.sources.Layout.CompactionStats =
-    graft.sources.Layout.compact(spark, tier2Path, targetBytes)
 
   // --- POST /analysis/tier1/rhythm_anomalies (T2/T3/A1-A3/J1-J3/T5) ---
   /** Batch-promoted clusters follow into an EXISTING graph index (the
@@ -428,10 +476,10 @@ final class Via(spark: SparkSession, warehouse: String,
       // maintenance reads the LIVE store, never the pinned serving
       // snapshot: a stale pin would undercount store keys (missing
       // drift) and, worse, a triggered re-sync would rebuild the index
-      // from the snapshot and drop rows appended since the pin
+      // from the snapshot and drop rows appended since the pin. A plain
+      // root read is NOT live enough: see [[liveTier2Read]].
       val liveTier2 =
-        if (fs.exists(new Path(tier2Path)))
-          Some(spark.read.parquet(tier2Path))
+        if (fs.exists(new Path(tier2Path))) Some(liveTier2Read())
         else None
       val storeKeys = liveTier2.fold(0L)(
         _.select(graft.search.TierIndex.rowKey).distinct().count())

@@ -47,10 +47,10 @@ object Layout {
       leavesSkipped: Int = 0, trashRecovered: Int = 0)
 
   /** Small-files compaction for batch-append sinks — the first
-    * operational problem a per-micro-batch appender (PromotionStream's
-    * `(batch_id, dt)` partitions, `ingestBatch`'s Tier-1 appends) creates
-    * at 100 TB/day: thousands of KB-sized parquet files per partition,
-    * each costing a task + a footer read per query.
+    * operational problem a per-micro-batch appender (ingest's and
+    * PromotionStream's `b<batchId>-` file appends into `dt=` leaves)
+    * creates at 100 TB/day: thousands of KB-sized parquet files per
+    * partition, each costing a task + a footer read per query.
     *
     * Per LEAF partition directory: if the file count exceeds
     * `ceil(bytes/targetBytes)`, the partition is re-read, coalesced to
@@ -73,11 +73,10 @@ object Layout {
     *     deletes files the log references. compact() throws on such
     *     paths — stop-the-stream compaction of a sink-logged store needs
     *     a transactional log rewrite this helper does not attempt.
-    *   - Concurrent appenders that only CREATE NEW leaf dirs (the
-    *     new-`(batch_id, dt)`-leaf-per-batch layout PromotionStream
-    *     uses) never collide: compaction touches only leaves that
-    *     existed at its listing snapshot (CompactionSpec proves content
-    *     equality under a live appender). An appender that commits files
+    *   - Concurrent appenders that only CREATE NEW leaf dirs never
+    *     collide: compaction touches only leaves that existed at its
+    *     listing snapshot (CompactionSpec proves content equality under
+    *     a live appender). An appender that commits files
     *     into an EXISTING leaf mid-compaction (late event-time rows into
     *     a closed dt partition) is also safe in EVERY window: a commit
     *     before the swap-out rides into the trash and the late-append

@@ -62,13 +62,15 @@ object PromotionStream {
     * `foreachBatch` + a plain parquet append is only at-least-once: a
     * crash after the append but before the checkpoint commit replays the
     * batch and doubles its rows. Here every window's rollup in the trigger
-    * is unioned into ONE write, stamped with the deterministic `batchId`,
-    * and written with DYNAMIC partition overwrite under
-    * `(batch_id, dt)` — a replay of batch N rewrites exactly the
-    * partitions batch N produced (same input → same rows) and touches no
-    * other batch, so the observable Tier-2 content is exactly-once.
-    * Readers prune on `dt` as before (nested partition columns prune
-    * independently); `batch_id` rides along as provenance. */
+    * is unioned into ONE write and landed through
+    * [[IngestPipeline.appendBatchIdempotent]] — `b<batchId>-` files into
+    * plain `dt=` leaves plus the commit ledger, so a replay of batch N
+    * rewrites exactly its own files and the observable Tier-2 content is
+    * exactly-once. Crucially the LAYOUT matches the batch promotion
+    * path's (`dt=` leaves): the pre-r13 `(batch_id, dt)` partitioning
+    * made a warehouse that saw both paths unreadable (mixed partition
+    * depths). Readers prune on `dt`; `batch_id` rides along as a data
+    * column for provenance. */
   def promoteBatchIdempotent(
       spark: SparkSession,
       anomalies: DataFrame,
@@ -126,12 +128,17 @@ object PromotionStream {
     // per promoted anomaly), so an eager localCheckpoint is bounded.
     val combined = Promoter.rollupWindows(anomsW, points).localCheckpoint()
     try {
-      combined
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "dt")
-        .parquet(tier2Path)
+      // Tier-2 sink: the SAME filename-keyed idempotent append protocol
+      // as Tier-1 ingest (`b<batchId>-` files into plain dt= leaves +
+      // commit ledger). The pre-r13 sink partitioned by (batch_id, dt),
+      // which made any warehouse touched by BOTH promotion paths
+      // unreadable — the batch path (analyzeOnce / Promoter.promote /
+      // bulk seeds) writes dt= leaves, and parquet partition discovery
+      // rejects mixed depths (CONFLICTING_PARTITION_COLUMN_NAMES; found
+      // by FreshBench racing the two paths). `batch_id` stays as a DATA
+      // column for provenance (PromotionRecoverySpec reads it).
+      IngestPipeline.appendBatchIdempotent(
+        combined.withColumn("batch_id", lit(batchId)), tier2Path, batchId)
       // index maintenance (VERDICT r8 #5): freshly promoted dense vectors
       // become probe-visible in the SAME batch, through the same
       // batchId-keyed idempotent write — a crash between the Tier-2 write

@@ -236,12 +236,28 @@ class TierServeSpec extends SparkSpec {
     assert(GraphIndex.indexedKeyCount(spark, via.graphIndexPath) == storeKeys)
     // drift: rows written to Tier-2 BEHIND the index's back (the pre-fix
     // batch path, a crash between the two writes) are found and re-synced
-    // — even while a STALE serving pin is held (maintenance must read the
-    // live store, not the snapshot, or it both misses the drift and would
-    // re-sync from rows missing since the pin)
+    // — even while a STALE serving pin is held. The append is a RAW file
+    // copy (no Spark write): Spark's own writers invalidate the cached
+    // pin plan, but the ledgered streaming appends and compaction swaps
+    // do NOT — and with a pin held, CacheManager substitutes the
+    // snapshot into any same-plan root read, so a maintenance sweep
+    // reading `spark.read.parquet(tier2)` would count the PIN's rows and
+    // miss this drift entirely (the r13 liveTier2Read fix; found by
+    // FreshBench racing promotion against a pinned server).
     via.pinServing()
+    val driftSrc = java.nio.file.Files.createTempDirectory("drift").toString
     tier2Fixture(50, idOffset = 40000L)
-      .write.mode("append").partitionBy("dt").parquet(via.tier2Path)
+      .write.mode("append").partitionBy("dt").parquet(driftSrc)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(driftSrc)).iterator()
+      .forEachRemaining { p =>
+        val f = p.toFile
+        if (f.isFile && f.getName.endsWith(".parquet")) {
+          val leaf = java.nio.file.Paths.get(via.tier2Path,
+            p.getParent.getFileName.toString)
+          java.nio.file.Files.createDirectories(leaf)
+          java.nio.file.Files.copy(p, leaf.resolve("oob-" + f.getName))
+        }
+      }
     val acts = via.maintainIndexes()
     assert(acts.find(_.target == "graphidx").get.action == "sync",
       acts.mkString("; "))
