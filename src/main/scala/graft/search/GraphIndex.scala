@@ -513,7 +513,13 @@ object GraphIndex {
     val plain = new org.apache.hadoop.fs.Path(s"$path/buffer")
     val batched = new org.apache.hadoop.fs.Path(s"$path/buffer-batches")
     val parts = Seq(
-      if (fs.exists(plain) && fs.listStatus(plain).exists(_.isFile))
+      // DATA files only: a zero-row append leaves a dir holding just
+      // _SUCCESS, and schema inference over it would fail the probe
+      if (fs.exists(plain) && fs.listStatus(plain).exists(s =>
+          s.isFile && s.getLen > 0 && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }))
         Some(ensurePayload(spark.read.parquet(plain.toString))
           .select(col("vec_id"), col("label"), col("embedding"),
             col("payload")))
