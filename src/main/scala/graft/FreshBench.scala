@@ -41,13 +41,16 @@ import graft.api.Via
   */
 object FreshBench {
 
-  private val WindowSec = 10L
   private val BurstEverySec = 8
   private val PollMs = 250L
 
   def main(args: Array[String]): Unit = {
     val rate = args.headOption.map(_.toInt).getOrElse(100000)
     val durationSec = if (args.length > 1) args(1).toInt else 100
+    // detection window: 10 s compresses a run into ~2 min; 60 s measures
+    // the reference's production cadence directly (run length must cover
+    // duration + window + watermark + a polling margin)
+    val WindowSec = if (args.length > 2) args(2).toLong else 10L
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -248,7 +251,7 @@ object FreshBench {
           if (t2v.isDefined && gv.isDefined) {
             observed.add(Obs(id, t2v.get, gv.get))
             pending.remove(id)
-          } else if (nowMs - burst.landedAtMs > 90000) {
+          } else if (nowMs - burst.landedAtMs > WindowSec * 3000 + 60000) {
             observed.add(Obs(id, t2v.getOrElse(-1L), gv.getOrElse(-1L)))
             pending.remove(id)
           } else pending(id) = (burst, t2v, gv)
@@ -266,8 +269,8 @@ object FreshBench {
     genThread.join(5000)
     val genWallSec = (System.nanoTime() - genStart) / 1e9
     // let in-flight windows close and the poller drain (watermark needs
-    // newer data: feed a few trailing heartbeat files)
-    (0 until 25).foreach { i =>
+    // newer data: feed trailing heartbeat files past window + watermark)
+    (0 until (2 * WindowSec + 10).toInt).foreach { i =>
       val ts = System.currentTimeMillis() / 1000
       val tmp = Paths.get(tmpDir, s"tail-$i.jsonl")
       Files.writeString(tmp,
@@ -277,7 +280,7 @@ object FreshBench {
         StandardCopyOption.ATOMIC_MOVE)
       Thread.sleep(1000)
     }
-    pollThread.join(30000)
+    pollThread.join(WindowSec * 3000 + 90000)
     ingestQ.stop(); promoQ.stop()
 
     // ---- report
