@@ -212,7 +212,8 @@ object FreshBench {
     val pollThread = new Thread(() => {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", "poller")
       val pending = scala.collection.mutable.Map.empty[Int, (Burst, Option[Long], Option[Long])]
-      while (!stop.get() || !pending.isEmpty || !bursts.isEmpty) {
+      var drained = false
+      while (!drained && (!stop.get() || !pending.isEmpty || !bursts.isEmpty)) {
         var b = bursts.poll()
         while (b != null) { pending(b.id) = (b, None, None); b = bursts.poll() }
         val nowMs = System.currentTimeMillis()
@@ -256,8 +257,10 @@ object FreshBench {
             pending.remove(id)
           } else pending(id) = (burst, t2v, gv)
         }
-        if (stop.get() && pending.isEmpty) return
-        Thread.sleep(PollMs)
+        // no `return`: a non-local return from a Thread lambda throws
+        // NonLocalReturnControl across threads and dies uncaught
+        if (stop.get() && pending.isEmpty) drained = true
+        else Thread.sleep(PollMs)
       }
     }, "freshbench-poll")
     pollThread.setDaemon(true)

@@ -77,14 +77,14 @@ final class Via(spark: SparkSession, warehouse: String,
   /** Pin the current Tier-2 store as the serving snapshot (caches it in
     * executor memory; the first call pays the materialization).
     *
-    * SESSION-WIDE effect (the searcher model's sharp edge): Spark's
-    * CacheManager substitutes the cached plan into ANY same-session
-    * query that reads the same root — so while a pin is held, every
-    * plain `spark.read.parquet(tier2Path)` in the session serves the
-    * SNAPSHOT, including reads by other `Via` instances. Engine code
-    * that must see the live store reads the explicit file list instead
-    * ([[liveTier2Read]] — maintenance drift checks); external code
-    * sharing the session should do the same or use a separate session.
+    * The snapshot is a FILE-LIST plan, not a root read (r13): Spark's
+    * CacheManager substitutes a cached plan into any same-session query
+    * containing an equal fragment, so a root-read pin would both hijack
+    * every other reader of the store AND break its own refresh (the
+    * repin's identical plan no-ops against the displaced entry, which
+    * the swap then unpersists). Engine reads that must see the live
+    * store still go through [[liveTier2Read]] as belt-and-braces
+    * against any OTHER cached plan a session user may hold.
     * Synchronized with [[unpinServing]] so the displaced snapshot is
     * always the one unpersisted: two unsynchronized concurrent calls
     * could both read the same `old`, both unpersist it, and leave one of
@@ -108,7 +108,17 @@ final class Via(spark: SparkSession, warehouse: String,
     * workload is ts-window-dominated, so hash clustering is opt-in for
     * hash-lookup-heavy deployments only. */
   def pinServing(clusterByHash: Boolean): Unit = {
-    val raw = spark.read.parquet(tier2Path)
+    // the snapshot is built from the EXPLICIT file list, not a root
+    // read, for two reasons (r13): (a) a REPIN's root read is
+    // plan-equal to the displaced pin, so `.cache()` no-ops against the
+    // old entry and the subsequent unpersist evicts it — leaving the
+    // "refreshed" pin uncached (default layout) or, under the hash
+    // layout, re-caching content CacheManager substituted from the
+    // STALE snapshot; (b) a file-list plan is never substituted into
+    // other readers' root reads, so one Via's pin no longer silently
+    // hijacks every other same-session reader of the store. The frozen
+    // file list IS the snapshot lineage the pin model wants.
+    val raw = liveTier2Read()
     val df = (if (clusterByHash && raw.columns.contains("rhythm_hash"))
         raw.repartitionByRange(
             org.apache.spark.sql.functions.col("rhythm_hash"))
@@ -145,21 +155,23 @@ final class Via(spark: SparkSession, warehouse: String,
   }
   private val pinLock = new Object
 
-  /** Tier-2 read GUARANTEED to see the live store even while a serving
-    * pin is held. Spark's CacheManager substitutes a cached plan into
-    * ANY later query containing an equal fragment — so with a pin held,
-    * a plain `spark.read.parquet(tier2Path)` silently serves the
-    * SNAPSHOT, not the store, whenever the store advanced through
-    * writes Spark's own writers didn't make (the ledgered streaming
-    * appends, compaction's renames). Measured: a root read under a pin
-    * returned pre-append rows until unpersist (r13, found by FreshBench
-    * racing promotion against a pinned server). Reading the EXPLICIT
-    * file list is a different plan the cache never matches; listing is
-    * maintenance-cadence cost. */
+  /** Tier-2 read GUARANTEED to see the live store regardless of what
+    * the session has cached. Spark's CacheManager substitutes a cached
+    * plan into ANY later query containing an equal fragment, and the
+    * ledgered streaming appends / compaction renames never invalidate
+    * such an entry (only Spark's own writers do) — measured r13: a root
+    * read under a root-read cache returned pre-append rows until
+    * unpersist (found by FreshBench racing promotion against a pinned
+    * server). The pin itself is a file-list plan now, but a session
+    * USER can still hold a root-read cache, so live-critical reads
+    * (drift detection, re-sync sources, the pin's own snapshot) always
+    * read the explicit CURRENT file list — a plan no root-read cache
+    * entry matches. Listing is maintenance-cadence cost. */
   private def liveTier2Read(): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tier2Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return spark.read.parquet(tier2Path)
     def files(p: Path): Seq[String] =
       fs.listStatus(p).toSeq.flatMap { s =>
         val n = s.getPath.getName

@@ -807,9 +807,18 @@ object GraphIndex {
   private val residentBuffers =
     new java.util.concurrent.ConcurrentHashMap[String, ResidentBuffer]()
 
+  /** Paths held resident at once; beyond this the map is cleared (each
+    * entry can be ~300 MB of decoded vectors at the default row cap, and
+    * nothing else evicts a store the session stopped serving — bench/
+    * test sessions create many temp stores). A clear only costs re-reads. */
+  private val ResidentBufferMaxPaths = 8
+
   private def residentBufferFor(spark: SparkSession,
       path: String): ResidentBuffer = {
     val bv = bufferVersion(spark, path)
+    if (residentBuffers.size() > ResidentBufferMaxPaths &&
+        !residentBuffers.containsKey(path))
+      residentBuffers.clear()
     residentBuffers.compute(path, (p, old) =>
       if (old != null && old.version == bv) old
       else {
@@ -893,6 +902,10 @@ object GraphIndex {
               cosineToConst(col("embedding").cast("array<double>"), q).as("s"),
               col("payload"),
               col("embedding").cast("array<double>").as("embedding"))
+            // dimension-mismatched rows score NULL; drop them like the
+            // resident path does (they could otherwise enter the top-k
+            // of an under-filled buffer and crash the Double decode)
+            .filter(col("s").isNotNull)
             .orderBy(col("s").desc, col("vec_id"))
             .limit(k)
             .as[(Long, Double, String, Seq[Double])].collect()

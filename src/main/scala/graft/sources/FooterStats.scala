@@ -69,12 +69,19 @@ object FooterStats {
     val key = (s.getPath.toString, s.getLen, s.getModificationTime, column)
     val cached = memo.get(key)
     if (cached != null) cached
-    else {
-      val v = readFileStats(s.getPath, conf, column)
-      if (memo.size() > MemoMaxEntries) memo.clear()
-      memo.put(key, v)
-      v
-    }
+    else
+      try {
+        // only results derived from an actually-read footer are
+        // memoized (including a legitimate "stats can't prove" None);
+        // a THROWN read (file yanked mid-compaction, transient IO) must
+        // not poison the key — trash recovery restores the identical
+        // (path, len, mtime), and a cached failure would decline the
+        // stats path forever
+        val v = readFileStats(s.getPath, conf, column)
+        if (memo.size() > MemoMaxEntries) memo.clear()
+        memo.put(key, v)
+        v
+      } catch { case _: Exception => None }
   }
 
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -122,6 +129,21 @@ object FooterStats {
     readConcurrently(dataFiles(fs, root), conf, column)
   }
 
+  /** [[perFileStats]] over an ALREADY-LISTED file set — callers that
+    * needed the listing anyway (a file-count cap check) must not pay a
+    * second LIST call per directory on an object store. */
+  def perFileStats(spark: SparkSession, files: Seq[FileStatus],
+      column: String): Seq[(Path, Option[FileStat])] =
+    readConcurrently(files, spark.sessionState.newHadoopConf(), column)
+
+  /** The data files directly under `dir` (the shared hidden-file
+    * filter), for callers that list once and reuse the statuses. */
+  def listDataFiles(spark: SparkSession, dir: String): Seq[FileStatus] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty else dataFiles(fs, root)
+  }
+
   // footers are read CONCURRENTLY: each open is ~5-10 ms of blocking
   // metadata IO, and an un-compacted live partition holds one file per
   // writer task per batch — sequential reads were the whole cost of
@@ -159,37 +181,39 @@ object FooterStats {
       val cached = schemaMemo.get(key)
       if (cached != null) cached
       else {
+        // like [[statsFor]]: only a successfully-read footer is
+        // memoized; a thrown read is transient and must not poison the
+        // (path, len, mtime) key
+        val reader =
+          ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
         val v =
           try {
-            val reader =
-              ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-            try {
-              val md = reader.getFooter.getFileMetaData
-              val sparkJson =
-                md.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata")
-              if (sparkJson != null)
-                Some(org.apache.spark.sql.types.DataType.fromJson(sparkJson)
-                  .asInstanceOf[org.apache.spark.sql.types.StructType])
-              else
-                Some(new org.apache.spark.sql.execution.datasources.parquet
-                  .ParquetToSparkSchemaConverter(spark.sessionState.conf)
-                  .convert(md.getSchema))
-            } finally reader.close()
-          } catch { case _: Exception => None }
+            val md = reader.getFooter.getFileMetaData
+            val sparkJson =
+              md.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata")
+            if (sparkJson != null)
+              Some(org.apache.spark.sql.types.DataType.fromJson(sparkJson)
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+            else
+              Some(new org.apache.spark.sql.execution.datasources.parquet
+                .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+                .convert(md.getSchema))
+          } finally reader.close()
         if (schemaMemo.size() > MemoMaxEntries) schemaMemo.clear()
         schemaMemo.put(key, v)
         v
       }
     } catch { case _: Exception => None }
 
-  /** One file's footer stats; None when the stats can't prove bounds
-    * (absent/dropped stats, non-INT64 values, unreadable footer). A
-    * PROVABLY all-null row group contributes no rows and no bounds —
-    * like an empty file, not like missing stats (FooterStatsSpec). */
+  /** One file's footer stats; None when the footer was READ but its
+    * stats can't prove bounds (absent/dropped stats, non-INT64 values).
+    * THROWS on IO failure — the caller decides whether a failure is
+    * cacheable (it is not). A PROVABLY all-null row group contributes
+    * no rows and no bounds — like an empty file, not like missing
+    * stats (FooterStatsSpec). */
   private def readFileStats(f: Path,
       conf: org.apache.hadoop.conf.Configuration,
-      column: String): Option[FileStat] =
-    try {
+      column: String): Option[FileStat] = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         import scala.jdk.CollectionConverters._
@@ -220,5 +244,5 @@ object FooterStats {
         }
         if (!ok) None else Some(FileStat(mn, mx, rows))
       } finally reader.close()
-    } catch { case _: Exception => None }
+  }
 }

@@ -128,9 +128,15 @@ object Layout {
     // by CompactionSpec's tail-race test (VERDICT r12 item 8). '=' is
     // encoded out of the name; recovery decodes, and a legacy '='-style
     // trash from an older store still matches and decodes to itself.
+    // injective encoding: '%' is escaped FIRST, so a leaf whose VALUE
+    // legitimately contains the literal "%3D" (Spark writes '=' inside
+    // partition values as %3D) round-trips exactly; decode applies the
+    // inverse in reverse order. Legacy '='-style trash (pre-r13) decodes
+    // to itself (it contains neither escape).
     def trashNameOf(leaf: String): String =
-      s"_compact-${leaf.replace("=", "%3D")}.old"
-    def leafOfTrash(encoded: String): String = encoded.replace("%3D", "=")
+      s"_compact-${leaf.replace("%", "%25").replace("=", "%3D")}.old"
+    def leafOfTrash(encoded: String): String =
+      encoded.replace("%3D", "=").replace("%25", "%")
     val SnapshotManifest = "_compact_snapshot"
     def dataNames(dir: Path): Set[String] =
       if (!fs.exists(dir)) Set.empty

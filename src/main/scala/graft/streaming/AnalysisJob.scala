@@ -113,19 +113,17 @@ object AnalysisJob {
       // partitions that could hold a row with ts >= anchor
       val live = leaves.filter { case (d, _) =>
         d.plusDays(1).atStartOfDay(zone).toEpochSecond + TzSlackSec > anchor }
-      // cap check BEFORE any footer IO: a badly fragmented live
-      // partition (thousands of micro-batch files awaiting compaction)
-      // must cost one listing to decline, not thousands of driver
-      // footer reads
-      val liveFileCount = live.map { case (_, p) =>
-        fs.listStatus(p).count(s => s.isFile && {
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
-      }.sum
-      if (liveFileCount > graft.sources.FooterStats.MaxFiles) return full()
-      val stats = live.flatMap { case (_, p) =>
-        graft.sources.FooterStats.perFileStats(spark, p.toString, "ts_sec") }
+      // one listing per live partition, shared by the cap check and the
+      // footer reads (a second LIST per dir would double the object-
+      // store round trips on the hot analysis path); the cap check runs
+      // BEFORE any footer IO so a badly fragmented partition costs one
+      // listing to decline, not thousands of driver footer reads
+      val liveFiles = live.flatMap { case (_, p) =>
+        graft.sources.FooterStats.listDataFiles(spark, p.toString) }
+      if (liveFiles.length > graft.sources.FooterStats.MaxFiles)
+        return full()
+      val stats =
+        graft.sources.FooterStats.perFileStats(spark, liveFiles, "ts_sec")
       val kept = stats.collect { case (f, m) if m.forall(_.max >= anchor) => f }
       if (live.length == totalLeaves && kept.length == stats.length)
         return full() // nothing excluded: anchoring buys nothing here

@@ -189,6 +189,26 @@ object PromotionStream {
       annIndexPath: Option[String] = None,
       graphIndexPath: Option[String] = None): StreamingQuery = {
     StatefulDetector.ensureStateVersion(spark, checkpoint)
+    // refuse a tier2 store written by the pre-r13 streaming sink: its
+    // top-level `batch_id=` leaves cannot coexist with the unified `dt=`
+    // layout this sink appends (parquet partition discovery rejects
+    // mixed depths), so appending would make the WHOLE store unreadable.
+    // Fail fast with a migration path instead (the same stance as
+    // ingest's legacy-FileStreamSink guard).
+    locally {
+      val root = new org.apache.hadoop.fs.Path(tier2Path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root) && fs.listStatus(root).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id=")))
+        throw new IllegalArgumentException(
+          s"promotion: $tier2Path uses the legacy (batch_id, dt) " +
+            "streaming layout; appending dt= leaves next to it would " +
+            "make the store unreadable (mixed partition depths). " +
+            "Re-materialize it once — read the store, drop the " +
+            "batch_id partition level (keep the column), write " +
+            "partitionBy(\"dt\") to a fresh path — then restart the " +
+            "stream against the new path.")
+    }
     val schema = spark.read.parquet(tier1Path).schema
     val logs = spark.readStream.schema(schema).parquet(tier1Path)
       .select("rhythm_hash", "ts_sec")

@@ -75,6 +75,23 @@ class PromotionStreamSpec extends SparkSpec {
       s"parity broken:\nbatch=$batchRows\nstream=$streamRows")
   }
 
+  test("start refuses a legacy (batch_id, dt)-partitioned tier2 store") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-promo-legacy").toString
+    Seq(("h1", 1700000000L)).toDF("rhythm_hash", "ts_sec")
+      .withColumn("dt", graft.analysis.DtPrune.dtOf(
+        org.apache.spark.sql.functions.col("ts_sec")))
+      .write.partitionBy("dt").parquet(s"$tmp/tier1")
+    // the pre-r13 streaming layout: a top-level batch_id= leaf
+    Files.createDirectories(java.nio.file.Paths.get(
+      s"$tmp/tier2/batch_id=0/dt=2023-11-14"))
+    val e = intercept[IllegalArgumentException] {
+      PromotionStream.start(spark, s"$tmp/tier1", s"$tmp/tier2",
+        s"$tmp/ckpt", stateTtlMs = None)
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("PromotionStream.start wires tier1 file stream -> tier2 end to end") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-promo-e2e").toString
