@@ -19,10 +19,16 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter(kv => f(kv._1)))
+    // beyond-the-gate sweeps (sf10): giant outputs (215M-965M pair rows)
+    // must not funnel through one writer thread — the driver gate keeps
+    // the single-file default
+    val noCoalesce = sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        (if (noCoalesce) out else out.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -85,8 +85,13 @@ object AnalysisJob {
     import org.apache.hadoop.fs.Path
     def full() = tier1Window(spark, tier1Path,
       windowStart - baselineLookbackSec, nowSec)
-    if (!spark.conf.get("spark.graft.analysis.anchor", "true").toBoolean)
-      return full()
+    // defensive parse (ADVICE r13): a malformed value must not fail every
+    // analysis cycle — fall back to anchoring on, matching the
+    // residentBufferMaxRows / MemoConf malformed-value stance
+    val anchorOn =
+      try spark.conf.get("spark.graft.analysis.anchor", "true").toBoolean
+      catch { case _: IllegalArgumentException => true }
+    if (!anchorOn) return full()
     val root = new Path(tier1Path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return full()

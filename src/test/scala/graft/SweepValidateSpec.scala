@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Discriminating power of the sf10 pair-family validators (the
+  * CcCheckSpec corruption-test mold): each validator must pass on a
+  * faithful dump and FLAG a corrupted one — otherwise "validator green at
+  * sf10" proves nothing. */
+class SweepValidateSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  private def dump(name: String, outDir: String): Unit =
+    SparkEntry.queries(name)(spark, SfDir)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+
+  test("lsh_pairs validator: green on faithful dump, flags drops and fakes") {
+    val out = java.nio.file.Files.createTempDirectory("swv").toString
+    dump("minhash_sig", out)
+    dump("lsh_pairs", out)
+    val ok = SweepValidate.lshPairs(spark, out)
+    assert(ok("unsound") == 0 && ok("missing") == 0 && ok("dup_rows") == 0)
+    assert(ok("rows") > 0, "sf0.001 corpus must produce candidate pairs")
+    val pairs = spark.read.parquet(s"$out/lsh_pairs").cache()
+    pairs.count()
+    // drop one true pair -> completeness counter fires
+    val dropped = pairs.orderBy("a_id", "b_id").limit(1)
+    pairs.join(dropped, Seq("a_id", "b_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$out/lsh_pairs_c1")
+    spark.read.parquet(s"$out/lsh_pairs_c1").write.mode("overwrite")
+      .parquet(s"$out/lsh_pairs")
+    assert(SweepValidate.lshPairs(spark, out)("missing") > 0)
+    // add a pair no band supports -> soundness counter fires
+    val ids = spark.read.parquet(s"$out/minhash_sig")
+      .select("doc_id").orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0))
+    val fake = spark.range(1).select(lit(ids(1)).as("a_id"),
+      lit(ids(0)).as("b_id")) // reversed order also violates a<b
+    pairs.union(fake).write.mode("overwrite").parquet(s"$out/lsh_pairs")
+    assert(SweepValidate.lshPairs(spark, out)("unsound") > 0)
+    pairs.unpersist()
+  }
+
+  test("simhash validator: independent sig == engine sig; corruption flagged") {
+    val out = java.nio.file.Files.createTempDirectory("swv2").toString
+    dump("simhash_dedup", out)
+    val ok = SweepValidate.simhashDedup(spark, SfDir, out)
+    assert(ok("unsound") == 0 && ok("missing") == 0 && ok("dup_rows") == 0)
+    assert(ok("rows") > 0)
+    // corrupt one hamming value -> soundness fires (re-derived signatures
+    // disagree with the dumped distance)
+    val d = spark.read.parquet(s"$out/simhash_dedup").cache()
+    d.count()
+    d.withColumn("hamming",
+        when(col("a_id") === d.orderBy("a_id", "b_id").limit(1)
+          .collect()(0).getLong(0), col("hamming") + 1L)
+          .otherwise(col("hamming")))
+      .write.mode("overwrite").parquet(s"$out/simhash_dedup")
+    assert(SweepValidate.simhashDedup(spark, SfDir, out)("unsound") > 0)
+    d.unpersist()
+  }
+
+  test("jaccard validators: exact top-50 parity; a perturbed score flags") {
+    val out = java.nio.file.Files.createTempDirectory("swv3").toString
+    dump("jaccard_pairs", out)
+    dump("jaccard_capped", out)
+    assert(SweepValidate.jaccardTop50(spark, SfDir, out, capped = false)("mismatch") == 0)
+    assert(SweepValidate.jaccardTop50(spark, SfDir, out, capped = true)("mismatch") == 0)
+    val d = spark.read.parquet(s"$out/jaccard_pairs").cache()
+    d.count()
+    d.withColumn("jaccard", col("jaccard") + 0.000001)
+      .write.mode("overwrite").parquet(s"$out/jaccard_pairs")
+    assert(SweepValidate.jaccardTop50(spark, SfDir, out, capped = false)("mismatch") > 0)
+    d.unpersist()
+  }
+}

@@ -243,7 +243,9 @@ class GraphIndexSpec extends SparkSpec {
     // rebuild folds the buffer into the graph and bumps the stamp; only a
     // REFRESHED resident copy can still serve the hero row
     GraphIndex.rebuild(spark, path)
-    assert(GraphIndex.version(spark, path) > v0, "rebuild did not bump")
+    // stamps are unique random tokens (ADVICE r13), so assert CHANGE —
+    // equality is all any resident-cache check uses
+    assert(GraphIndex.version(spark, path) != v0, "rebuild did not bump")
     val rebuilt = GraphIndex.probeCached(spark, path, Q, 10,
       ef = GraphIndex.GateEf).collect().map(_.getLong(0))
     assert(rebuilt.head == 1000000L,
@@ -292,6 +294,33 @@ class GraphIndexSpec extends SparkSpec {
       GraphIndex.topKMany(graph, qsB, 1, ef = 48), exactB)
     assert(r1 >= 0.98, s"perturbed recall@1 $r1 < 0.98")
     graph.unpersist()
+  }
+
+  test("resident-buffer LRU: least-recently-probed path evicted, hot paths kept") {
+    // ADVICE r13 / VERDICT r13 item 4: the old overflow handling cleared
+    // the WHOLE map, so a session cycling >8 stores re-read even its hot
+    // ones. Assertions are RELATIVE to the 9 fresh paths probed here, so
+    // entries left by earlier suites (same JVM) can't skew them.
+    val emb = Tables.embeddings(spark, SfDir).limit(8)
+    val paths = (0 until 10).map { i =>
+      val p = java.nio.file.Files.createTempDirectory(s"glru$i").toString + "/g"
+      GraphIndex.build(emb, p)
+      p
+    }
+    paths.take(9).foreach(p => GraphIndex.servingCandidates(spark, p, Q, 3))
+    val after9 = GraphIndex.residentBufferPaths
+    // cap is 8: the 9th fresh insert evicted exactly the eldest (paths(0))
+    assert(!after9.contains(paths(0)), "eldest fresh path evicted")
+    assert((1 until 9).forall(i => after9.contains(paths(i))),
+      s"recent paths survived the 9th insert: $after9")
+    // re-probing refreshes recency: touch paths(1), then insert a 10th —
+    // the eviction victim must be paths(2) (now eldest), NOT paths(1)
+    GraphIndex.servingCandidates(spark, paths(1), Q, 3)
+    GraphIndex.servingCandidates(spark, paths(9), Q, 3)
+    val after10 = GraphIndex.residentBufferPaths
+    assert(after10.contains(paths(1)), "recently re-probed path survived")
+    assert(!after10.contains(paths(2)), "new eldest evicted, not clear()")
+    assert(after10.contains(paths(9)))
   }
 
   test("scan accounting: visited counts are real and the ef knob bounds them") {

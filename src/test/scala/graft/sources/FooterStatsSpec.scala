@@ -52,4 +52,44 @@ class FooterStatsSpec extends SparkSpec {
       .write.mode("append").parquet(dir)
     assert(FooterStats.maxLong(spark, dir, "ts_sec") == Some(11L))
   }
+
+  test("footer memo LRU: evicts the least-recently-read file, keeps hot ones") {
+    import spark.implicits._
+    // VERDICT r13 item 4: the old overflow handling cleared the WHOLE
+    // memo; with LRU a hot footer survives a cold tail wider than the cap
+    val dirs = (0 until 6).map { i =>
+      val d = Files.createTempDirectory(s"fmemo$i").toString
+      Seq(i.toLong, i.toLong + 10).toDF("ts_sec").coalesce(1)
+        .write.mode("append").parquet(d)
+      d
+    }
+    val savedCap = FooterStats.memoCap
+    try {
+      FooterStats.memoCap = 4
+      FooterStats.memoReset()
+      dirs.take(5).foreach(d =>
+        assert(FooterStats.maxLong(spark, d, "ts_sec").isDefined))
+      def names(d: String): Set[String] = {
+        val f = new java.io.File(d).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".")
+            && !f.getName.startsWith("_"))
+        f.map(_.getName).toSet
+      }
+      val after5 = FooterStats.memoFileNames.toSet
+      // cap 4: the 5th insert evicted exactly the first dir's footer
+      assert(names(dirs(0)).intersect(after5).isEmpty, "eldest evicted")
+      assert(names(dirs(1)).subsetOf(after5), "recent entries kept")
+      // re-reading dir1 refreshes recency; the 6th read then evicts dir2
+      FooterStats.maxLong(spark, dirs(1), "ts_sec")
+      FooterStats.maxLong(spark, dirs(5), "ts_sec")
+      val after6 = FooterStats.memoFileNames.toSet
+      assert(names(dirs(1)).subsetOf(after6), "hot footer survived")
+      assert(names(dirs(2)).intersect(after6).isEmpty,
+        "new eldest evicted, not clear()")
+      assert(names(dirs(5)).subsetOf(after6))
+    } finally {
+      FooterStats.memoCap = savedCap
+      FooterStats.memoReset()
+    }
+  }
 }
