@@ -52,6 +52,89 @@ object IngestPipeline {
     * reader diagnosing the store can see recent history). */
   val LedgerRetention = 128L
 
+  /** Writer-identity lock inside the ledger dir (VERDICT r13 item 2).
+    *
+    * The whole `b<id>-` + marker protocol assumes ONE serial writer:
+    * "committed ≡ id ≤ max marker" and "replay may delete `bN-*` by
+    * prefix" both break if a SECOND writer with its own batch-id sequence
+    * appends the same store — writer B's replay of ITS batch 5 would
+    * delete writer A's committed `b5-*` files, and B's in-flight ids
+    * below A's high-water mark would read as committed to compaction.
+    * Rather than widen the protocol (epoch-qualified names), the store
+    * DETECTS and REFUSES: the first ledgered append claims the store for
+    * a logical writer identity, and appends under any other identity
+    * throw BEFORE touching data. A restart of the same logical writer
+    * (same checkpoint → same identity) passes; takeover after
+    * decommissioning a writer is the explicit [[releaseWriter]].
+    *
+    * The BATCH promotion path ([[graft.analysis.Promoter.promote]],
+    * `Via.analyzeOnce`, bulk seeds) needs no claim: it appends through
+    * Spark's own writer, whose `part-<task>-<uuid>` names can never
+    * collide with `b<id>-` files or shift the marker high-water mark —
+    * it composes with a ledgered writer the way any foreign file does
+    * (treated as committed by compaction, invisible to replays). */
+  val WriterLockName = "_writer"
+
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  private def readWriterLock(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(lock)) None
+    else {
+      val in = fs.open(lock)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+
+  /** Claim `root`'s ledger for `writerId`, or throw if another identity
+    * holds it. Idempotent per identity; the create-no-overwrite makes the
+    * first claim atomic on a local/HDFS filesystem, and a lost race
+    * re-reads and compares. */
+  def claimWriter(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, writerId: String): Unit = {
+    val ledgerDir = new org.apache.hadoop.fs.Path(root, CommitLedgerDir)
+    val lock = new org.apache.hadoop.fs.Path(ledgerDir, WriterLockName)
+    def refuse(other: String): Nothing = throw new ConcurrentWriterException(
+      s"store $root is owned by writer '$other' but '$writerId' tried to " +
+        "append: the b<id>-file commit ledger is single-writer (batch-id " +
+        "sequences would interleave and replays would delete each " +
+        "other's files). If the owning writer is decommissioned, call " +
+        s"IngestPipeline.releaseWriter on $root and retry.")
+    readWriterLock(fs, lock) match {
+      case Some(id) if id == writerId => ()
+      case Some(other) => refuse(other)
+      case None =>
+        fs.mkdirs(ledgerDir)
+        val claimed =
+          try {
+            val out = fs.create(lock, false) // no overwrite: atomic claim
+            try out.write(writerId.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        if (!claimed) readWriterLock(fs, lock) match {
+          case Some(id) if id == writerId => ()
+          case Some(other) => refuse(other)
+          case None => throw new java.io.IOException(
+            s"cannot claim writer lock under $root")
+        }
+    }
+  }
+
+  /** Release the writer claim on `path` (operator action when the owning
+    * writer is decommissioned; the next appender claims fresh). */
+  def releaseWriter(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, CommitLedgerDir),
+      WriterLockName), false)
+  }
+
   /** Highest committed ingest batch id at `tier1Path`, or -1 for a store
     * with no ledger (batch-only or brand new). */
   def committedMax(fs: org.apache.hadoop.fs.FileSystem,
@@ -96,12 +179,26 @@ object IngestPipeline {
     * again. The leaf-recreation races with a concurrent `Layout.compact`
     * swap are the ones its CompactionSpec race tests pin. */
   def appendBatchIdempotent(batch: DataFrame, tier1Path: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    appendBatchIdempotent(batch, tier1Path, batchId, writerId = None)
+
+  /** [[appendBatchIdempotent]] under a writer identity: the first append
+    * claims the store for `writerId`, later appends under any OTHER
+    * identity throw [[ConcurrentWriterException]] before touching data
+    * (VERDICT r13 item 2 — the protocol is single-writer and now refuses
+    * rather than corrupting). `None` skips the check (single-caller test
+    * seams); both engine stream sinks pass their checkpoint-derived
+    * identity. */
+  def appendBatchIdempotent(batch: DataFrame, tier1Path: String,
+      batchId: Long, writerId: Option[String]): Unit = {
     import org.apache.hadoop.fs.Path
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val root = new Path(tier1Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // claim BEFORE the empty-batch shortcut: ownership is a property of
+    // the writer, not of one batch's row count
+    writerId.foreach(claimWriter(fs, root, _))
+    if (batch.isEmpty) return
     val ledgerDir = new Path(root, CommitLedgerDir)
     val marker = new Path(ledgerDir, batchId.toString)
     if (fs.exists(marker)) return
@@ -185,7 +282,12 @@ object IngestPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendBatchIdempotent(b, tier1Path, id)
+        // identity = checkpoint: a RESTART of this query (same checkpoint,
+        // same batch-id sequence) re-claims its own lock; a second ingest
+        // instance (different checkpoint → different id sequence) is
+        // refused before it can interleave batch ids
+        appendBatchIdempotent(b, tier1Path, id,
+          writerId = Some(s"ingest:$checkpoint"))
       }
       .start()
   }

@@ -80,7 +80,16 @@ object PromotionStream {
       rules: Option[Rules],
       windowSec: Long,
       annIndexPath: Option[String] = None,
-      graphIndexPath: Option[String] = None): Unit = {
+      graphIndexPath: Option[String] = None,
+      writerId: Option[String] = None): Unit = {
+    // claim the Tier-2 ledger FIRST (before the empty shortcut or any
+    // index append): a second promotion writer must refuse cleanly, not
+    // interleave batch ids with the owner (VERDICT r13 item 2)
+    writerId.foreach { id =>
+      val root = new org.apache.hadoop.fs.Path(tier2Path)
+      IngestPipeline.claimWriter(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration), root, id)
+    }
     if (anomalies.isEmpty) return
     val t1 = spark.read.parquet(tier1Path)
     // the distinct closed windows: control-plane sized (bounded by the
@@ -220,8 +229,12 @@ object PromotionStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         try promoteBatchIdempotent(batch.sparkSession, batch, batchId,
           tier1Path, tier2Path, rules, windowSec, annIndexPath,
-          graphIndexPath)
+          graphIndexPath, writerId = Some(s"promotion:$checkpoint"))
         catch {
+          // a concurrent-writer refusal is a DEPLOYMENT error, not a
+          // transient batch failure: retrying every trigger would spin
+          // forever against the owner's lock — fail the query instead
+          case e: IngestPipeline.ConcurrentWriterException => throw e
           case e: Exception =>
             // reference behavior: log and keep the loop alive (worker.py:32-34)
             System.err.println(s"[promotion] batch failed: ${e.getMessage}")

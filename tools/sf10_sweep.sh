@@ -1,0 +1,40 @@
+#!/bin/bash
+# Full 80-query correctness sweep at sf10 (VERDICT r13 item 1).
+# Chain: Verify dump -> DuckDB compare (where it completes) ->
+# CcValidate (dedup_clusters fixpoint) -> SweepValidate (pair family).
+# Run detached: nohup tools/sf10_sweep.sh > target/sf10_sweep.log 2>&1 &
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SF=target/sf10
+OUT=target/verify_sf10
+# goldens are pinned to sf0.01 inputs (excluded by design at other SFs);
+# lsh_pairs/simhash_dedup dumps are pair-enumeration giants the pandas
+# compare cannot hold -- SweepValidate covers them
+GOLDEN=embed_text,media_features,mmr_topk,simhash_fp,sparse_corpus_score,sparse_score
+GIANT=lsh_pairs,simhash_dedup
+
+echo "== verify dump start $(date -u +%H:%M:%S)"
+SPARK_DRIVER_MEM=48g SPARK_GRAFT_NO_COALESCE=1 SPARK_GRAFT_CPUS=32 \
+  tools/run_main.sh graft.Verify "$SF" "$OUT" 2>&1 \
+  | grep -E '\[verify\]' || true
+echo "== verify dump done $(date -u +%H:%M:%S)"
+
+df -h / | tail -1
+
+echo "== duckdb compare start $(date -u +%H:%M:%S)"
+python3 tools/check_oracle.py "$SF" "$OUT" --timeout 300 \
+  --skip "$GOLDEN,$GIANT" 2>&1 | tee target/sf10_oracle.txt | tail -30
+echo "== duckdb compare done $(date -u +%H:%M:%S)"
+
+echo "== CcValidate (dedup_clusters) start $(date -u +%H:%M:%S)"
+SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 \
+  tools/run_main.sh graft.CcValidate "$SF" "$OUT/dedup_clusters" 2>&1 \
+  | grep -vE '^2[0-9]/' | tail -20
+echo "== CcValidate done $(date -u +%H:%M:%S)"
+
+echo "== SweepValidate (pair family) start $(date -u +%H:%M:%S)"
+SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 \
+  tools/run_main.sh graft.SweepValidate "$SF" "$OUT" 2>&1 \
+  | grep -E '^\{' | tee target/sf10_pairvalidate.txt
+echo "== SweepValidate done $(date -u +%H:%M:%S)"
+echo "== sweep complete $(date -u +%H:%M:%S)"
