@@ -33,7 +33,13 @@ object AnalysisJob {
       tier1Path: String,
       fromSec: Long,
       toSec: Long): DataFrame =
-    DtPrune(spark.read.parquet(tier1Path), fromSec, toSec)
+    // slackDays = 2: partition names carry the WRITER's session zone, so
+    // a reader up to 26 h away (UTC-12 vs UTC+14) sees a row's day name
+    // shifted by up to 2 days. detect() re-filters on exact ts_sec both
+    // sides, so the wider dt bound is result-identical in-zone and makes
+    // the window exact cross-zone (TzPropertySpec) at the cost of at most
+    // 4 extra per-day listings.
+    DtPrune(spark.read.parquet(tier1Path), fromSec, toSec, slackDays = 2)
 
   /** Initial event-time span probed below the window for the baseline
     * sample (widens ×8 on shortfall): at the reference's 100 logs/s an

@@ -118,8 +118,15 @@ object PromotionStream {
       t1.filter(col("ts_sec") >= wMin && col("ts_sec") < wMax + windowSec)
     val points =
       (if (t1.columns.contains("dt"))
-         t1Ranged.filter(endpoints.map(s =>
-           col("dt") === DtPrune.dtOf(lit(s))).reduce(_ || _))
+         // ±2-day slack per endpoint (the 26 h writer/reader zone-offset
+         // bound — same convention as DtPrune.slackDays / the analysis
+         // anchor): partition names carry the writer's zone, and
+         // t1Ranged's exact ts filter makes the wider bound
+         // result-identical. Still O(windows) partitions listed.
+         t1Ranged.filter(endpoints.map { s =>
+           val d = DtPrune.dtOf(lit(s))
+           col("dt").between(date_sub(d, 2), date_add(d, 2))
+         }.reduce(_ || _))
        else t1Ranged)
         .withColumn("window_start",
           expr(s"ts_sec div $windowSec * $windowSec"))
