@@ -119,6 +119,7 @@ final class Via(spark: SparkSession, warehouse: String,
     // hijacks every other same-session reader of the store. The frozen
     // file list IS the snapshot lineage the pin model wants.
     val raw = liveTier2Read()
+    val rawFiles = raw.inputFiles
     val df = (if (clusterByHash && raw.columns.contains("rhythm_hash"))
         raw.repartitionByRange(
             org.apache.spark.sql.functions.col("rhythm_hash"))
@@ -129,11 +130,17 @@ final class Via(spark: SparkSession, warehouse: String,
     val displaced = pinLock.synchronized {
       val old = pinnedTier2
       pinnedTier2 = Some(df)
+      pinnedFiles = rawFiles
       pinnedLayoutHash = clusterByHash
       old
     }
     displaced.foreach(_.unpersist())
   }
+
+  /** The pin's frozen lineage (captured at pin time): maintainIndexes
+    * checks these still exist to catch a tier2 rewrite whose sweep died
+    * before the repin. */
+  @volatile private var pinnedFiles: Array[String] = Array.empty
 
   /** Re-pin the snapshot over the store's current content, KEEPING the
     * current pin's layout choice. */
@@ -456,7 +463,19 @@ final class Via(spark: SparkSession, warehouse: String,
         if (n.startsWith("_") || n.startsWith(".")) 0L
         else if (s.isDirectory) dataFiles(s.getPath) else 1L
       }.sum
-    val acts = scala.collection.mutable.ArrayBuffer.empty[Via.Maintenance]
+    // test seam (MaintainCrashSpec): `maintainCrashAfter = Some(target)`
+    // kills the sweep right after that store's action completes —
+    // simulating a driver death mid-sweep with store A maintained and
+    // stores B.. untouched (VERDICT r13 item 6)
+    val acts = new scala.collection.mutable.ArrayBuffer[Via.Maintenance] {
+      override def addOne(m: Via.Maintenance): this.type = {
+        super.addOne(m)
+        if (maintainCrashAfter.contains(m.target) && m.action != "none")
+          throw new IllegalStateException(
+            s"simulated crash after ${m.target}:${m.action}")
+        this
+      }
+    }
     def compactIfFragmented(target: String, storePath: String,
         run: () => graft.sources.Layout.CompactionStats): Unit = {
       val n = dataFiles(new Path(storePath))
@@ -542,14 +561,27 @@ final class Via(spark: SparkSession, warehouse: String,
     // index folds/syncs never touch the pinned store's files, so they do
     // not pay a re-materialization (ADVICE r12). The repin keeps the
     // pin's layout choice (refreshServing records it).
+    // ALSO repin when any of the pin's frozen input files no longer
+    // exists: a sweep that died between its tier2 rewrite and this repin
+    // (VERDICT r13 item 6) reports tier2 "none" on the NEXT sweep — the
+    // action-based condition alone would leave the stale-lineage pin in
+    // place forever. One fs.exists per pinned file, maintenance-only.
+    def pinLineageBroken(): Boolean =
+      pinnedTier2.isDefined &&
+        pinnedFiles.exists(f => !fs.exists(new Path(f)))
     if (pinnedTier2.isDefined &&
-        acts.exists(a => a.target == "tier2" && a.action != "none")) {
+        (acts.exists(a => a.target == "tier2" && a.action != "none") ||
+          pinLineageBroken())) {
       refreshServing()
       acts += Via.Maintenance("serving", "repin",
         "tier2 rewritten under a pinned snapshot: refreshed the pin")
     }
     acts.toSeq
   }
+
+  /** Test seam: simulate a driver crash right after the named store's
+    * maintenance action inside [[maintainIndexes]]. */
+  private[graft] var maintainCrashAfter: Option[String] = None
 
   // --- POST /analysis/tier2/clusters (V1/V6/A5/A6/J3/J4) --------------
   /** Text-filtered calls route through the Tier-2 graph ANN index when
