@@ -602,6 +602,9 @@ object GraphIndex {
     val graphDir = new Path(root, "graph")
     val oldDir = new Path(root, "_graph.old")
     val tmpRoot = new Path(root, "_rebuild.tmp")
+    // a fold that died mid-publish must finish before a full rebuild
+    // reads the graph/buffer state (its manifest replay is idempotent)
+    replayFoldManifest(spark, path)
     // crash recovery: a stranded swap left the graph in _graph.old
     if (!fs.exists(graphDir) && fs.exists(oldDir))
       if (!fs.rename(oldDir, graphDir))
@@ -685,6 +688,186 @@ object GraphIndex {
     // way.
     bumpBufferVersion(spark, path)
     fs.delete(oldDir, true); fs.delete(tmpRoot, true)
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental fold (VERDICT r13 item 3): the full [[rebuild]] re-encodes
+  // EVERY sub-graph (~1 ms/node of adjacency construction — 26 min at
+  // 1.5M rows) even when only the buffer changed. [[foldIncremental]]
+  // instead encodes the buffered rows as FRESH sub-graph segments and
+  // adds their `part=` dirs next to the existing ones — untouched
+  // sub-graphs are never read, moved, or re-encoded (the Lucene/Qdrant
+  // segment model: new data becomes a new segment; a periodic full
+  // rebuild is the merge/rebalance). Probes need no changes: they walk
+  // whatever `part=` dirs exist. Cost is O(buffer) encode + O(1) renames,
+  // independent of graph size. Segment growth is capped by the caller
+  // (Via.maintainIndexes runs the full rebuild past MaintainMaxSegments),
+  // bounding the probe's per-segment overhead.
+  //
+  // Crash safety is a publish MANIFEST (`_fold.manifest`, written
+  // atomically after the segments are fully built): it lists the segment
+  // dirs to move in and the snapshotted buffer files to delete. A crash
+  // before the manifest leaves only an orphan tmp dir (the buffer is
+  // untouched — the next fold redoes the work); a crash after it is
+  // REPLAYED by [[replayFoldManifest]] at the next fold/rebuild — each
+  // move is skip-if-already-there, each delete idempotent — so folded
+  // rows can never be encoded into a second segment. The probe-visible
+  // window during publish is the same one rebuild already documents:
+  // graph-with-folded-rows ∪ not-yet-deleted buffer, deduped by vec_id
+  // at the serving merge.
+  // ---------------------------------------------------------------------
+
+  /** Rows per new segment: small enough that one encode task stays
+    * seconds-sized, big enough that segments are non-trivial graphs. */
+  val SegmentTargetRows = 50000
+
+  private def foldManifestFile(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_fold.manifest")
+  private def foldTmpRoot(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_fold.tmp")
+
+  /** Number of persisted sub-graph segments (`part=` dirs). */
+  def segmentCount(spark: SparkSession, path: String): Int = {
+    val graphDir = new org.apache.hadoop.fs.Path(path, "graph")
+    val fs = graphDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(graphDir)) 0
+    else fs.listStatus(graphDir).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("part="))
+  }
+
+  /** Test seam: die right after the manifest is published (the worst
+    * crash point — work built, nothing moved, buffer intact). */
+  private[graft] var foldCrashAfterManifest = false
+
+  /** Fold the buffered rows into the graph WITHOUT re-encoding existing
+    * sub-graphs: build them as new segments and publish via the fold
+    * manifest. Returns true if a fold ran; false when there is no built
+    * graph yet (bootstrap belongs to [[rebuild]]) or nothing is buffered.
+    * Probe results afterwards are identical to a full [[rebuild]] over
+    * the same rows for the exact-rescored gate probes (GraphFoldSpec
+    * pins parity). */
+  def foldIncremental(spark: SparkSession, path: String,
+      targetSegmentRows: Int = SegmentTargetRows, m: Int = M,
+      mMax: Int = MMax, efC: Int = EfC, alpha: Double = Alpha): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val replayed = replayFoldManifest(spark, path)
+    val graphDir = new Path(root, "graph")
+    if (!fs.exists(graphDir)) return replayed
+    fs.delete(foldTmpRoot(root), true)
+    // same snapshot discipline as rebuild: appends racing the fold land
+    // in files/dirs outside the snapshot and survive untouched
+    val bufPath = new Path(root, "buffer")
+    val bufSnapshot =
+      if (fs.exists(bufPath))
+        fs.listStatus(bufPath).filter(_.isFile).map(_.getPath).toSeq
+      else Seq.empty
+    val batchedPath = new Path(root, "buffer-batches")
+    val batchSnapshot =
+      if (fs.exists(batchedPath))
+        fs.listStatus(batchedPath).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch_id=")).map(_.getPath).toSeq
+      else Seq.empty
+    if (bufSnapshot.isEmpty && batchSnapshot.isEmpty) return replayed
+    val bufParts = Seq(
+      if (bufSnapshot.nonEmpty)
+        Some(spark.read.parquet(bufSnapshot.map(_.toString): _*))
+      else None,
+      if (batchSnapshot.nonEmpty)
+        Some(spark.read.parquet(batchSnapshot.map(_.toString): _*))
+      else None
+    ).flatten.map(df => ensurePayload(df).select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("embedding"),
+      col("payload")))
+    // rows already in the graph (a crash window replayed an append, or a
+    // caller re-appended) must not become a SECOND permanent node: keys
+    // are content-derived, so dropping them loses nothing. One
+    // column-pruned scan of vec_id only — no embedding IO.
+    val graphKeys = spark.read.parquet(graphDir.toString).select("vec_id")
+    val fresh = bufParts.reduce(_.union(_))
+      .dropDuplicates("vec_id")
+      .join(graphKeys, Seq("vec_id"), "left_anti")
+      .cache()
+    val rows = fresh.count()
+    if (rows == 0L) {
+      // nothing new — still clear the snapshotted duplicates
+      fresh.unpersist()
+      bufSnapshot.foreach(f => fs.delete(f, false))
+      batchSnapshot.foreach(d => fs.delete(d, true))
+      bumpBufferVersion(spark, path)
+      return true
+    }
+    val existingParts = fs.listStatus(graphDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("part=").toInt).toOption)
+    val basePart = if (existingParts.isEmpty) 0 else existingParts.max + 1
+    val nSegs = math.max(1L,
+      (rows + targetSegmentRows - 1) / targetSegmentRows).toInt
+    val segParts = (0 until nSegs).map(basePart + _)
+    val tmp = foldTmpRoot(root)
+    fresh
+      .withColumn("part",
+        (pmod(col("vec_id"), lit(nSegs.toLong)) + basePart).cast("int"))
+      .as[InNode]
+      .repartition(nSegs, col("part"))
+      .mapPartitions(it => buildGroups(it, m, mMax, efC, alpha))
+      .toDF()
+      .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/graph")
+    fresh.unpersist()
+    // publish point: everything after this line is replayable
+    writeControlFile(fs, foldManifestFile(root),
+      (segParts.map(p => s"seg $p") ++
+        bufSnapshot.map(f => s"delfile $f") ++
+        batchSnapshot.map(d => s"deldir $d")).mkString("\n"))
+    if (foldCrashAfterManifest) return true
+    replayFoldManifest(spark, path)
+    true
+  }
+
+  /** Replay (or execute for the first time) a published fold manifest:
+    * move each built segment in unless it already arrived, finish the
+    * buffer deletes, refresh count/version stamps, then clear the
+    * manifest. Idempotent; returns whether a pending manifest was
+    * replayed (no-op false when none exists). */
+  private def replayFoldManifest(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = foldManifestFile(root)
+    if (!fs.exists(manifest)) return false
+    val graphDir = new Path(root, "graph")
+    val tmp = foldTmpRoot(root)
+    val in = fs.open(manifest)
+    val lines =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      finally in.close()
+    lines.foreach { line =>
+      line.split(" ", 2) match {
+        case Array("seg", p) =>
+          val dest = new Path(graphDir, s"part=${p.trim}")
+          val src = new Path(new Path(tmp, "graph"), s"part=${p.trim}")
+          if (!fs.exists(dest)) {
+            if (!fs.exists(src) || !fs.rename(src, dest))
+              throw new java.io.IOException(
+                s"fold replay: segment ${p.trim} is in neither $tmp nor $graphDir")
+          }
+        case Array("delfile", f) => fs.delete(new Path(f.trim), false)
+        case Array("deldir", d) => fs.delete(new Path(d.trim), true)
+        case _ => ()
+      }
+    }
+    // same publish order as rebuild: count+version before the buffer
+    // stamp, so a racing probe always sees a complete view
+    writeCount(spark, path, spark.read.parquet(graphDir.toString).count())
+    bumpVersion(spark, path)
+    bumpBufferVersion(spark, path)
+    fs.delete(manifest, false)
+    fs.delete(tmp, true)
+    true
   }
 
   /** Probe a persisted graph for one query: beam-walk all sub-graphs,
