@@ -207,7 +207,8 @@ object FreshBench {
     }
 
     // freshness poller: first-visibility times per burst
-    final case class Obs(id: Int, tier2Ms: Long, graphMs: Long)
+    final case class Obs(id: Int, tier2Ms: Long, graphMs: Long,
+        landedAtMs: Long)
     val observed = new java.util.concurrent.ConcurrentLinkedQueue[Obs]()
     val pollThread = new Thread(() => {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", "poller")
@@ -250,10 +251,11 @@ object FreshBench {
             if (vis) Some(nowMs - burst.landedAtMs) else None
           }
           if (t2v.isDefined && gv.isDefined) {
-            observed.add(Obs(id, t2v.get, gv.get))
+            observed.add(Obs(id, t2v.get, gv.get, burst.landedAtMs))
             pending.remove(id)
           } else if (nowMs - burst.landedAtMs > WindowSec * 3000 + 60000) {
-            observed.add(Obs(id, t2v.getOrElse(-1L), gv.getOrElse(-1L)))
+            observed.add(Obs(id, t2v.getOrElse(-1L), gv.getOrElse(-1L),
+              burst.landedAtMs))
             pending.remove(id)
           } else pending(id) = (burst, t2v, gv)
         }
@@ -289,8 +291,25 @@ object FreshBench {
     // ---- report
     import scala.jdk.CollectionConverters._
     val obs = observed.asScala.toSeq.sortBy(_.id)
-    obs.foreach(o => emit(
-      s"""{"leg":"freshness","burst":${o.id},"tier2_ms":${o.tier2Ms},"graph_ms":${o.graphMs}}"""))
+    // structural floor per burst (VERDICT r13 item 5): a tumbling-window
+    // detector can only promote a CLOSED window, so a burst landing at
+    // phase phi inside its window cannot be Tier-2-visible before
+    // (WindowSec - phi) + watermark — measured latency above that floor
+    // is the MECHANISM overhead (trigger cadence, detect, rollup, write,
+    // poll quantization). Uniform burst phases put the p95 of the floor
+    // itself at ~0.95*WindowSec + watermark: the floor, not the
+    // machinery, owns the tail.
+    def floorMs(landedAtMs: Long): Long = {
+      val sec = landedAtMs / 1000.0
+      val close = math.ceil(sec / WindowSec) * WindowSec
+      ((close - sec) * 1000).toLong + 2000 // + watermarkDelay (2 s)
+    }
+    obs.foreach { o =>
+      val fl = floorMs(o.landedAtMs)
+      emit(s"""{"leg":"freshness","burst":${o.id},"tier2_ms":${o.tier2Ms},""" +
+        s""""graph_ms":${o.graphMs},"floor_ms":$fl,""" +
+        s""""overhead_ms":${if (o.tier2Ms >= 0) o.tier2Ms - fl else -1}}""")
+    }
     def pct(xs: Seq[Long], p: Double): Long =
       if (xs.isEmpty) -1 else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
     val t2ok = obs.map(_.tier2Ms).filter(_ >= 0)
@@ -301,6 +320,10 @@ object FreshBench {
       f""""timed_out":${obs.count(o => o.tier2Ms < 0 || o.graphMs < 0)},""" +
       f""""tier2_p50_ms":${pct(t2ok, 0.5)},"tier2_p95_ms":${pct(t2ok, 0.95)},""" +
       f""""graph_p50_ms":${pct(gok, 0.5)},"graph_p95_ms":${pct(gok, 0.95)},""" +
+      f""""floor_p50_ms":${pct(obs.map(o => floorMs(o.landedAtMs)), 0.5)},""" +
+      f""""floor_p95_ms":${pct(obs.map(o => floorMs(o.landedAtMs)), 0.95)},""" +
+      f""""overhead_p50_ms":${pct(obs.filter(_.tier2Ms >= 0).map(o => o.tier2Ms - floorMs(o.landedAtMs)), 0.5)},""" +
+      f""""overhead_p95_ms":${pct(obs.filter(_.tier2Ms >= 0).map(o => o.tier2Ms - floorMs(o.landedAtMs)), 0.95)},""" +
       f""""window_sec":$WindowSec,"target_rate":$rate,""" +
       f""""generated_rows":${generated.get()},"ingested_rows":$t1Rows,""" +
       f""""achieved_gen_rate":${(generated.get() / genWallSec).toLong},""" +

@@ -271,9 +271,15 @@ object VectorOps {
     // build-once-per-JVM (GraphIndex.indexFor), probe-only thereafter —
     // the ann_rerank_indexed cost profile; probe(GateEf) == inlineTopK
     // row-for-row (GraphIndexSpec)
-    (s, dir) => graft.search.GraphIndex.probe(
-      s, graft.search.GraphIndex.indexFor(s, dir), Q, GraphK,
-      ef = graft.search.GraphIndex.GateEf),
+    (s, dir) => {
+      val path = graft.search.GraphIndex.indexFor(s, dir)
+      // corpus-adaptive gate beam: the oracle is the EXACT top-10, and a
+      // fixed beam under-covers past ~200k vectors (r14 sf10 sweep —
+      // GraphIndex.gateEf's measured threshold)
+      val n = graft.search.GraphIndex.nodeCount(s, path).getOrElse(0L)
+      graft.search.GraphIndex.probe(s, path, Q, GraphK,
+        ef = graft.search.GraphIndex.gateEf(n))
+    },
     Some(s"""
       WITH sc AS (
         SELECT vec_id, label, embedding,

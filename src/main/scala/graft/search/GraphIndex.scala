@@ -69,6 +69,20 @@ object GraphIndex {
     * top-10 at every gate SF (the oracle is exact cosine top-k). */
   val GateEf = 96
 
+  /** Corpus-adaptive gate beam (r14 sf10 sweep finding): a FIXED gate
+    * beam eventually under-covers — at 200k vectors ef=96 missed exactly
+    * one exact-top-10 member while ef=192 covered (GateEfProbe,
+    * target/sf10). n/500 keeps a 2x margin over that measured threshold
+    * and grows the beam with the corpus, while the gate-SF plans are
+    * unchanged (the GateEf floor). Beam cost stays trivial next to the
+    * exact scan the oracle runs: ef=400 at 200k was 2.0 s vs 3.3 s at
+    * ef=96 (wider beams CONVERGE FASTER here — fewer re-expansions). The
+    * production serving path keeps [[EfSearch]]: recall there is
+    * CI-pinned as approximate by design; this scaling is only for gate
+    * rows whose oracle is exact. */
+  def gateEf(n: Long): Int =
+    math.max(GateEf, math.min(n / 500L, 100000L).toInt)
+
   /** One probe hit: per-(query, sub-graph) beam result row plus that
     * walk's visited-node count (same value on every hit of the pair). */
   final case class Hit(qid: Long, part: Int, vec_id: Long, score: Double,
