@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Merge the sf10 Spark bench line with the correctness-sweep record.
+
+Usage: tools/merge_sf10_bench.py <bench_json_line_file> <out.json>
+
+Reads the one-line JSON graft.Bench printed (which already embeds the
+per-query DuckDB map from tools/duck_bench.py with its 30 s clamp) and
+attaches the sf10 correctness taxonomy assembled from:
+  - target/sf10_oracle.txt      (round-1 compare, pre-isolation)
+  - target/sf10_oracle_r2.txt   (round-2 per-process compare)
+  - target/sf10_pairvalidate.txt (SweepValidate JSON lines)
+  - target/sf10_ccvalidate.txt   (CcValidate verdict line, if present)
+so BENCH_SF10_r14.json is one self-contained artifact.
+"""
+import json
+import os
+import re
+import sys
+
+bench_file, out = sys.argv[1], sys.argv[2]
+
+with open(bench_file) as f:
+    line = next(l for l in f if l.startswith("{"))
+rec = json.loads(line)
+
+status = {}
+
+
+def mark(q, st, src):
+    # later sources override earlier (round2 supersedes round1)
+    status[q] = {"status": st, "via": src}
+
+
+for path, src in [("target/sf10_oracle.txt", "duckdb_r1"),
+                  ("target/sf10_oracle_r2.txt", "duckdb_r2")]:
+    if not os.path.exists(path):
+        continue
+    for l in open(path):
+        m = re.match(r"^(PASS|FAIL|TIMEOUT) (\w+)", l)
+        if m:
+            st, q = m.groups()
+            # round-1 rows poisoned by the duckdb OOM are not real FAILs
+            if src == "duckdb_r1" and ("can't start new thread" in l
+                                       or "Out of Memory" in l):
+                continue
+            mark(q, st.lower(), src)
+
+if os.path.exists("target/sf10_pairvalidate.txt"):
+    for l in open("target/sf10_pairvalidate.txt"):
+        try:
+            d = json.loads(l)
+        except ValueError:
+            continue
+        if "query" in d:
+            mark(d["query"], "pass" if d.get("pass") == 1 else "fail",
+                 "spark_validator")
+
+if os.path.exists("target/sf10_ccvalidate.txt"):
+    txt = open("target/sf10_ccvalidate.txt").read()
+    if "VALID fixpoint" in txt:
+        mark("dedup_clusters", "pass", "cc_validator")
+
+GOLDEN = ["embed_text", "media_features", "mmr_topk", "simhash_fp",
+          "sparse_corpus_score", "sparse_score"]
+for q in GOLDEN:
+    mark(q, "excluded_golden_sf0.01", "design")
+
+rec["sf10_correctness"] = dict(sorted(status.items()))
+rec["sf10_correctness_summary"] = {
+    "pass": sum(1 for v in status.values() if v["status"] == "pass"),
+    "fail": sum(1 for v in status.values() if v["status"] == "fail"),
+    "timeout": sum(1 for v in status.values() if v["status"] == "timeout"),
+    "excluded_golden": len(GOLDEN),
+}
+with open(out, "w") as f:
+    json.dump(rec, f, indent=1)
+print(json.dumps(rec["sf10_correctness_summary"]))
