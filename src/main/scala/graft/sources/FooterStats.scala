@@ -176,8 +176,15 @@ object FooterStats {
   }
 
   // (path, length, modTime) → Spark schema, for [[fileSchema]]
-  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), Option[org.apache.spark.sql.types.StructType]]()
+  // same LRU discipline as the stats memo above (VERDICT r13 item 4)
+  private val schemaMemo = new java.util.LinkedHashMap[
+      (String, Long, Long), Option[org.apache.spark.sql.types.StructType]](
+      1024, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, Long, Long),
+        Option[org.apache.spark.sql.types.StructType]]): Boolean =
+      size() > memoCap
+  }
 
   /** Spark schema of one parquet file, read DRIVER-SIDE from its footer
     * — `spark.read.parquet(files)` launches a Spark job just to infer
@@ -194,7 +201,7 @@ object FooterStats {
       val conf = spark.sessionState.newHadoopConf()
       val st = file.getFileSystem(conf).getFileStatus(file)
       val key = (file.toString, st.getLen, st.getModificationTime)
-      val cached = schemaMemo.get(key)
+      val cached = schemaMemo.synchronized(schemaMemo.get(key))
       if (cached != null) cached
       else {
         // like [[statsFor]]: only a successfully-read footer is
@@ -215,8 +222,7 @@ object FooterStats {
                 .ParquetToSparkSchemaConverter(spark.sessionState.conf)
                 .convert(md.getSchema))
           } finally reader.close()
-        if (schemaMemo.size() > MemoMaxEntries) schemaMemo.clear()
-        schemaMemo.put(key, v)
+        schemaMemo.synchronized(schemaMemo.put(key, v))
         v
       }
     } catch { case _: Exception => None }
