@@ -109,12 +109,16 @@ object TextFunctions {
       t => length(t) > 0))
 
   /** Quality score in [0,1]: mix of length, punctuation ratio, stopword
-    * ratio, mean word length (training-pipeline quality scoring). */
+    * ratio, mean word length (training-pipeline quality scoring).
+    * Token/stopword counts through the fused one-pass [[TokenStats]]
+    * kernel (no token array; TokenStatsKernelSpec parity) — the score
+    * arithmetic itself is unchanged Catalyst doubles. */
   def qualityScore(text: Column): Column = {
     val nChars = length(text).cast("double")
-    val toks = wordTokens(text)
-    val nToks = greatest(size(toks).cast("double"), lit(1.0))
-    val nStop = countInSet(toks, Stopwords).cast("double")
+    val stats = graft.GraftFunctions.columnOf(
+      TokenStats(graft.GraftFunctions.exprOf(text), Stopwords))
+    val nToks = greatest(stats.getField("n_toks").cast("double"), lit(1.0))
+    val nStop = stats.getField("n_stop").cast("double")
     // count-only kernel for the punctuation ratio (ArrayStatKernelSpec):
     // the built-in form materialized a stripped copy of the text per row
     val punct = graft.GraftFunctions.columnOf(

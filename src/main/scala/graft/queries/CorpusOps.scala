@@ -228,13 +228,28 @@ object CorpusOps {
   def gopherNStop(ts: Column): Column =
     columnOf(CountInSet(exprOf(ts), GopherStopwords))
 
+  /** The four Gopher signals over the fused one-pass
+    * [[graft.functions.TokenStats]] struct (n_toks, sum_len, n_alpha,
+    * n_stop) — value-identical to the array forms above without
+    * materializing a token array (TokenStatsKernelSpec). Identical
+    * struct trees collapse via codegen subexpression elimination, so
+    * stacking all four signals costs one scan of the text. */
+  def gopherStats(text: Column): Column =
+    columnOf(graft.functions.TokenStats(exprOf(text), GopherStopwords))
+  def gopherNWordsS(st: Column): Column = st.getField("n_toks")
+  def gopherMeanWlenS(st: Column): Column =
+    round(st.getField("sum_len").cast("double") / st.getField("n_toks"), 4)
+  def gopherAlphaFracS(st: Column): Column =
+    round(st.getField("n_alpha").cast("double") / st.getField("n_toks"), 4)
+  def gopherNStopS(st: Column): Column = st.getField("n_stop")
+
   /** The composed Gopher keep verdict over a raw text column (math of
     * `gopher_quality`, reused by [[graft.api.Curation]]). */
   def gopherKeepCol(text: Column): Column = {
-    val ts = columnOf(WordTokens(exprOf(text)))
-    gopherNWords(ts).between(GopherMinWords, GopherMaxWords) &&
-      gopherMeanWlen(ts).between(3.0, 10.0) &&
-      gopherAlphaFrac(ts) >= 0.7 && gopherNStop(ts) >= 2
+    val st = gopherStats(text)
+    gopherNWordsS(st).between(GopherMinWords, GopherMaxWords) &&
+      gopherMeanWlenS(st).between(3.0, 10.0) &&
+      gopherAlphaFracS(st) >= 0.7 && gopherNStopS(st) >= 2
   }
 
   /** Per-document quality signals + the composed keep verdict, all pure
@@ -244,14 +259,13 @@ object CorpusOps {
     "gopher_quality",
     (s, dir) => {
       import s.implicits._
-      val ts: Column = columnOf(WordTokens(exprOf($"text")))
+      val st = gopherStats($"text")
       Tables.documents(s, dir)
-        .select($"doc_id", $"text", ts.as("ts"))
         .select($"doc_id",
-          gopherNWords($"ts").as("n_words"),
-          gopherMeanWlen($"ts").as("mean_wlen"),
-          gopherAlphaFrac($"ts").as("alpha_frac"),
-          gopherNStop($"ts").as("n_stop"),
+          gopherNWordsS(st).as("n_words"),
+          gopherMeanWlenS(st).as("mean_wlen"),
+          gopherAlphaFracS(st).as("alpha_frac"),
+          gopherNStopS(st).as("n_stop"),
           gopherKeepCol($"text").as("keep"))
         .orderBy($"doc_id")
     },

@@ -509,12 +509,16 @@ object CurationOps {
   // ----------------------------------------------------------------------
 
   /** The repetition score as one column expression (math of
-    * `repetition_score`, reused by [[graft.api.Curation]]). */
+    * `repetition_score`, reused by [[graft.api.Curation]]). Both counts
+    * come from the fused one-pass [[graft.functions.NgramStats]] kernel
+    * (was: a WordTokens array + a WordNgrams distinct-gram array — two
+    * tokenize passes materializing every gram string); values identical
+    * (TokenStatsKernelSpec). */
   def repetitionCol(text: Column): Column = {
-    val nToks = size(graft.GraftFunctions.columnOf(graft.functions.WordTokens(
-      graft.GraftFunctions.exprOf(text)))).cast("long")
-    val nDistinct = size(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
-      graft.GraftFunctions.exprOf(text), 3))).cast("long")
+    val st = graft.GraftFunctions.columnOf(graft.functions.NgramStats(
+      graft.GraftFunctions.exprOf(text), 3))
+    val nToks = st.getField("n_toks")
+    val nDistinct = st.getField("n_distinct")
     // exact-rational 6-dp HALF_UP: floor((2e6·a + q)/(2q))/1e6 over the
     // integer numerator a = (n_toks-2) - n_distinct and denominator
     // q = n_toks-2 — immune to the cross-engine round()-of-double
@@ -565,10 +569,11 @@ object CurationOps {
     "repetition_score",
     (s, dir) => {
       import s.implicits._
-      val nToks = size(graft.GraftFunctions.columnOf(graft.functions.WordTokens(
-        graft.GraftFunctions.exprOf($"text")))).cast("long")
-      val nDistinct = size(graft.GraftFunctions.columnOf(graft.functions.WordNgrams(
-        graft.GraftFunctions.exprOf($"text"), 3))).cast("long")
+      // fused NgramStats kernel — see repetitionCol
+      val st = graft.GraftFunctions.columnOf(graft.functions.NgramStats(
+        graft.GraftFunctions.exprOf($"text"), 3))
+      val nToks = st.getField("n_toks")
+      val nDistinct = st.getField("n_distinct")
       Tables.documents(s, dir)
         .select($"doc_id", nToks.as("n_toks"), nDistinct.as("n_distinct"))
         .select($"doc_id", $"n_toks", $"n_distinct",

@@ -448,11 +448,13 @@ object TextOps {
     "lang_id",
     (s, dir) => {
       import s.implicits._
-      val toks = wordTokens($"text")
-      // native CountInSet kernel, not filter(isin) HOFs — 5 interpreted
-      // lambdas per token was a top-5 bench cost; values are identical
-      val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, ms) =>
-        lang -> countInSet(toks, ms)
+      // fused CountInSets kernel: all five marker sets fold in ONE token
+      // scan with no token array (was: a WordTokens array + 5 CountInSet
+      // walks; before that, 5 interpreted HOF lambdas) — values identical
+      val counts = graft.GraftFunctions.columnOf(graft.functions.CountInSets(
+        graft.GraftFunctions.exprOf($"text"), LangMarkers.map(_._2)))
+      val scores: Seq[(String, Column)] = LangMarkers.zipWithIndex.map {
+        case ((lang, _), i) => lang -> element_at(counts, i + 1)
       }
       val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
       val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
