@@ -301,6 +301,23 @@ class PlanShapeSpec extends SparkSpec {
       s"quality rules are per-row — no shuffle is justified:\n${p.take(1200)}")
   }
 
+  test("quality/lang/repetition scans run the fused one-pass kernels") {
+    // the r14 fused kernels replaced per-statistic re-tokenization; a
+    // regression to the WordTokens-array forms re-pays a regex compile +
+    // token array per row (KernelAbBench: 2.3-4.4x at sf10)
+    Seq("quality_score" -> "token_stats",
+        "weighted_sample" -> "token_stats",
+        "gopher_quality" -> "token_stats",
+        "lang_id" -> "count_in_sets",
+        "repetition_score" -> "ngram_stats").foreach { case (name, kernel) =>
+      val p = plan(name)
+      assert(p.contains(kernel),
+        s"$name must scan through the fused $kernel kernel:\n${p.take(1200)}")
+      assert(!p.contains("word_tokens("),
+        s"$name must not materialize a token array:\n${p.take(1200)}")
+    }
+  }
+
   test("lm_score broadcasts the corpus total, joins on the token key") {
     val q = Registry.all.find(_.name == "lm_score").get
     val df = q.fn(spark, dir)
