@@ -181,4 +181,12 @@ object GraftFunctions {
     * trees from Column-API arguments). */
   def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  /** Hash-aggregable `max_by(payload, ordering)` — the
+    * [[graft.functions.MaxByOrd]] typed-imperative aggregate (value-
+    * identical to the built-in when the ordering key is unique per
+    * group; runs on ObjectHashAggregateExec instead of a full-input
+    * SortAggregate). */
+  def maxByOrd(payload: Column, ordering: Column): Column =
+    columnOf(graft.functions.MaxByOrd(exprOf(payload), exprOf(ordering)))
 }

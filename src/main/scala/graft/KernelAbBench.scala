@@ -106,7 +106,24 @@ object KernelAbBench {
           val st = columnOf(NgramStats(exprOf(col("text")), 3))
           docs.select(col("doc_id"),
             st.getField("n_toks").as("nt"), st.getField("n_distinct").as("nd"))
-        }))
+        }),
+      ("maxby_top1", {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type"), col("event_id"), col("value"))
+        ev.groupBy(col("event_type"))
+          .agg(max_by(struct(col("event_id"), col("value")),
+            struct(col("value"), negate(col("event_id")))).as("top"))
+          .select(col("event_type"), col("top.event_id").as("event_id"),
+            col("top.value").as("value"))
+      }, {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type"), col("event_id"), col("value"))
+        ev.groupBy(col("event_type"))
+          .agg(GraftFunctions.maxByOrd(struct(col("event_id"), col("value")),
+            struct(col("value"), negate(col("event_id")))).as("top"))
+          .select(col("event_type"), col("top.event_id").as("event_id"),
+            col("top.value").as("value"))
+      }))
 
     def consume(df: DataFrame): Long = {
       val t0 = System.nanoTime()
@@ -117,9 +134,10 @@ object KernelAbBench {
     val only = sys.env.get("SPARK_GRAFT_AB_ONLY").map(_.split(",").toSet)
     pairs.filter(p => only.forall(_.contains(p._1))).foreach {
       case (name, legacy, fused) =>
-        // row-for-row parity on THIS corpus before timing
-        val mismatch = legacy.as("l").join(fused.as("f"), Seq("doc_id"), "full")
-          .filter(legacy.columns.filter(_ != "doc_id").map(c =>
+        // row-for-row parity on THIS corpus before timing (key = 1st col)
+        val key = legacy.columns.head
+        val mismatch = legacy.as("l").join(fused.as("f"), Seq(key), "full")
+          .filter(legacy.columns.filter(_ != key).map(c =>
             !(col(s"l.$c") <=> col(s"f.$c"))).reduce(_ || _))
           .count()
         val times = (0 until reps).map { _ =>

@@ -372,7 +372,7 @@ object LogOps {
       Tables.events(s, dir)
         .select($"event_type", $"event_id", $"props", $"ts_sec")
         .groupBy($"event_type")
-        .agg(max_by(struct($"event_id", $"props"),
+        .agg(graft.GraftFunctions.maxByOrd(struct($"event_id", $"props"),
           struct($"ts_sec", $"event_id")).as("top"))
         .select($"event_type", $"top.event_id".as("event_id"),
           $"top.props".as("props"))
@@ -408,7 +408,7 @@ object LogOps {
       Tables.events(s, dir)
         .select(hash, $"event_id", $"value")
         .groupBy($"rhythm_hash")
-        .agg(max_by(struct($"event_id", $"value"),
+        .agg(graft.GraftFunctions.maxByOrd(struct($"event_id", $"value"),
           struct($"value", -$"event_id")).as("top"))
         .select($"rhythm_hash", $"top.event_id".as("event_id"),
           $"top.value".as("value"))
