@@ -53,28 +53,35 @@ object CurationOps {
     * rather than returning a not-yet-converged labeling. */
   val MaxClusterIters = 25
 
-  /** Edge-relation size (2 × the bucket-derived pair-count bound) below
+  /** Edge-relation size (2 × the bucket-derived star-edge bound) below
     * which the fixpoint materializes edges as a direct localCheckpoint
     * (fast hop plans, ~0.5-5 GB of deserialized blocks at the cap) and
     * above which it uses the evictable disk-spillable src-partitioned
-    * form that survives quadratic pair growth (SCALE.md, sf10 decade). */
+    * form that survives unbounded membership growth (SCALE.md, sf10
+    * decade — proven on the 431M-row clique relation the star form
+    * replaced). */
   val EdgeCheckpointMaxRows = 32000000L
 
-  /** Pair-count bound below which components run as ONE driver-side
-    * union-find pass over the collected candidate pairs instead of the
-    * distributed fixpoint (≤ ~64 MB of pair data; union-find state is
+  /** Edge-count bound below which components run as ONE driver-side
+    * union-find pass over the collected star edges instead of the
+    * distributed fixpoint (≤ ~64 MB of edge data; union-find state is
     * node-sized). Override per session with
     * `spark.graft.cc.driverMaxPairs` (tests force the distributed tiers
     * with 0). */
   val DriverCcMaxPairs = 4000000L
 
-  /** Connected components over the MinHash-LSH candidate-pair graph via
+  /** Connected components over the MinHash-LSH candidate graph via
     * min-label propagation WITH pointer jumping: every document's
     * cluster_id converges to the smallest doc_id reachable through
     * near-dup pairs (singletons keep their own id). This is the canonical
     * dedup finisher at warehouse scale — pairs alone don't say *which*
     * rows to keep; components do (keep cluster_id == doc_id, or aggregate
-    * per cluster).
+    * per cluster). The iterated edge relation is the connectivity-
+    * equivalent STAR form of each LSH bucket (member → bucket min,
+    * [[TextOps.starEdgesFromBuckets]]) — identical components to the
+    * full bucket cliques at Σ(n−1) instead of Σ C(n,2) edges, which is
+    * the difference between membership-linear and bucket-quadratic work
+    * on a duplication-heavy corpus.
     *
     * The fixpoint loop iterates ONLY over nodes that appear in the edge
     * relation. A document with no candidate pair can never change label,
@@ -116,38 +123,49 @@ object CurationOps {
     import docs.sparkSession.implicits._
     val capObs = bucketCap.map(_ => org.apache.spark.sql.Observation())
     val buckets = TextOps.minhashBuckets(docs, bucketCap, capObs)
-    // UPPER BOUND on candidate pairs from bucket sizes alone:
-    // Σ C(n_bucket, 2) counts every pair once PER SHARED BAND and before
-    // distinct(), so it can only overestimate the edge relation. One
-    // cheap agg over the bucket relation (this is also the action that
-    // materializes the bucket cache the self-join reads), paid BEFORE
-    // the edges exist — which lets the small-graph path below skip the
-    // repartition shuffle and persist pass entirely instead of deciding
-    // after a materialization it then throws away (the r11 adaptive form
-    // cost the gate-scale query an extra shuffle + copy; BenchOne A/B
-    // r12). Overestimating is safe in exactly one direction: a graph the
-    // bound calls big but is small runs the scale path (correct,
-    // modestly slower); a graph the bound calls small IS small.
-    val estPairs = buckets.groupBy($"band_idx", $"band_hash").count()
-      .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
+    // The edge relation is the STAR form, not the bucket cliques:
+    // connectivity only needs every bucket member linked to the bucket's
+    // min doc_id — identical components (see `starEdgesFromBuckets`'
+    // proof sketch) at Σ(n_bucket − 1) edges instead of Σ C(n_bucket, 2).
+    // This is what keeps clustering LINEAR in bucket membership while the
+    // pair-enumeration gates (`lsh_pairs`) stay quadratic by contract:
+    // measured sf10, the same corpus that produced 431M clique pairs
+    // yields the same clusters from the star relation at membership
+    // scale, and the independent CcCheck validator still re-derives the
+    // full cliques when proving the output.
+    //
+    // UPPER BOUND on star edges from bucket sizes alone: Σ (n_bucket − 1)
+    // counts every member-to-root edge before distinct(), so it can only
+    // overestimate the edge relation. One cheap agg over the bucket
+    // relation (this is also the action that materializes the bucket
+    // cache the star join reads), paid BEFORE the edges exist — which
+    // lets the small-graph path below skip the repartition shuffle and
+    // persist pass entirely instead of deciding after a materialization
+    // it then throws away (the r11 adaptive form cost the gate-scale
+    // query an extra shuffle + copy; BenchOne A/B r12). Overestimating is
+    // safe in exactly one direction: a graph the bound calls big but is
+    // small runs the scale path (correct, modestly slower); a graph the
+    // bound calls small IS small.
+    val estEdges = buckets.groupBy($"band_idx", $"band_hash").count()
+      .agg(coalesce(sum(expr("count - 1")), lit(0L)))
       .head().getLong(0)
-    val pairs = TextOps.pairsFromBuckets(buckets)
+    val pairs = TextOps.starEdgesFromBuckets(buckets)
     val spark = docs.sparkSession
-    // DRIVER-SIZED tier: when the pair bound fits comfortably on the
+    // DRIVER-SIZED tier: when the edge bound fits comfortably on the
     // driver, the whole fixpoint machinery is overhead — collect the
-    // candidate pairs (≤ cap × 16 B of data) and run the exact min-rooted
+    // star edges (≤ cap × 16 B of data) and run the exact min-rooted
     // union-find in one pass (the same kernel CcCheck validates the
     // distributed output with; the DuckDB recursive-CTE oracle stays the
     // independent gate). Labels broadcast back onto the corpus as one
     // join — the corpus itself never shuffles. This is the broadcast-join
-    // analogue for iterative graph work: a near-dup graph is pair-bounded
-    // by LSH band width, so at gate scale it is KBs-MBs while the corpus
-    // is the big thing; the distributed tiers remain for graphs that
-    // outgrow the driver (BenchOne same-session: dedup_clusters
-    // 3.5 → 1.8 s at sf0.1).
+    // analogue for iterative graph work: the star relation is bounded by
+    // bucket MEMBERSHIP (docs × bands), so at gate scale it is KBs-MBs
+    // while the corpus is the big thing; the distributed tiers remain
+    // for graphs that outgrow the driver (BenchOne same-session:
+    // dedup_clusters 3.5 → 1.8 s at sf0.1).
     val driverMax = spark.conf.getOption("spark.graft.cc.driverMaxPairs")
       .map(_.toLong).getOrElse(DriverCcMaxPairs)
-    if (estPairs <= driverMax) {
+    if (estEdges <= driverMax) {
       val edges = pairs.as[(Long, Long)].collect()
       buckets.unpersist()
       capObs.foreach { o =>
@@ -159,35 +177,37 @@ object CurationOps {
         .join(broadcast(labelsDf), Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
     }
-    // both directions in ONE pass over the pair relation (a two-branch
-    // union would recompute the LSH self-join once per direction),
+    // both directions in ONE pass over the star relation (a two-branch
+    // union would recompute the bucket join once per direction),
     // materialized once — read by every iteration. A plain persist, not
-    // localCheckpoint: edges are PAIR-count sized, and pair counts grow
-    // quadratically with the duplication factor (measured sf10: 430M
-    // edge rows from 500k docs — the checkpoint's non-recomputable
-    // deserialized blocks starved the pair join of execution memory and
-    // OOM'd a 48 GB JVM; the r11 decade sweep's find). A plain persist
-    // keeps lineage, so its blocks are EVICTABLE: memory pressure
-    // degrades to spill-to-disk/recompute instead of failing the job,
-    // while gate-scale corpora keep deserialized in-memory blocks with
-    // zero per-hop decode cost (a SER level measured +150% on the sf1
-    // fixpoint — decode per hop — for no benefit once blocks can evict).
-    // The per-NODE label state below stays localCheckpoint'd — it is
-    // small and its lineage must truncate or the iterative plan grows.
-    // Pre-partitioned on the JOIN KEY: every fixpoint hop joins edges on
-    // src, and an un-partitioned edge relation would re-shuffle all of
-    // them per hop — shuffle files live for the whole job, so an
+    // localCheckpoint, above the threshold: on the pre-star CLIQUE
+    // relation the checkpoint's non-recomputable deserialized blocks
+    // starved the pair join of execution memory and OOM'd a 48 GB JVM
+    // (431M edge rows from 500k docs; the r11 decade sweep's find) — the
+    // star form is membership-bounded, but a pathological corpus (every
+    // doc in one bucket per band at 100 TB) still reaches the same
+    // blow-up through sheer membership, so the evictable tier stays. A
+    // plain persist keeps lineage, so its blocks are EVICTABLE: memory
+    // pressure degrades to spill-to-disk/recompute instead of failing
+    // the job, while gate-scale corpora keep deserialized in-memory
+    // blocks with zero per-hop decode cost (a SER level measured +150%
+    // on the sf1 fixpoint — decode per hop — for no benefit once blocks
+    // can evict). The per-NODE label state below stays localCheckpoint'd
+    // — it is small and its lineage must truncate or the iterative plan
+    // grows. Pre-partitioned on the JOIN KEY: every fixpoint hop joins
+    // edges on src, and an un-partitioned edge relation would re-shuffle
+    // all of them per hop — shuffle files live for the whole job, so an
     // iterative plan accumulates rounds × edge-sized spill until the
-    // disk fills (measured at sf10: 430M edges × ~4 rounds ran a 72 GB
-    // volume dry). Partitioned once here, each hop's join reuses the
-    // persisted partitioning and only the NODE-sized label relation
-    // crosses the wire per hop.
+    // disk fills (measured at sf10 on the clique relation: 431M edges ×
+    // ~4 rounds ran a 72 GB volume dry). Partitioned once here, each
+    // hop's join reuses the persisted partitioning and only the
+    // NODE-sized label relation crosses the wire per hop.
     val edgesBase = pairs.select(explode(array(
         struct($"a_id".as("src"), $"b_id".as("dst")),
         struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
-    // ADAPTIVE on the pair-count BOUND (the true scale variable — doc
-    // count is a bad proxy because pair counts are quadratic in
+    // ADAPTIVE on the edge-count BOUND (the true scale variable — doc
+    // count is a bad proxy because bucket membership concentrates with
     // duplication): a provably-small graph takes the direct
     // localCheckpoint (one materialization pass, no repartition shuffle,
     // fast RDD-backed hop plans — the r10 form); past the threshold it
@@ -199,7 +219,7 @@ object CurationOps {
       .getOption("spark.graft.cc.edgeCheckpointMaxRows")
       .map(_.toLong).getOrElse(EdgeCheckpointMaxRows)
     val edges =
-      if (estPairs * 2 <= checkpointMax)
+      if (estEdges * 2 <= checkpointMax)
         edgesBase.localCheckpoint()
       else {
         val e = edgesBase.repartition($"src")

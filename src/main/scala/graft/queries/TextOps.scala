@@ -918,6 +918,30 @@ object TextOps {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
 
+  /** The CONNECTIVITY-equivalent star form of [[pairsFromBuckets]]: per
+    * `(band_idx, band_hash)` bucket, one edge from every member to the
+    * bucket's smallest doc_id instead of the full member clique. A
+    * bucket's clique and its min-rooted star connect exactly the same
+    * node set, so any union of buckets has IDENTICAL connected
+    * components — but the edge count is Σ(n_bucket − 1) (linear in
+    * bucket membership, ≤ docs × bands) instead of Σ C(n_bucket, 2)
+    * (quadratic in bucket size). Consumers that need the
+    * candidate PAIRS themselves (`lsh_pairs`, jaccard verification)
+    * keep the clique join; consumers that only need connectivity
+    * (components clustering) take this. Edges keep the a_id < b_id
+    * orientation (the root IS the bucket min). The roots aggregate and
+    * the member join shuffle on the same bucket key, so the join adds
+    * no exchange beyond the aggregate's own. */
+  private[queries] def starEdgesFromBuckets(
+      buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val roots = buckets.groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col("doc_id")).as("a_id"))
+    buckets.join(roots, Seq("band_idx", "band_hash"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+  }
+
   /** MinHash-LSH candidate pairs (a_id < b_id, distinct, unordered): docs
     * sharing any band bucket — explode bands → shuffle on the bucket key →
     * pair join. The signature relation is cached before the self-join (at
