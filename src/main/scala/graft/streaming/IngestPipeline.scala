@@ -89,9 +89,17 @@ object IngestPipeline {
     }
 
   /** Claim `root`'s ledger for `writerId`, or throw if another identity
-    * holds it. Idempotent per identity; the create-no-overwrite makes the
-    * first claim atomic on a local/HDFS filesystem, and a lost race
-    * re-reads and compares. */
+    * holds it. Idempotent per identity; a lost race re-reads and
+    * compares. Atomicity of the first claim is filesystem-specific:
+    * HDFS's `create(overwrite = false)` is atomic by the FileSystem
+    * contract, but the LOCAL filesystem's is CHECK-then-create — two
+    * racing claimants can both pass the exists probe and both believe
+    * they won (caught by MultiWriterSpec's 8-way claim: 4 "owners") —
+    * so local stores claim through java.nio `CREATE_NEW` (O_EXCL; the
+    * kernel arbitrates). Object stores without atomic
+    * create-no-overwrite need a conditional-put or an external lock
+    * service in front of this call — the same caveat every
+    * single-writer file-ledger protocol carries there. */
   def claimWriter(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, writerId: String): Unit = {
     val ledgerDir = new org.apache.hadoop.fs.Path(root, CommitLedgerDir)
@@ -107,12 +115,19 @@ object IngestPipeline {
       case Some(other) => refuse(other)
       case None =>
         fs.mkdirs(ledgerDir)
+        val bytes = writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val claimed =
           try {
-            val out = fs.create(lock, false) // no overwrite: atomic claim
-            try out.write(writerId.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
+            fs match {
+              case lf: org.apache.hadoop.fs.LocalFileSystem =>
+                java.nio.file.Files.write(lf.pathToFile(lock).toPath, bytes,
+                  java.nio.file.StandardOpenOption.CREATE_NEW,
+                  java.nio.file.StandardOpenOption.WRITE)
+              case _ =>
+                val out = fs.create(lock, false) // atomic on HDFS
+                try out.write(bytes)
+                finally out.close()
+            }
             true
           } catch { case _: java.io.IOException => false }
         if (!claimed) readWriterLock(fs, lock) match {
