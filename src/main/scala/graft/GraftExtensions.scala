@@ -189,4 +189,13 @@ object GraftFunctions {
     * SortAggregate). */
   def maxByOrd(payload: Column, ordering: Column): Column =
     columnOf(graft.functions.MaxByOrd(exprOf(payload), exprOf(ordering)))
+
+  /** Fully-codegen `max_by(payload, ordering)` for fixed-width payloads
+    * — the [[graft.functions.MaxByPrim]] declarative aggregate (flat
+    * primitive buffer, `HashAggregateExec`). Same values as [[maxByOrd]]
+    * wherever both apply; requires all payload/ordering fields
+    * fixed-width primitives and non-null ordering fields (analysis
+    * error / skipped rows otherwise — see the class contract). */
+  def maxByPrim(payload: Column, ordering: Column): Column =
+    columnOf(graft.functions.MaxByPrim(exprOf(payload), exprOf(ordering)))
 }

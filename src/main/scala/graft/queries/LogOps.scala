@@ -402,13 +402,15 @@ object LogOps {
       val hash = concat($"event_type", lit(":"),
         jsonGet($"props", "k")).as("rhythm_hash")
       // top-1-per-group as a partial-aggregable max_by (map-side combine;
-      // struct comparison is lexicographic, -event_id gives the asc
-      // tie-break) — equivalent to the window row_number()=1 plan but with
-      // no per-partition sort, which is the shape that survives 100x scale
+      // comparison is lexicographic (value, -event_id), -event_id gives
+      // the asc tie-break) — equivalent to the window row_number()=1 plan
+      // but with no per-partition sort, and all-primitive payload/ordering
+      // makes it the fully-codegen MaxByPrim form (HashAggregateExec) —
+      // the shape that survives 100x scale
       Tables.events(s, dir)
         .select(hash, $"event_id", $"value")
         .groupBy($"rhythm_hash")
-        .agg(graft.GraftFunctions.maxByOrd(struct($"event_id", $"value"),
+        .agg(graft.GraftFunctions.maxByPrim(struct($"event_id", $"value"),
           struct($"value", -$"event_id")).as("top"))
         .select($"rhythm_hash", $"top.event_id".as("event_id"),
           $"top.value".as("value"))

@@ -319,16 +319,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("top-1-per-group aggregates hash, never sort the full input") {
-    // max_by(struct, struct) is SortAggregate-only (struct agg buffers);
-    // the MaxByOrd typed aggregate restores ObjectHashAggregate — a
-    // regression re-sorts the full fact table on both exchange sides
-    Seq("grouped_search", "top1_per_group", "ann_ivf").foreach { name =>
+    // max_by(struct, struct) is SortAggregate-only (struct agg buffers).
+    // All-primitive call sites ride MaxByPrim → full codegen
+    // HashAggregate; the variable-width payload (top1_per_group carries
+    // props: string) rides the MaxByOrd typed aggregate →
+    // ObjectHashAggregate. A regression on either re-sorts the full
+    // fact table on both exchange sides.
+    Seq("grouped_search", "ann_ivf").foreach { name =>
       val p = plan(name)
-      assert(p.contains("ObjectHashAggregate"),
-        s"$name must aggregate on the object-hash path:\n${p.take(1500)}")
+      assert(p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+        s"$name must aggregate on the codegen hash path:\n${p.take(1500)}")
       assert(!p.contains("SortAggregate"),
         s"$name fell back to a full-input sort aggregate:\n${p.take(1500)}")
     }
+    val p = plan("top1_per_group")
+    assert(p.contains("ObjectHashAggregate"),
+      s"top1_per_group must aggregate on the object-hash path:\n${p.take(1500)}")
+    assert(!p.contains("SortAggregate"),
+      s"top1_per_group fell back to a full-input sort aggregate:\n${p.take(1500)}")
   }
 
   test("lm_score broadcasts the corpus total, joins on the token key") {
