@@ -47,6 +47,15 @@ case class BestMatchExpr(
 
   @transient private lazy val idArr: Array[Long] = ids.toArray
   @transient private lazy val vecArr: Array[Array[Double]] = vecs.map(_.toArray).toArray
+  // reference norms are pair-invariant: fold each once, in the same
+  // ascending element order the per-pair fold used, so sqrt/division see
+  // bit-identical inputs (the oracle-parity contract)
+  @transient private lazy val normArr: Array[Double] =
+    vecArr.map { e =>
+      var ne = 0.0; var i = 0
+      while (i < e.length) { ne += e(i) * e(i); i += 1 }
+      math.sqrt(ne)
+    }
   private lazy val vFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val dim = vecs.head.length
@@ -54,18 +63,19 @@ case class BestMatchExpr(
   override protected def nullSafeEval(v: Any): Any = {
     val vv = v.asInstanceOf[ArrayData]
     if (vv.numElements() != dim) null
-    else BestMatchExpr.compute(vv, vFloat, idArr, vecArr)
+    else BestMatchExpr.compute(vv, vFloat, idArr, vecArr, normArr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val idRef = ctx.addReferenceObj("bmIds", idArr, "long[]")
     val vecRef = ctx.addReferenceObj("bmVecs", vecArr, "double[][]")
+    val normRef = ctx.addReferenceObj("bmNorms", normArr, "double[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"""
          |if ($v.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.BestMatchExpr.compute($v, $vFloat, $idRef, $vecRef);
+         |  ${ev.value} = graft.functions.BestMatchExpr.compute($v, $vFloat, $idRef, $vecRef, $normRef);
          |}
        """.stripMargin)
   }
@@ -75,23 +85,40 @@ case class BestMatchExpr(
 }
 
 object BestMatchExpr {
+  /** One row against the whole reference matrix. The row is staged into
+    * a flat double[] ONCE (its norm folded in the same ascending element
+    * order the per-pair loop used — sqrt/division see bit-identical
+    * inputs), reference norms arrive precomputed (same order, see
+    * `normArr`), so the hot loop is a pure dot product over two flat
+    * arrays — no ArrayData virtual reads, no per-pair norm arithmetic.
+    * Against the original fused fold this is 3× fewer FLOPs and a
+    * JIT-vectorizable inner loop; values are unchanged because every
+    * surviving FP operation accumulates in the original order. */
   def compute(v: ArrayData, vFloat: Boolean, ids: Array[Long],
-      vecs: Array[Array[Double]]): InternalRow = {
+      vecs: Array[Array[Double]], norms: Array[Double]): InternalRow = {
+    val dim = v.numElements()
+    val row = new Array[Double](dim)
+    var nv = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      row(i) = x
+      nv += x * x
+      i += 1
+    }
+    val snv = math.sqrt(nv)
     var bestId = ids(0)
     var bestSim = Double.NegativeInfinity
     var c = 0
     while (c < vecs.length) {
       val e = vecs(c)
-      // the CosineSimExpr fold: dot and both norms in one ascending loop
-      var d = 0.0; var nv = 0.0; var ne = 0.0
-      var i = 0
-      while (i < e.length) {
-        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        val y = e(i)
-        d += x * y; nv += x * x; ne += y * y
+      var d = 0.0
+      i = 0
+      while (i < dim) {
+        d += row(i) * e(i)
         i += 1
       }
-      val snv = math.sqrt(nv); val sne = math.sqrt(ne)
+      val sne = norms(c)
       val cs = if (snv == 0.0 || sne == 0.0) 0.0 else d / (snv * sne)
       if (cs > bestSim) { bestSim = cs; bestId = ids(c) }
       c += 1
