@@ -130,8 +130,20 @@ object ScaleGen {
       val df = replicate(spark, srcDir, name, reps)
       val tmp = s"$tmpRoot/$name"
       // single flat file named like the driver's tables, so check_oracle's
-      // `FROM '<dir>/<t>.parquet'` and Tables.load both work unchanged
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // `FROM '<dir>/<t>.parquet'` and Tables.load both work unchanged —
+      // but with SMALL ROW GROUPS (2 MB vs the 128 MB default): a real
+      // warehouse table is thousands of files and Spark's split sizing
+      // (`bytesPerCore` floored at `openCostInBytes`) happily carves a
+      // single file into per-core ranges, yet a range only executes the
+      // row groups whose start it contains — one giant row group
+      // single-threads every scan of the table no matter the split conf.
+      // Measured at sf10: the 50 MB embeddings table was ONE row group,
+      // so every embedding kernel (decontaminate_semantic's 452 s
+      // BestMatch pass above all) ran on one core of 32. 2 MB row groups
+      // restore the many-files parallelism the corpus is standing in for.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 2L * 1024 * 1024)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no parquet part for $name"))
