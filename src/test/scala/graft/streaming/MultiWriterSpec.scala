@@ -78,24 +78,30 @@ class MultiWriterSpec extends SparkSpec {
     // the create-no-overwrite race: N threads claim a fresh store under
     // DISTINCT identities at once; exactly one must own it, every loser
     // must see ConcurrentWriterException (never two owners, never a
-    // silent double-claim)
-    val tier1 = Files.createTempDirectory("mw3").toString + "/t1"
-    val root = new org.apache.hadoop.fs.Path(tier1)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // silent double-claim). Repeated over fresh stores because the race
+    // is probabilistic: one round caught LocalFileSystem's
+    // check-then-create only intermittently (4 "owners" on a bad
+    // scheduling roll); 20 rounds made the pre-fix failure reliable.
+    val dir = Files.createTempDirectory("mw3").toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
-      val results = (0 until 8).map { i =>
-        pool.submit(new java.util.concurrent.Callable[Option[String]] {
-          def call(): Option[String] =
-            try { IngestPipeline.claimWriter(fs, root, s"w$i"); Some(s"w$i") }
-            catch { case _: IngestPipeline.ConcurrentWriterException => None }
-        })
-      }.map(_.get())
-      val winners = results.flatten
-      assert(winners.size == 1, s"exactly one claim must win: $winners")
-      // the surviving lock belongs to the winner, and re-claiming under
-      // that identity still passes
-      IngestPipeline.claimWriter(fs, root, winners.head)
+      (0 until 20).foreach { round =>
+        val root = new org.apache.hadoop.fs.Path(s"$dir/t$round")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val results = (0 until 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] =
+              try { IngestPipeline.claimWriter(fs, root, s"w$i"); Some(s"w$i") }
+              catch { case _: IngestPipeline.ConcurrentWriterException => None }
+          })
+        }.map(_.get())
+        val winners = results.flatten
+        assert(winners.size == 1,
+          s"round $round: exactly one claim must win: $winners")
+        // the surviving lock belongs to the winner, and re-claiming under
+        // that identity still passes
+        IngestPipeline.claimWriter(fs, root, winners.head)
+      }
     } finally pool.shutdown()
   }
 
