@@ -1304,12 +1304,29 @@ object GraphIndex {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Sub-graph count per [[NodesPerPart]] nodes — the sizing a
+    * deployment does by hand (SCALE.md: "numParts is the one knob"),
+    * applied automatically where the engine builds for itself: build
+    * parallelism IS the sub-graph count (beam inserts are sequential
+    * within one), so a fixed 4 leaves a 200k-vector build at ~1 ms/node
+    * on 4 of 32 cores. More parts can only improve gate coverage — the
+    * probe walks EVERY sub-graph with the same beam and merges, so
+    * candidates grow with parts — while serving latency pays per part,
+    * hence the cap. */
+  val NodesPerPart = 25000L
+
+  def adaptiveParts(n: Long): Int =
+    math.max(NumParts, math.min(64L, (n + NodesPerPart - 1) / NodesPerPart)).toInt
+
   /** Graph index for the embeddings table under `dir`, building on
-    * first use (per JVM). */
+    * first use (per JVM); sub-graph count sized from the corpus
+    * ([[adaptiveParts]] — identical to the old fixed default at gate
+    * SFs, 8 parts at the sf10 sweep's 200k vectors). */
   def indexFor(spark: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graphidx").toString
-      build(graft.Tables.embeddings(spark, dir), p)
+      val emb = graft.Tables.embeddings(spark, dir)
+      build(emb, p, numParts = adaptiveParts(emb.count()))
       p
     })
 
