@@ -98,18 +98,31 @@ object SimhashOps {
       // cached: both self-join sides (at warehouse scale the signature
       // relation is a materialized table, not recomputed per side)
       val bands = sig.select($"doc_id", $"sh", explode(bandKeys).as("bk")).cache()
+      // FIRST-SHARED-BAND dedup instead of distinct(): a pair colliding
+      // in k bands appears k times in the join output, and the old
+      // distinct() re-shuffled every surviving pair to drop the copies
+      // (965M-row exchange at sf10). Both full signatures ride the join
+      // row, so "is this the smallest band the two signatures share?" is
+      // pure scan-side arithmetic — each qualifying pair is emitted
+      // EXACTLY once (every near-dup pair shares >= 1 band; exactly one
+      // is smallest), the result SET is identical, and the dedup
+      // exchange disappears from the plan. The oracle keeps SQL DISTINCT
+      // — same set, independently derived.
+      val firstShared = (Bands - 1 to 0 by -1).foldLeft(lit(Bands)) {
+        (acc, j) =>
+          when(shiftright(col("a.sh"), j * BandBits).bitwiseAND(lit(BandMask))
+            === shiftright(col("b.sh"), j * BandBits).bitwiseAND(lit(BandMask)),
+            lit(j)).otherwise(acc)
+      }
       bands.as("a")
         .join(bands.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .filter(shiftright(col("a.bk"), BandBits) === firstShared)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-        // hamming BEFORE distinct: the cut is a function of the pair, so
-        // the order cannot change the result set — but it runs scan-side
-        // on the join output, and the distinct exchange then carries only
-        // surviving near-dup pairs instead of every banded candidate
-        // (measured 10.6M -> ~0.5M rows at sf1)
+        // hamming cut scan-side on the join output (function of the
+        // pair, so ordering vs the band filter cannot change the set)
         .filter($"hamming" <= HammingMax)
-        .distinct()
         .orderBy($"a_id", $"b_id")
     },
     Some {

@@ -882,8 +882,13 @@ object TextOps {
       .select($"doc_id", baseHashes($"text").as("hs"))
       .select($"doc_id", minhashArr($"hs").as("mh"))
     val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*)
+    // the full band vector rides every exploded row (4 longs): the pair
+    // join uses it to emit each pair at its FIRST shared band only,
+    // which replaces the pair-level distinct() exchange with scan-side
+    // arithmetic (see pairsFromBuckets)
     val exploded = withMh
-      .select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+      .select($"doc_id", bandArr.as("bands"),
+        posexplode(bandArr).as(Seq("band_idx", "band_hash")))
     bucketCap match {
       case None => exploded.cache()
       case Some(cap) =>
@@ -907,16 +912,35 @@ object TextOps {
   }
 
   /** The bucket self-join of [[minhashBuckets]]: distinct unordered
-    * candidate pairs (a_id < b_id). */
+    * candidate pairs (a_id < b_id). Distinctness comes from the
+    * FIRST-SHARED-BAND filter, not a pair-level distinct(): a pair
+    * colliding in k bands appears k times in the join output, and both
+    * rows carry their full band vectors, so "is this the smallest band
+    * the two share?" is scan-side arithmetic that keeps exactly one
+    * copy — the result SET is unchanged (every candidate shares >= 1
+    * band; exactly one is smallest) while the exchange that re-shuffled
+    * every pair just to drop duplicates disappears (215M pair rows at
+    * sf10). Requires the UNCAPPED bucket relation: under a bucket-size
+    * cap an entry can be dropped from its smallest shared band but
+    * survive in a later one, and the filter would then drop the pair —
+    * both callers (the `lsh_pairs` gate and the CcCheck validator) are
+    * uncapped by contract. */
   private[queries] def pairsFromBuckets(
-      buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nBands = MinhashK / BandSize
+    val firstShared = (nBands - 1 to 0 by -1).foldLeft(lit(nBands)) {
+      (acc, j) =>
+        when(element_at(col("a.bands"), j + 1)
+          === element_at(col("b.bands"), j + 1), lit(j)).otherwise(acc)
+    }
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band_idx") === firstShared)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+  }
 
   /** The CONNECTIVITY-equivalent star form of [[pairsFromBuckets]]: per
     * `(band_idx, band_hash)` bucket, one edge from every member to the
