@@ -13,14 +13,9 @@ object BenchOne {
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // file-open cost floor sized for local NVMe: the default 4 MB
-      // floor caps a 50 MB single-file table at ~13 splits on 32 cores
-      // (split = max(openCost, bytesPerCore)); 1 MB lets bytesPerCore
-      // win so compute-heavy kernel scans use the full core count
-      .config("spark.sql.files.openCostInBytes", String.valueOf(1024 * 1024))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -67,7 +67,13 @@ object CurationOps {
     * distributed fixpoint (≤ ~64 MB of edge data; union-find state is
     * node-sized). Override per session with
     * `spark.graft.cc.driverMaxPairs` (tests force the distributed tiers
-    * with 0). */
+    * with 0). UNIT CHANGE r14-s2: the conf keeps its name for
+    * compatibility but now bounds STAR edges (membership-linear,
+    * Σ(n_bucket−1)) where it used to bound clique pairs (quadratic,
+    * Σ C(n_bucket,2)) — a value tuned against the old bound admits
+    * strictly smaller graphs than before (the bound shrank for the same
+    * corpus), so carried-over settings stay safe; they just under-use
+    * the driver tier until retuned. */
   val DriverCcMaxPairs = 4000000L
 
   /** Connected components over the MinHash-LSH candidate graph via

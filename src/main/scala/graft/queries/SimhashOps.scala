@@ -103,17 +103,13 @@ object SimhashOps {
       // distinct() re-shuffled every surviving pair to drop the copies
       // (965M-row exchange at sf10). Both full signatures ride the join
       // row, so "is this the smallest band the two signatures share?" is
-      // pure scan-side arithmetic — each qualifying pair is emitted
-      // EXACTLY once (every near-dup pair shares >= 1 band; exactly one
-      // is smallest), the result SET is identical, and the dedup
-      // exchange disappears from the plan. The oracle keeps SQL DISTINCT
-      // — same set, independently derived.
-      val firstShared = (Bands - 1 to 0 by -1).foldLeft(lit(Bands)) {
-        (acc, j) =>
-          when(shiftright(col("a.sh"), j * BandBits).bitwiseAND(lit(BandMask))
-            === shiftright(col("b.sh"), j * BandBits).bitwiseAND(lit(BandMask)),
-            lit(j)).otherwise(acc)
-      }
+      // pure scan-side arithmetic — the result SET is identical and the
+      // dedup exchange disappears from the plan (exactly-once proof:
+      // TextOps.firstSharedBand). The oracle keeps SQL DISTINCT — same
+      // set, independently derived.
+      val firstShared = TextOps.firstSharedBand(Bands)(j =>
+        (shiftright(col("a.sh"), j * BandBits).bitwiseAND(lit(BandMask)),
+          shiftright(col("b.sh"), j * BandBits).bitwiseAND(lit(BandMask))))
       bands.as("a")
         .join(bands.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

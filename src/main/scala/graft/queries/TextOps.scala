@@ -855,7 +855,7 @@ object TextOps {
     * outlive the query. */
   private[queries] def minhashBuckets(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    minhashBuckets(docs, None, None)
+    minhashBuckets(docs, None, None, withBands = true)
 
   /** [[minhashBuckets]] with an optional BUCKET-SIZE recall cap — the
     * same degenerate-group guard the jaccard census and semdedup carry: a
@@ -875,20 +875,26 @@ object TextOps {
   private[queries] def minhashBuckets(
       docs: org.apache.spark.sql.DataFrame,
       bucketCap: Option[Int],
-      capObs: Option[org.apache.spark.sql.Observation])
+      capObs: Option[org.apache.spark.sql.Observation],
+      withBands: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     val withMh = docs
       .select($"doc_id", baseHashes($"text").as("hs"))
       .select($"doc_id", minhashArr($"hs").as("mh"))
     val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*)
-    // the full band vector rides every exploded row (4 longs): the pair
-    // join uses it to emit each pair at its FIRST shared band only,
-    // which replaces the pair-level distinct() exchange with scan-side
-    // arithmetic (see pairsFromBuckets)
-    val exploded = withMh
-      .select($"doc_id", bandArr.as("bands"),
-        posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    // `withBands` rides the full band vector on every exploded row
+    // (4 longs): the PAIR join uses it to emit each pair at its FIRST
+    // shared band only, replacing the pair-level distinct() exchange
+    // with scan-side arithmetic (see pairsFromBuckets). Connectivity
+    // consumers (star edges) and the capped pipeline path don't read
+    // it, so they skip the ~3× per-row cache/shuffle payload.
+    val cols =
+      if (withBands)
+        Seq($"doc_id", bandArr.as("bands"),
+          posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+      else Seq($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    val exploded = withMh.select(cols: _*)
     bucketCap match {
       case None => exploded.cache()
       case Some(cap) =>
@@ -925,14 +931,27 @@ object TextOps {
     * survive in a later one, and the filter would then drop the pair —
     * both callers (the `lsh_pairs` gate and the CcCheck validator) are
     * uncapped by contract. */
+  /** Index of the FIRST band (smallest j) on which the two join sides
+    * agree, as a Catalyst CASE chain; `n` when none do. `bandPair(j)`
+    * supplies the two sides' band-j expressions. The exactly-once
+    * pair-emission proof lives HERE, shared by both enumerators
+    * ([[pairsFromBuckets]], SimhashOps): every candidate pair shares
+    * ≥ 1 band and exactly one is smallest, so filtering the join on
+    * `joined band_idx === firstSharedBand(...)` keeps exactly one copy
+    * of each pair with no distinct() exchange. */
+  private[queries] def firstSharedBand(n: Int)(
+      bandPair: Int => (org.apache.spark.sql.Column, org.apache.spark.sql.Column))
+      : org.apache.spark.sql.Column =
+    (n - 1 to 0 by -1).foldLeft(lit(n): org.apache.spark.sql.Column) { (acc, j) =>
+      val (a, b) = bandPair(j)
+      when(a === b, lit(j)).otherwise(acc)
+    }
+
   private[queries] def pairsFromBuckets(
       buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nBands = MinhashK / BandSize
-    val firstShared = (nBands - 1 to 0 by -1).foldLeft(lit(nBands)) {
-      (acc, j) =>
-        when(element_at(col("a.bands"), j + 1)
-          === element_at(col("b.bands"), j + 1), lit(j)).otherwise(acc)
-    }
+    val firstShared = firstSharedBand(nBands)(j =>
+      (element_at(col("a.bands"), j + 1), element_at(col("b.bands"), j + 1)))
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

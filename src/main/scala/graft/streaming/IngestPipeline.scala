@@ -119,8 +119,15 @@ object IngestPipeline {
         val claimed =
           try {
             fs match {
+              // match BOTH local flavors: the checksum wrapper AND the
+              // raw FS a caller can hold directly (getLocal(conf).getRaw)
+              // — each one's create(overwrite=false) is check-then-create
               case lf: org.apache.hadoop.fs.LocalFileSystem =>
                 java.nio.file.Files.write(lf.pathToFile(lock).toPath, bytes,
+                  java.nio.file.StandardOpenOption.CREATE_NEW,
+                  java.nio.file.StandardOpenOption.WRITE)
+              case rf: org.apache.hadoop.fs.RawLocalFileSystem =>
+                java.nio.file.Files.write(rf.pathToFile(lock).toPath, bytes,
                   java.nio.file.StandardOpenOption.CREATE_NEW,
                   java.nio.file.StandardOpenOption.WRITE)
               case _ =>

@@ -9,7 +9,9 @@ sf10 sweep — costs only its own row. Driven by tools/duck_map.sh, which
 assembles the per-query map duck_bench would have produced.
 
 Usage: duck_one.py <sfDir> <oracle_sql.json> <query>
-Prints one line: `<query> <seconds>` or `<query> TIMEOUT`.
+Prints one line: `<query> <seconds>` (the 30 s ceiling itself when
+interrupted — the conservative DuckDB floor, flagged with a trailing
+TIMEOUT marker: `<query> 30.0 TIMEOUT`).
 """
 import json
 import sys
@@ -56,13 +58,15 @@ def main():
     sql = json.load(open(oracle_path))[name]
     sec, timed_out = timed_run(con, sql)
     if timed_out:
-        print(f"{name} TIMEOUT")
+        # record AT the ceiling — a conservative LOWER bound for DuckDB
+        print(f"{name} {QUERY_TIMEOUT_S} TIMEOUT")
         return
     times = [sec]
     if sec < 2.0:
         for _ in range(2):
-            t2, _ = timed_run(con, sql)
-            times.append(t2)
+            t2, to2 = timed_run(con, sql)
+            if not to2:  # an interrupted re-run is not a valid sample
+                times.append(t2)
     print(f"{name} {round(min(times), 3)}")
 
 
