@@ -30,8 +30,25 @@ object Bench {
       val p = new ProcessBuilder(
         "python3", script.toString, sfDir, oraclePath.toString, outPath.toString)
         .redirectErrorStream(true).start()
-      p.getInputStream.readAllBytes() // drain
-      if (p.waitFor() != 0) return (Map.empty, Seq.empty)
+      // drain on a daemon thread and bound the wait: duck_bench's
+      // in-process interrupt watchdog deadlocked mid-run once (sf10,
+      // r14-s2 — python blocked with CPU frozen), and an unbounded
+      // waitFor would have stalled the WHOLE bench behind the baseline.
+      // Budget: 30 s clamp × |queries| + slack; on expiry the child is
+      // killed and the bench reports Spark-only, per this method's
+      // "must never die on the baseline" contract.
+      val drain = new Thread(() => {
+        try p.getInputStream.readAllBytes()
+        catch { case _: Throwable => () }
+      })
+      drain.setDaemon(true)
+      drain.start()
+      val budgetMin = math.max(20L, oracle.size * 35L / 60L + 5L)
+      if (!p.waitFor(budgetMin, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly()
+        return (Map.empty, Seq.empty)
+      }
+      if (p.exitValue() != 0) return (Map.empty, Seq.empty)
       val txt = java.nio.file.Files.readString(outPath)
       val times = """"([^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
