@@ -406,12 +406,16 @@ object LogOps {
       // the asc tie-break) — equivalent to the window row_number()=1 plan
       // but with no per-partition sort, and all-primitive payload/ordering
       // makes it the fully-codegen MaxByPrim form (HashAggregateExec) —
-      // the shape that survives 100x scale
+      // the shape that survives 100x scale. MaxByPrim SKIPS null-ordering
+      // rows, so a nullable `value` is coalesced to -Infinity: an all-null
+      // group then still yields its min-event_id row (nulls-last), exactly
+      // the oracle's row_number() ORDER BY value DESC [NULLS LAST] pick.
       Tables.events(s, dir)
         .select(hash, $"event_id", $"value")
         .groupBy($"rhythm_hash")
         .agg(graft.GraftFunctions.maxByPrim(struct($"event_id", $"value"),
-          struct($"value", -$"event_id")).as("top"))
+          struct(coalesce($"value", lit(Double.NegativeInfinity)),
+            -$"event_id")).as("top"))
         .select($"rhythm_hash", $"top.event_id".as("event_id"),
           $"top.value".as("value"))
         .orderBy($"value".desc, $"rhythm_hash")

@@ -883,12 +883,15 @@ object TextOps {
       .select($"doc_id", baseHashes($"text").as("hs"))
       .select($"doc_id", minhashArr($"hs").as("mh"))
     val bandArr = array((0 until MinhashK / BandSize).map(b => bandCol($"mh", b)): _*)
-    // `withBands` rides the full band vector on every exploded row
-    // (4 longs): the PAIR join uses it to emit each pair at its FIRST
-    // shared band only, replacing the pair-level distinct() exchange
-    // with scan-side arithmetic (see pairsFromBuckets). Connectivity
-    // consumers (star edges) and the capped pipeline path don't read
-    // it, so they skip the ~3× per-row cache/shuffle payload.
+    // `withBands` rides the full band vector on every exploded row —
+    // array<string> of the 4 concat_ws("|") band keys (each 4 longs
+    // rendered as decimal text, ~60-80 bytes), so roughly 4-5× the
+    // exploded row's single band-key payload: the PAIR join uses it to
+    // emit each pair at its FIRST shared band only, replacing the
+    // pair-level distinct() exchange with scan-side arithmetic (see
+    // pairsFromBuckets). Connectivity consumers (star edges) and the
+    // capped pipeline path don't read it, so they skip that extra
+    // cache/shuffle payload.
     val cols =
       if (withBands)
         Seq($"doc_id", bandArr.as("bands"),

@@ -204,7 +204,7 @@ object VectorOps {
         .crossJoin(broadcast(cents))
         .withColumn("cs", cosine($"embedding", $"cvec"))
         .groupBy($"vec_id")
-        .agg(graft.GraftFunctions.maxByPrim(struct($"cid"), struct($"cs", -$"cid")).getField("cid").as("cid"))
+        .agg(graft.GraftFunctions.maxByPrim(struct($"cid"), struct(coalesce($"cs", lit(-2d)), -$"cid")).getField("cid").as("cid"))
       // probe set: the nprobe centroids nearest to the query vector
       val probes = cents
         .select($"cid", cosineToConst($"cvec", Q).as("qs"))

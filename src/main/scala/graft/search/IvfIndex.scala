@@ -54,7 +54,7 @@ object IvfIndex {
       .crossJoin(broadcast(cents))
       .withColumn("cs", cosine($"embedding", $"cvec"))
       .groupBy($"vec_id")
-      .agg(graft.GraftFunctions.maxByPrim(struct($"cid"), struct($"cs", -$"cid")).getField("cid").as("cid"))
+      .agg(graft.GraftFunctions.maxByPrim(struct($"cid"), struct(coalesce($"cs", lit(-2d)), -$"cid")).getField("cid").as("cid"))
     embeddings.join(assigned, "vec_id")
       .repartition($"cid") // one task → one file per centroid partition
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
@@ -77,7 +77,7 @@ object IvfIndex {
       .crossJoin(broadcast(cents))
       .withColumn("cs", cosine($"embedding", $"cvec"))
       .groupBy($"vec_id")
-      .agg(graft.GraftFunctions.maxByPrim(struct($"cid"), struct($"cs", -$"cid")).getField("cid").as("cid"))
+      .agg(graft.GraftFunctions.maxByPrim(struct($"cid"), struct(coalesce($"cs", lit(-2d)), -$"cid")).getField("cid").as("cid"))
     newVectors.join(assigned, "vec_id")
       .repartition($"cid")
       .write.mode("append").partitionBy("cid").parquet(s"$path/index")

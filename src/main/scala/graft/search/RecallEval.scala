@@ -94,7 +94,7 @@ object RecallEval {
       .crossJoin(broadcast(cents))
       .withColumn("cs", cosine($"embedding", $"cvec"))
       .groupBy($"vec_id")
-      .agg(graft.GraftFunctions.maxByPrim(struct($"cid"), struct($"cs", -$"cid")).getField("cid").as("cid"))
+      .agg(graft.GraftFunctions.maxByPrim(struct($"cid"), struct(coalesce($"cs", lit(-2d)), -$"cid")).getField("cid").as("cid"))
     val qProbes = topKPerQuery(
       qs.select($"qid", $"qvec").crossJoin(broadcast(cents))
         .select($"qid", $"cid".as("vec_id"), cosine($"cvec", $"qvec").as("score")),

@@ -17,7 +17,12 @@ OUTF=${3:-target/sf10_duck_map.txt}
 [ -f "$ORACLE" ] || { echo "no oracle json at $ORACLE" >&2; exit 1; }
 : > "$OUTF"
 for q in $(python3 -c "import json;print(' '.join(sorted(json.load(open('$ORACLE')))))"); do
-  if ! timeout 60 python3 tools/duck_one.py "$SF" "$ORACLE" "$q" >> "$OUTF"; then
+  # capture stdout and append it ONLY on exit 0: duck_one printing its
+  # row and then wedging (killed by the outer timeout after the print)
+  # must not leave BOTH a timing row and an ERROR row for one query
+  if out=$(timeout 60 python3 tools/duck_one.py "$SF" "$ORACLE" "$q"); then
+    printf '%s\n' "$out" >> "$OUTF"
+  else
     echo "$q ERROR" >> "$OUTF"
   fi
 done
