@@ -69,7 +69,13 @@ object Curation {
       mixTargets: Option[Seq[(String, Long)]] = None,
       chunkToContext: Boolean = false,
       packBudget: Long = CurationOps.PackBudget,
-      packShards: Long = CurationOps.PackShards)
+      packShards: Long = CurationOps.PackShards,
+      /** Rows×dims bound on the eval matrix the semantic stage may
+        * collect to the driver ([[graft.queries.VectorOps.MaxEvalRefCells]]
+        * — ~32 MB of doubles); an eval split past it takes the broadcast
+        * anti-join shape instead of OOMing the driver. Overridable here
+        * so tests (and memory-constrained drivers) can force the switch. */
+      maxEvalRefCells: Long = graft.queries.VectorOps.MaxEvalRefCells)
 
   /** See [[Config.lshBucketCap]]. */
   val DefaultLshBucketCap = 4096
@@ -184,26 +190,44 @@ object Curation {
 
     // 3b. optional SEMANTIC decontamination: drop docs whose embedding
     // reaches cosine >= tau to any eval doc — catches paraphrased
-    // contamination that shares no 8-gram. The eval side is
-    // benchmark-sized, so its embeddings collect into ONE BestMatchExpr
-    // reference object and the stage is a pure scan filter (no join, no
-    // shuffle — the `decontaminate_semantic` shape).
+    // contamination that shares no 8-gram. A benchmark-sized eval side
+    // (rows × 384 dims within VectorOps.MaxEvalRefCells) collects its
+    // embeddings into ONE BestMatchExpr reference object and the stage
+    // is a pure scan filter (no join, no shuffle — the
+    // `decontaminate_semantic` shape); an eval side PAST the cap would
+    // OOM the driver collect, so it automatically takes the broadcast
+    // anti-join form instead (same kept set — CurationPipelineSpec pins
+    // the parity and the report telemetry).
+    def embedCol = graft.GraftFunctions.columnOf(
+      graft.functions.EmbedText(graft.GraftFunctions.exprOf($"text")))
     val semClean = chk("semantic_decontaminate",
       (cfg.semanticDecontamTau, evalDocs) match {
       case (Some(tau), Some(ev)) =>
-        val evEmb = ev
-          .select($"doc_id", graft.GraftFunctions.columnOf(
-            graft.functions.EmbedText(
-              graft.GraftFunctions.exprOf($"text"))).as("e"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-          .sortBy(_._1).toSeq
-        if (evEmb.isEmpty) clean
-        else clean.filter(graft.GraftFunctions.columnOf(
-          graft.functions.BestMatchExpr(
-            graft.GraftFunctions.exprOf(graft.GraftFunctions.columnOf(
-              graft.functions.EmbedText(graft.GraftFunctions.exprOf($"text")))),
-            evEmb.map(_._1), evEmb.map(_._2))).getField("sim") < tau)
+        val evEmbDf = ev.select($"doc_id".as("eval_id"), embedCol.as("embedding"))
+        val evCount = evEmbDf.count()
+        if (evCount == 0) clean
+        else if (evCount * graft.functions.EmbedText.Dim.toLong
+            <= cfg.maxEvalRefCells) {
+          val evEmb = evEmbDf.collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+            .sortBy(_._1).toSeq
+          clean.filter(graft.GraftFunctions.columnOf(
+            graft.functions.BestMatchExpr(
+              graft.GraftFunctions.exprOf(embedCol),
+              evEmb.map(_._1), evEmb.map(_._2))).getField("sim") < tau)
+        } else {
+          // surface the shape switch in the run report (CapSpec asserts)
+          onCap("semantic_decontaminate", Map("eval_fallback_rows" -> evCount))
+          // any-hit suffices for a drop — no argmax needed, just the
+          // contaminated-id set (bounded by the corpus, not the pairs)
+          val contaminated = clean
+            .select($"doc_id", embedCol.as("emb"))
+            .crossJoin(broadcast(evEmbDf))
+            .filter(graft.functions.VectorFunctions
+              .cosine($"emb", $"embedding") >= tau)
+            .select($"doc_id").distinct()
+          clean.join(contaminated, Seq("doc_id"), "left_anti")
+        }
       case _ => clean
     })
 

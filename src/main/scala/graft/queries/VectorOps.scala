@@ -723,6 +723,65 @@ object VectorOps {
     """
     })
 
+  /** Rows×dims bound on the eval matrix [[bestEvalMatch]] may collect to
+    * the driver as a [[graft.functions.BestMatchExpr]] reference object:
+    * 4M cells ≈ 32 MB of doubles (65k 64-d rows / 10k 384-d rows) plus
+    * the per-task serialization of that object — comfortably inside any
+    * driver, far above any benchmark eval suite. Above it the stage
+    * AUTOMATICALLY falls back to the broadcast-join argmax form (the
+    * `ann_ivf` assignment shape) — same result, one extra exchange —
+    * instead of letting an operator who pointed the eval side at a
+    * corpus-sized split OOM the driver. */
+  val MaxEvalRefCells: Long = 4L << 20
+
+  /** Nearest-EVAL report: for every `train` row (vec_id, embedding),
+    * the eval row with the highest cosine and that cosine —
+    * (vec_id, eval_id, sim), sim unrounded. `evalSide` must have columns
+    * (eval_id, embedding) with strictly fewer than 2^63 rows and every
+    * embedding `dims`-dimensional.
+    *
+    * Picks the execution shape by the eval split's size: within
+    * `maxCells` (rows×dims) the eval matrix collects once into ONE
+    * native-kernel scan pass ([[graft.functions.BestMatchExpr]]: no
+    * join, no shuffle); above it, the broadcast-join + max_by form of
+    * `ann_ivf`'s assignment. Both paths run the same ascending-index
+    * cosine fold ([[graft.functions.CosineSimExpr]] — BestMatchExpr's
+    * per-pair arithmetic is that fold by contract) and the same exact-tie
+    * rule (lowest eval_id), so the outputs are row-identical
+    * (DecontamSemanticSpec pins it). */
+  def bestEvalMatch(train: org.apache.spark.sql.DataFrame,
+      evalSide: org.apache.spark.sql.DataFrame, dims: Int,
+      maxCells: Long = MaxEvalRefCells): org.apache.spark.sql.DataFrame = {
+    import train.sparkSession.implicits._
+    val evCount = evalSide.count()
+    require(evCount > 0, "bestEvalMatch needs a non-empty eval side")
+    if (evCount * dims.toLong <= maxCells) {
+      val ev = evalSide.select($"eval_id", $"embedding").collect()
+        .map(r => r.getLong(0) -> (r.get(1) match {
+          // row arrays surface as collection.Seq (mutable ArraySeq) —
+          // match the root Seq and box-convert float or double elements
+          case s: scala.collection.Seq[_] => s.iterator.map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }.toSeq
+        }))
+        .sortBy(_._1)
+      train.select($"vec_id", graft.GraftFunctions.columnOf(
+          graft.functions.BestMatchExpr(
+            graft.GraftFunctions.exprOf($"embedding"),
+            ev.map(_._1).toSeq, ev.map(_._2).toSeq)).as("m"))
+        .select($"vec_id", $"m.match_id".as("eval_id"), $"m.sim".as("sim"))
+    } else {
+      train.crossJoin(broadcast(
+          evalSide.select($"eval_id", $"embedding".as("evec"))))
+        .withColumn("cs", cosine($"embedding", $"evec"))
+        .groupBy($"vec_id")
+        .agg(graft.GraftFunctions.maxByPrim(struct($"eval_id", $"cs"),
+          struct(coalesce($"cs", lit(-2d)), -$"eval_id")).as("m"))
+        .select($"vec_id", $"m.eval_id".as("eval_id"), $"m.cs".as("sim"))
+    }
+  }
+
   /** Semantic decontamination: for every TRAINING vector, its nearest
     * EVAL-split vector and that cosine — the embedding-space counterpart
     * of the n-gram `decontaminate` gate (same
@@ -732,31 +791,25 @@ object VectorOps {
     * out near 0.49, so any production τ would return an empty — and
     * untestable — gate).
     *
-    * Scale shape: the eval side is a FIXED benchmark suite —
-    * benchmark-sized, not corpus-sized — so it rides as a bounded
-    * reference object inside ONE native kernel pass
-    * ([[graft.functions.BestMatchExpr]]): scan → project → sort, no
-    * join, no shuffle, and the per-pair fold is bit-identical to the
-    * oracle's CROSS JOIN cosine. Past reference-object range (very large
-    * eval suites), the fallback is the broadcast-join + max_by form of
-    * `ann_ivf`'s assignment — same result, one extra exchange. */
+    * Scale shape: [[bestEvalMatch]] — the fixed benchmark-suite eval
+    * side rides as a bounded reference object inside ONE native kernel
+    * pass (scan → project → sort, no join, no shuffle, per-pair fold
+    * bit-identical to the oracle's CROSS JOIN cosine); an eval split
+    * past [[MaxEvalRefCells]] automatically takes the broadcast-join +
+    * max_by form of `ann_ivf`'s assignment — same result, one extra
+    * exchange. */
   private val decontamSemantic = QueryDef(
     "decontaminate_semantic",
     (s, dir) => {
       import s.implicits._
       val mod = CurationOps.DecontamEvalMod
       val e = Tables.embeddings(s, dir)
-      val ev = e.filter($"vec_id" % mod === 0)
-        .select($"vec_id", $"embedding").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-        .sortBy(_._1)
-      e.filter($"vec_id" % mod =!= 0)
-        .select($"vec_id", graft.GraftFunctions.columnOf(
-          graft.functions.BestMatchExpr(
-            graft.GraftFunctions.exprOf($"embedding"),
-            ev.map(_._1).toSeq, ev.map(_._2).toSeq)).as("m"))
-        .select($"vec_id", $"m.match_id".as("eval_id"),
-          round($"m.sim", 6).as("sim"))
+      bestEvalMatch(
+          e.filter($"vec_id" % mod =!= 0).select($"vec_id", $"embedding"),
+          e.filter($"vec_id" % mod === 0)
+            .select($"vec_id".as("eval_id"), $"embedding"),
+          dims = 64)
+        .select($"vec_id", $"eval_id", round($"sim", 6).as("sim"))
         .orderBy($"vec_id")
     },
     Some {

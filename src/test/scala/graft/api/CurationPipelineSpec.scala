@@ -112,6 +112,20 @@ class CurationPipelineSpec extends SparkSpec {
       "semantic stage must drop the shuffled paraphrase")
     assert(without - 1L == withSem,
       s"semantic stage must drop ONLY the paraphrase: ${(without - 1L) diff withSem}")
+
+    // oversized-eval-split guard: force the rows×dims cap below the eval
+    // matrix, so the stage may NOT collect it to the driver — the
+    // broadcast anti-join fallback must fire (visible in the report's cap
+    // telemetry) and keep the identical set
+    val (fbOut, fbReport) = Curation.curateWithReport(docs, Some(eval),
+      cfg.copy(semanticDecontamTau = Some(0.8), maxEvalRefCells = 1L))
+    val fbKept = fbOut.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fbKept == withSem,
+      s"fallback shape changed the kept set: ${withSem diff fbKept} / ${fbKept diff withSem}")
+    val semRow = fbReport.find(_.stage == "semantic_decontaminate")
+      .getOrElse(fail("no semantic_decontaminate stage in the report"))
+    assert(semRow.capExcluded.get("eval_fallback_rows").contains(1L),
+      s"fallback telemetry missing: ${semRow.capExcluded}")
   }
 
   test("config toggles: no near-dedup, no sampling, no scrub") {

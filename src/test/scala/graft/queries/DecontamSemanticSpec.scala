@@ -60,4 +60,27 @@ class DecontamSemanticSpec extends SparkSpec {
     assert(got.getLong(1) == 20L, s"tie must keep the lowest id: $got")
     assert(math.abs(got.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("over-cap eval split falls back to the broadcast-join form, row-identical") {
+    import org.apache.spark.sql.functions.col
+    val mod = CurationOps.DecontamEvalMod
+    val e = Tables.embeddings(spark, SfDir)
+    val train = e.filter(col("vec_id") % mod =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val evalSide = e.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding"))
+    def run(maxCells: Long) =
+      VectorOps.bestEvalMatch(train, evalSide, dims = 64, maxCells = maxCells)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+    // maxCells = 1 plants the oversized-split condition: the kernel path
+    // is forbidden, the broadcast-join argmax path must produce the SAME
+    // rows bit-for-bit (shared CosineSimExpr fold + lowest-id tie rule)
+    val kernel = run(Long.MaxValue)
+    val fallback = run(1L)
+    assert(kernel.nonEmpty && kernel.length == fallback.length)
+    kernel.zip(fallback).foreach { case (k, f) =>
+      assert(k == f, s"kernel $k != fallback $f")
+    }
+  }
 }
