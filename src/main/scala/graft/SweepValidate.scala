@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   *    oracle semantics with string-keyed grams (the engine shuffles
   *    128-bit fingerprints through a saturating census aggregate), exact
   *    top-50 compare.
+  *  - `decontaminate_semantic`: the oracle's CROSS JOIN cosine DNFs in
+  *    DuckDB at sf10 (train × eval quadratic); full-coverage structural
+  *    checks (key-set equality both ways, eval ids in the eval split)
+  *    plus a deterministic ~1k-row sample whose best match is recomputed
+  *    with interpreted SQL HOF arithmetic and the BUILT-IN max_by — no
+  *    engine kernel (BestMatchExpr/CosineSimExpr) in the loop.
+  *  - `range_join`: the oracle's |Δt| ≤ W join DNFs in DuckDB at sf10
+  *    (per-user cross product); recomputed with a DIFFERENT algorithm —
+  *    per-user cumulative-count timeline (two boundary probes per error,
+  *    one sort window), not the engine's 3-bucket equi-join — and
+  *    value-compared on EVERY row.
   *
   * Prints one JSON line per query: {"query":…,"pass":…,…counters}.
   * `dedup_clusters` stays with [[CcValidate]] (fixpoint properties).
@@ -56,7 +67,9 @@ object SweepValidate {
       "lsh_pairs" -> (() => lshPairs(spark, outDir)),
       "simhash_dedup" -> (() => simhashDedup(spark, sfDir, outDir)),
       "jaccard_pairs" -> (() => jaccardTop50(spark, sfDir, outDir, capped = false)),
-      "jaccard_capped" -> (() => jaccardTop50(spark, sfDir, outDir, capped = true)))
+      "jaccard_capped" -> (() => jaccardTop50(spark, sfDir, outDir, capped = true)),
+      "decontaminate_semantic" -> (() => decontamSemantic(spark, sfDir, outDir)),
+      "range_join" -> (() => rangeJoin(spark, sfDir, outDir)))
     checks.filter(c => only.forall(_.contains(c._1))).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -264,5 +277,111 @@ object SweepValidate {
     dg.unpersist()
     val mismatch = if (top.toSeq == got.toSeq) 0L else 1L
     Map("rows" -> got.length.toLong, "mismatch" -> mismatch)
+  }
+
+  // ------------------------------------------------------------------
+  // decontaminate_semantic: structural full coverage + sampled value
+  // recompute with interpreted SQL HOF arithmetic (no engine kernels)
+  // ------------------------------------------------------------------
+  private[graft] def decontamSemantic(spark: SparkSession, sfDir: String,
+      outDir: String): Map[String, Long] = {
+    val mod = graft.queries.CurationOps.DecontamEvalMod
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dump = spark.read.parquet(s"$outDir/decontaminate_semantic")
+    val trainKeys = emb.filter(col("vec_id") % mod =!= 0).select("vec_id")
+    val evalKeys = emb.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("eval_id"))
+    // full-coverage structure: exactly one row per training vector, and
+    // every named match comes from the eval split
+    val missing = antiCount(trainKeys, dump, Seq("vec_id"))
+    val extra = antiCount(dump.select("vec_id"), trainKeys, Seq("vec_id"))
+    val badEval = antiCount(dump.select("eval_id"), evalKeys, Seq("eval_id"))
+    val dups = dupRows(dump, Seq("vec_id"))
+    // sampled values: ~1k deterministic train rows, best match recomputed
+    // as interpreted zip_with/aggregate folds + the BUILT-IN max_by —
+    // none of the engine's BestMatchExpr/CosineSimExpr codegen kernels.
+    // Norms are hoisted per side; the ascending fold order matches the
+    // kernel contract, so sims agree to the last ulp (tolerance below is
+    // for the rounding boundary only).
+    val nTrain = trainKeys.count()
+    val step = math.max(1L, nTrain / 1000L)
+    def norm(c: String) =
+      s"sqrt(aggregate($c, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double)))"
+    val sample = emb.filter(col("vec_id") % mod =!= 0)
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
+      .selectExpr("vec_id", "embedding AS tv", s"${norm("embedding")} AS nt")
+    val ev = emb.filter(col("vec_id") % mod === 0)
+      .selectExpr("vec_id AS e_id", "embedding AS evv",
+        s"${norm("embedding")} AS ne")
+    val dot = "aggregate(zip_with(tv, evv, (x, y) -> " +
+      "cast(x AS double) * cast(y AS double)), 0D, (a, v) -> a + v)"
+    val best = sample.crossJoin(ev)
+      .selectExpr("vec_id", "e_id",
+        s"CASE WHEN nt * ne = 0D THEN 0D ELSE $dot / (nt * ne) END AS cs")
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("e_id"), col("cs")),
+        struct(col("cs"), -col("e_id"))).as("m"))
+      .select(col("vec_id"), col("m.e_id").as("exp_eval"),
+        round(col("m.cs"), 6).as("exp_sim")).cache()
+    val sampled = best.count()
+    val covered = dump.join(best, "vec_id").cache()
+    val uncovered = sampled - covered.count()
+    val mismatch = covered.filter(col("eval_id") =!= col("exp_eval") ||
+      abs(col("sim") - col("exp_sim")) > 1.5e-6).count()
+    val res = Map("rows" -> dump.count(), "missing" -> missing,
+      "extra" -> extra, "bad_eval" -> badEval, "dup_rows" -> dups,
+      "sample_uncovered" -> uncovered, "mismatch" -> mismatch,
+      // vacuous-pass guard: an empty sample must FAIL, not pass
+      "empty_sample" -> (if (sampled > 0) 0L else 1L))
+    best.unpersist(); covered.unpersist()
+    res
+  }
+
+  // ------------------------------------------------------------------
+  // range_join: every row value-checked against a DIFFERENT algorithm —
+  // per-user cumulative-count timeline with two boundary probes per
+  // error (one sort window), vs the engine's 3-bucket equi-join
+  // ------------------------------------------------------------------
+  private[graft] def rangeJoin(spark: SparkSession, sfDir: String,
+      outDir: String): Map[String, Long] = {
+    val W = graft.queries.SessionOps.RangeBandSec
+    val dump = spark.read.parquet(s"$outDir/range_join")
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("event_type"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    // timeline rows: others carry weight 1; each error contributes a HI
+    // probe at t+W and a LO probe at t-W-1 (integer seconds, so
+    // count(o_sec < t-W) = count(o_sec <= t-W-1)). kind sorts probes
+    // AFTER others at an equal second, making the running sum the
+    // inclusive count-at-or-before the probe's boundary.
+    val oth = e.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts_sec").as("sec"), lit(1L).as("w"),
+        lit(null).cast("long").as("probe_id"), lit(0).as("kind"))
+    def probes(off: Long, kind: Int) = err.select(col("user_id"),
+      (col("ts_sec") + off).as("sec"), lit(0L).as("w"),
+      col("event_id").as("probe_id"), lit(kind).as("kind"))
+    val cum = sum(col("w")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("sec"), col("kind"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+    val counts = oth.unionAll(probes(W, 1)).unionAll(probes(-W - 1L, 2))
+      .withColumn("c", cum).filter(col("kind") =!= 0)
+    val expected = counts.filter(col("kind") === 1)
+      .select(col("probe_id").as("event_id"), col("c").as("hi"))
+      .join(counts.filter(col("kind") === 2)
+        .select(col("probe_id").as("event_id"), col("c").as("lo")), "event_id")
+      .join(err.select(col("event_id"), col("user_id").as("exp_uid")), "event_id")
+      .select(col("event_id"), col("exp_uid"), (col("hi") - col("lo")).as("exp_n"))
+    val missing = antiCount(expected.select("event_id"), dump, Seq("event_id"))
+    val extra = antiCount(dump.select("event_id"),
+      expected.select("event_id"), Seq("event_id"))
+    val dups = dupRows(dump, Seq("event_id"))
+    val mismatch = dump.join(expected, "event_id")
+      .filter(col("n_nearby") =!= col("exp_n") ||
+        col("user_id") =!= col("exp_uid")).count()
+    Map("rows" -> dump.count(), "missing" -> missing, "extra" -> extra,
+      "dup_rows" -> dups, "mismatch" -> mismatch)
   }
 }

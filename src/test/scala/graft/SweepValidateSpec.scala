@@ -73,4 +73,44 @@ class SweepValidateSpec extends SparkSpec {
     assert(SweepValidate.jaccardTop50(spark, SfDir, out, capped = false)("mismatch") > 0)
     d.unpersist()
   }
+
+  test("decontaminate_semantic validator: green faithful; flags sim drift and drops") {
+    val out = java.nio.file.Files.createTempDirectory("swv4").toString
+    dump("decontaminate_semantic", out)
+    val ok = SweepValidate.decontamSemantic(spark, SfDir, out)
+    assert(ok.filterNot(_._1 == "rows").values.forall(_ == 0L), s"faithful: $ok")
+    assert(ok("rows") > 0)
+    val d = spark.read.parquet(s"$out/decontaminate_semantic").cache()
+    d.count()
+    // shift EVERY sim by 1e-5 (well past the rounding tolerance) — the
+    // sampled recompute must flag it whatever the sample lands on
+    d.withColumn("sim", col("sim") + 0.00001)
+      .write.mode("overwrite").parquet(s"$out/decontaminate_semantic")
+    assert(SweepValidate.decontamSemantic(spark, SfDir, out)("mismatch") > 0)
+    // drop one training row -> coverage counter fires
+    d.orderBy("vec_id").offset(1)
+      .write.mode("overwrite").parquet(s"$out/decontaminate_semantic")
+    assert(SweepValidate.decontamSemantic(spark, SfDir, out)("missing") > 0)
+    d.unpersist()
+  }
+
+  test("range_join validator: green faithful; flags count drift and extras") {
+    val out = java.nio.file.Files.createTempDirectory("swv5").toString
+    dump("range_join", out)
+    val ok = SweepValidate.rangeJoin(spark, SfDir, out)
+    assert(ok.filterNot(_._1 == "rows").values.forall(_ == 0L), s"faithful: $ok")
+    assert(ok("rows") > 0)
+    val d = spark.read.parquet(s"$out/range_join").cache()
+    d.count()
+    // off-by-one on every count -> value compare fires on all rows
+    d.withColumn("n_nearby", col("n_nearby") + 1L)
+      .write.mode("overwrite").parquet(s"$out/range_join")
+    assert(SweepValidate.rangeJoin(spark, SfDir, out)("mismatch") > 0)
+    // a row for a non-error event -> extra fires
+    d.unionAll(d.limit(1).select((col("event_id") + 1000000000L).as("event_id"),
+        col("user_id"), col("n_nearby")))
+      .write.mode("overwrite").parquet(s"$out/range_join")
+    assert(SweepValidate.rangeJoin(spark, SfDir, out)("extra") > 0)
+    d.unpersist()
+  }
 }
