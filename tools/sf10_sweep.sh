@@ -7,14 +7,16 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 SF=target/sf10
 OUT=target/verify_sf10
-# goldens are pinned to sf0.01 inputs (excluded by design at other SFs);
-# lsh_pairs/simhash_dedup dumps are pair-enumeration giants the pandas
-# compare cannot hold -- SweepValidate covers them
-GOLDEN=embed_text,media_features,mmr_topk,simhash_fp,sparse_corpus_score,sparse_score
+# per-SF goldens: SPARK_GRAFT_GOLDEN_SF=sf10 points the dumped golden
+# oracle SQL at the committed golden/sf10 tree, so the golden-backed six
+# are swept like everything else. lsh_pairs/simhash_dedup dumps are
+# pair-enumeration giants the pandas compare cannot hold -- SweepValidate
+# covers them
 GIANT=lsh_pairs,simhash_dedup
 
 echo "== verify dump start $(date -u +%H:%M:%S)"
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_NO_COALESCE=1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_GOLDEN_SF=sf10 \
   tools/run_main.sh graft.Verify "$SF" "$OUT" 2>&1 \
   | grep -E '\[verify\]' || true
 echo "== verify dump done $(date -u +%H:%M:%S)"
@@ -23,7 +25,7 @@ df -h / | tail -1
 
 echo "== duckdb compare start $(date -u +%H:%M:%S)"
 python3 tools/check_oracle.py "$SF" "$OUT" --timeout 300 \
-  --skip "$GOLDEN,$GIANT" 2>&1 | tee target/sf10_oracle.txt | tail -30
+  --skip "$GIANT" 2>&1 | tee target/sf10_oracle.txt | tail -30
 echo "== duckdb compare done $(date -u +%H:%M:%S)"
 
 echo "== CcValidate (dedup_clusters) start $(date -u +%H:%M:%S)"
