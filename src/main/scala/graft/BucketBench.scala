@@ -71,6 +71,13 @@ object BucketBench {
       Tables.lineitem(spark, sfDir), "lineitem_bpk", "l_partkey", buckets)
 
     val legs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q3_topk",
+        () => graft.queries.Relational.q3Plan(
+          Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+          Tables.customer(spark, sfDir)),
+        () => graft.queries.Relational.q3Plan(
+          spark.table("lineitem_bok"), spark.table("orders_bok"),
+          Tables.customer(spark, sfDir))),
       ("q5_join",
         () => graft.queries.Relational.q5Plan(
           Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),

@@ -85,27 +85,34 @@ object Relational {
     """
     })
 
+  /** The q3 plan over explicit relations — the same DataFrame program the
+    * gate row runs; `BucketBench` reruns it over (l_orderkey, o_orderkey)-
+    * bucketed fact tables (the layout, not the plan, is the variable). */
+  private[graft] def q3Plan(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+    val ord = orders
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val li = lineitem
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+    // no explicit broadcast on customer: it grows with SF, so a forced
+    // hint becomes an OOM risk at 100×. AQE broadcasts it at runtime
+    // whenever the filtered side is under the threshold — the safe form
+    // of the same plan.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(cents(microsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
   private val q3Topk = QueryDef(
     "q3_topk",
-    (s, dir) => {
-      import s.implicits._
-      val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
-      val ord = Tables.orders(s, dir)
-        .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
-      val li = Tables.lineitem(s, dir)
-        .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp_ntz"))
-      // no explicit broadcast on customer: it grows with SF, so a forced
-      // hint becomes an OOM risk at 100×. AQE broadcasts it at runtime
-      // whenever the filtered side is under the threshold — the safe form
-      // of the same plan.
-      li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(cust, $"o_custkey" === $"c_custkey")
-        .groupBy($"l_orderkey", $"o_orderpriority")
-        .agg(cents(microsSum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
-          .as("revenue"))
-        .orderBy($"revenue".desc, $"l_orderkey")
-        .limit(20)
-    },
+    (s, dir) => q3Plan(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir)),
     Some("""
       SELECT l_orderkey, o_orderpriority,
         floor(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) + 5000 AS DOUBLE) / 10000.0) / 100.0 AS revenue

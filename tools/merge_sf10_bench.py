@@ -60,6 +60,24 @@ if os.path.exists("target/sf10_ccvalidate.txt"):
     if "VALID fixpoint" in txt:
         mark("dedup_clusters", "pass", "cc_validator")
 
+# bucketed-layout rows for the relational tail (graft.BucketBench at
+# sf10): plain vs bucketed best-of-3 seconds + executed-plan exchange
+# counts, attached verbatim so the artifact carries the layout lever
+if os.path.exists("target/sf10_bucketbench.txt"):
+    rows = []
+    for l in open("target/sf10_bucketbench.txt"):
+        i = l.find("{")
+        if i < 0:
+            continue
+        try:
+            d = json.loads(l[i:])
+        except ValueError:
+            continue
+        if "query" in d or "floor" in d:
+            rows.append(d)
+    if rows:
+        rec["bucketed"] = rows
+
 # golden-backed queries: since the per-SF golden trees (golden/sf10)
 # these sweep like everything else — only mark excluded when the sweep
 # genuinely produced no row for one (pre-per-SF-tree artifacts)

@@ -2,17 +2,17 @@
 # Round-2 sf10 oracle compare: one check_oracle PROCESS per query, so a
 # DuckDB OOM (dedup_clusters' recursive CTE exhausted the round-1
 # process and poisoned every later query with thread/alloc failures)
-# only costs its own row. Skips: queries already PASSed in round 1,
-# goldens (sf0.01-pinned), the pair-enumeration giants + dedup_clusters
-# (SweepValidate / CcValidate cover them).
+# only costs its own row. Skips: queries already PASSed in round 1 and
+# the pair-enumeration giants + dedup_clusters (SweepValidate /
+# CcValidate cover them). Goldens sweep like everything else since the
+# per-SF golden trees.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SF=target/sf10
 OUT=target/verify_sf10
 LOG=target/sf10_oracle_r2.txt
 : > "$LOG"
-GOLDEN="embed_text media_features mmr_topk simhash_fp sparse_corpus_score sparse_score"
-SKIP="$GOLDEN lsh_pairs simhash_dedup dedup_clusters"
+SKIP="lsh_pairs simhash_dedup dedup_clusters"
 PASSED=$(grep -E "^PASS" target/sf10_oracle.txt | awk '{print $2}')
 for q in $(ls "$OUT" | grep -v oracle_sql.json | sort); do
   if echo "$SKIP $PASSED" | tr ' ' '\n' | grep -qx "$q"; then

@@ -31,7 +31,7 @@ echo "== duckdb compare done $(date -u +%H:%M:%S)"
 echo "== CcValidate (dedup_clusters) start $(date -u +%H:%M:%S)"
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 \
   tools/run_main.sh graft.CcValidate "$SF" "$OUT/dedup_clusters" 2>&1 \
-  | grep -vE '^2[0-9]/' | tail -20
+  | grep -vE '^2[0-9]/' | tee target/sf10_ccvalidate.txt | tail -20
 echo "== CcValidate done $(date -u +%H:%M:%S)"
 
 echo "== SweepValidate (pair family) start $(date -u +%H:%M:%S)"
