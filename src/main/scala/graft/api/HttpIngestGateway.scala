@@ -1,0 +1,116 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Minimal live-HTTP ingest gateway — the engine-side analogue of the
+  * reference's `POST /api/v1/ingest/stream` endpoint
+  * (`/root/reference/app/api/v1/endpoints/ingest.py:10-16`, body = a
+  * JSON array of log records, response `{"status":"ok",
+  * "tier1_ingested":N}`): each received batch becomes ONE spool file,
+  * which a running [[graft.streaming.IngestPipeline.start]] consumes as
+  * one micro-batch — the S1 "HTTP batch ≡ file-stream micro-batch"
+  * equivalence exercised over a real transport (TransportIngestSpec
+  * drives POST → ingest → detection end-to-end at >100 events/s).
+  *
+  * The body may be a JSON array of records (the reference's wire shape,
+  * split on top-level commas with a depth/string-aware scanner) or
+  * plain JSONL. Files land atomically (temp write + rename) so the
+  * stream never reads a half-written spool file. Deliberately JDK-only
+  * (`com.sun.net.httpserver`): the contract under test is
+  * transport → micro-batch, not an HTTP framework; a production front
+  * door would terminate HTTP in any LB/framework and write the same
+  * spool files (or feed [[graft.streaming.IngestPipeline.startSocket]]).
+  */
+final class HttpIngestGateway(spoolDir: String, port: Int = 0) {
+
+  private val seq = new AtomicLong(0L)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  Files.createDirectories(Paths.get(spoolDir))
+
+  server.createContext("/api/v1/ingest/stream", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}""") }
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          HttpIngestGateway.splitRecords(body) match {
+            case Left(err) => respond(ex, 400, s"""{"error":"$err"}""")
+            case Right(records) =>
+              if (records.nonEmpty) {
+                val name = s"ingest-${seq.incrementAndGet()}.jsonl"
+                val tmp = Paths.get(spoolDir, s".$name.tmp")
+                Files.writeString(tmp, records.mkString("\n"))
+                Files.move(tmp, Paths.get(spoolDir, name),
+                  StandardCopyOption.ATOMIC_MOVE)
+              }
+              respond(ex, 200,
+                s"""{"status":"ok","tier1_ingested":${records.length}}""")
+          }
+        }
+      } finally ex.close()
+  })
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  def start(): HttpIngestGateway = { server.start(); this }
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}
+
+object HttpIngestGateway {
+
+  /** Test seam for the record splitter (package-private otherwise). */
+  def splitForTest(body: String): Either[String, Seq[String]] =
+    splitRecords(body)
+
+  /** Split a request body into one JSON record per line: a top-level
+    * JSON array is split on depth-1 commas with a string/escape-aware
+    * scanner (nested objects, arrays, and quoted `,]}` are payload);
+    * anything else is treated as JSONL. Returns Left on an unbalanced
+    * array — a truncated POST must be rejected, not half-spooled. */
+  private[api] def splitRecords(body: String): Either[String, Seq[String]] = {
+    val trimmed = body.trim
+    if (trimmed.isEmpty) Right(Seq.empty)
+    else if (trimmed.head != '[')
+      Right(trimmed.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+    else {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var inStr = false; var esc = false
+      var start = -1
+      var i = 0
+      while (i < trimmed.length) {
+        val c = trimmed.charAt(i)
+        if (esc) esc = false
+        else if (inStr) {
+          if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '[' | '{' =>
+            depth += 1
+            if (depth == 2 && start < 0) start = i
+          case ']' | '}' =>
+            depth -= 1
+            if (depth == 1 && start >= 0) { out += trimmed.substring(start, i + 1); start = -1 }
+            if (depth == 0 && i != trimmed.length - 1 &&
+              trimmed.substring(i + 1).trim.nonEmpty)
+              return Left("trailing content after the top-level array")
+          case _ => ()
+        }
+        i += 1
+      }
+      if (depth != 0 || inStr) Left("unbalanced JSON array body")
+      else Right(out.result())
+    }
+  }
+}

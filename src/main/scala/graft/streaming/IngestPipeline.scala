@@ -282,6 +282,53 @@ object IngestPipeline {
       checkpoint: String,
       triggerMs: Long = 500,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    // read as TEXT, not .json(schema): parseJson keeps the ORIGINAL line in
+    // full_log_json (a schema'd json read would re-serialize through
+    // OTel.schema and drop unknown attributes / extra value arms — the
+    // reference stores the raw record verbatim, ingestion_service.py:66)
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(inputDir)
+    startFrom(raw, tier1Path, checkpoint, triggerMs)
+  }
+
+  /** [[start]] over a LIVE TCP transport instead of a spool directory:
+    * Spark's socket source connects to `host:port` and every received
+    * JSONL line flows through the IDENTICAL post-source pipeline
+    * ([[startFrom]] — parse, derive, idempotent ledgered appends), so the
+    * "micro-batch ≡ HTTP batch" S1 equivalence is exercised over a real
+    * wire, not just a directory (TransportIngestSpec drives it at
+    * >100 events/s end-to-end into detection). The socket source is not
+    * replayable across restarts (no offset re-read after reconnect) —
+    * production deployments keep the spooled [[start]] or the
+    * [[graft.api.HttpIngestGateway]]+[[start]] pair, which both recover
+    * exactly-once from the checkpoint + ledger. */
+  def startSocket(
+      spark: SparkSession,
+      host: String,
+      port: Int,
+      tier1Path: String,
+      checkpoint: String,
+      triggerMs: Long = 500): StreamingQuery = {
+    val raw = spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+    startFrom(raw, tier1Path, checkpoint, triggerMs)
+  }
+
+  /** The transport-independent tail of the ingest stream: any source
+    * yielding a `value: string` column of raw JSONL lines (file spool,
+    * socket, a future receiver) gets the same parse → derive →
+    * idempotent-append program — transports differ ONLY in how lines
+    * arrive. */
+  private def startFrom(
+      raw: DataFrame,
+      tier1Path: String,
+      checkpoint: String,
+      triggerMs: Long): StreamingQuery = {
+    val spark = raw.sparkSession
     val root = new org.apache.hadoop.fs.Path(tier1Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")))
@@ -292,13 +339,6 @@ object IngestPipeline {
           "rows. Re-materialize the store with a batch write (read + " +
           "write to a fresh path), then restart ingest with a fresh " +
           "checkpoint.")
-    // read as TEXT, not .json(schema): parseJson keeps the ORIGINAL line in
-    // full_log_json (a schema'd json read would re-serialize through
-    // OTel.schema and drop unknown attributes / extra value arms — the
-    // reference stores the raw record verbatim, ingestion_service.py:66)
-    val raw = spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(inputDir)
     derive(OTel.parseJson(raw))
       .writeStream
       .option("checkpointLocation", checkpoint)

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.api.HttpIngestGateway
+import graft.control.Rules
+
+/** S1 over REAL transports (VERDICT r14 item 7): the "HTTP batch ≡
+  * file-stream micro-batch" equivalence had only ever been exercised by
+  * writing spool files directly. Here the same fixture flows (a) through
+  * a live TCP socket into [[IngestPipeline.startSocket]] and (b) through
+  * HTTP POSTs against [[HttpIngestGateway]] into the spooled
+  * [[IngestPipeline.start]] — each at >100 events/s, each landing
+  * exactly-once in Tier-1, each driving detection to the same verdicts
+  * as the in-process E2E flow. */
+class TransportIngestSpec extends SparkSpec {
+
+  private val now = 1700000000L
+  private val windowStart = now - 60
+
+  private def otelLine(service: String, level: String, tsSec: Long, body: String): String =
+    s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"$service"}}]},""" +
+      s""""scopeLogs":[{"logRecords":[{"timeUnixNano":"${tsSec}000000000","severityText":"$level",""" +
+      s""""body":{"stringValue":"$body"}}]}]}]}"""
+
+  /** Steady template history + one novel burst in the live window —
+    * enough signal for the novelty detector, and enough volume (3k
+    * events) that the measured rate reflects throughput rather than the
+    * one-time stream-startup seconds the elapsed window includes. */
+  private def fixtureLines(): Seq[String] = {
+    val steady = (0 until 3000).map(i =>
+      otelLine("checkout", "INFO", now - 3660 + i,
+        s"request ${1000 + i} completed in ${i % 90} ms"))
+    val novel = (0 until 5).map(i =>
+      otelLine("payments", "ERROR", windowStart + 10 + i,
+        s"card declined for order ${700 + i}"))
+    steady ++ novel
+  }
+
+  private def assertIngestedAndDetected(tier1: String, work: String,
+      n: Int, elapsedSec: Double): Unit = {
+    import spark.implicits._
+    val t1 = spark.read.parquet(tier1)
+    assert(t1.count() == n.toLong, "every event landed exactly once")
+    assert(t1.select("full_log_json").as[String].collect()
+      .forall(_.contains("resourceLogs")), "raw record retained")
+    val rate = n / elapsedSec
+    assert(rate >= 100.0, f"sustained ingest rate $rate%.0f ev/s < 100")
+    // the round trip: detection over the transported store finds the burst
+    val rules = new Rules(spark, s"$work/rules")
+    val detected = AnalysisJob.runOnce(spark, tier1, s"$work/tier2", rules, now)
+      .select("anomaly_type").as[String].collect()
+    assert(detected.contains("novelty"),
+      s"novelty detected through the transport: ${detected.toSeq}")
+  }
+
+  test("socket transport: TCP lines -> startSocket -> tier1 -> detection") {
+    val work = Files.createTempDirectory("sockingest").toString
+    val lines = fixtureLines()
+    val server = new java.net.ServerSocket(0, 8,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var writeErr: Throwable = null
+    val feeder = new Thread(() => {
+      try {
+        val s = server.accept()
+        val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        lines.foreach(w.println)
+        w.flush()
+        // keep the connection open until the query is done reading — a
+        // close mid-stream would fail the source before the last batch
+        Thread.sleep(30000)
+        s.close()
+      } catch { case t: Throwable => writeErr = t }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val t0 = System.nanoTime()
+    val q = IngestPipeline.startSocket(spark, "127.0.0.1",
+      server.getLocalPort, s"$work/tier1", s"$work/ckpt", triggerMs = 100)
+    try {
+      // wait until every line has been committed (processAllAvailable
+      // returns when the source has no unprocessed data AT THAT MOMENT,
+      // which can be before the feeder has written everything)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        done = scala.util.Try(
+          spark.read.parquet(s"$work/tier1").count()).getOrElse(0L) >= lines.size
+        if (!done) Thread.sleep(100)
+      }
+    } finally q.stop()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(writeErr == null, s"feeder failed: $writeErr")
+    assertIngestedAndDetected(s"$work/tier1", work, lines.size, elapsed)
+    server.close()
+  }
+
+  test("http transport: POST batches -> gateway spool -> start -> detection") {
+    val work = Files.createTempDirectory("httpingest").toString
+    val lines = fixtureLines()
+    val gw = new HttpIngestGateway(s"$work/spool").start()
+    val q = IngestPipeline.start(spark, s"$work/spool", s"$work/tier1",
+      s"$work/ckpt", triggerMs = 100)
+    val t0 = System.nanoTime()
+    try {
+      // the reference's wire shape: a JSON ARRAY of records per POST
+      lines.grouped(101).foreach { batch =>
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${gw.boundPort}/api/v1/ingest/stream").toURL
+        val conn = url.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          batch.mkString("[", ",", "]").getBytes("UTF-8"))
+        val resp = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        assert(conn.getResponseCode == 200, resp)
+        assert(resp.contains(s""""tier1_ingested":${batch.size}"""), resp)
+        conn.disconnect()
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    gw.stop()
+    assertIngestedAndDetected(s"$work/tier1", work, lines.size, elapsed)
+  }
+
+  test("gateway splits the reference's array wire shape exactly; rejects truncation") {
+    val recs = Seq(
+      """{"a":1,"s":"x,]}","n":{"b":[1,2]}}""",
+      """{"a":2,"s":"\"quoted\""}""")
+    val got = HttpIngestGateway.splitForTest(s"[${recs.mkString(",")}]")
+    assert(got == Right(recs))
+    assert(HttpIngestGateway.splitForTest("""[{"a":1},{"b":2""").isLeft,
+      "truncated array must be rejected")
+    assert(HttpIngestGateway.splitForTest("{\"a\":1}\n{\"b\":2}")
+      .exists(_.size == 2), "JSONL body accepted")
+    assert(HttpIngestGateway.splitForTest("").exists(_.isEmpty))
+  }
+}
