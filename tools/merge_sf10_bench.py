@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Merge the sf10 Spark bench line with the correctness-sweep record.
 
-Usage: tools/merge_sf10_bench.py <bench_json_line_file> <out.json>
+Usage: tools/merge_sf10_bench.py <bench_json_line_file> <out.json> [prefix]
+
+`prefix` (default target/sf10) names the sweep-file family to attach —
+pass target/sf1 to merge an sf1 sweep.
 
 Reads the one-line JSON graft.Bench printed (which already embeds the
 per-query DuckDB map from tools/duck_bench.py with its 30 s clamp) and
@@ -18,6 +21,8 @@ import re
 import sys
 
 bench_file, out = sys.argv[1], sys.argv[2]
+prefix = sys.argv[3] if len(sys.argv) > 3 else "target/sf10"
+sfname = os.path.basename(prefix)
 
 with open(bench_file) as f:
     line = next(l for l in f if l.startswith("{"))
@@ -31,8 +36,8 @@ def mark(q, st, src):
     status[q] = {"status": st, "via": src}
 
 
-for path, src in [("target/sf10_oracle.txt", "duckdb_r1"),
-                  ("target/sf10_oracle_r2.txt", "duckdb_r2")]:
+for path, src in [(f"{prefix}_oracle.txt", "duckdb_r1"),
+                  (f"{prefix}_oracle_r2.txt", "duckdb_r2")]:
     if not os.path.exists(path):
         continue
     for l in open(path):
@@ -45,8 +50,8 @@ for path, src in [("target/sf10_oracle.txt", "duckdb_r1"),
                 continue
             mark(q, st.lower(), src)
 
-if os.path.exists("target/sf10_pairvalidate.txt"):
-    for l in open("target/sf10_pairvalidate.txt"):
+if os.path.exists(f"{prefix}_pairvalidate.txt"):
+    for l in open(f"{prefix}_pairvalidate.txt"):
         try:
             d = json.loads(l)
         except ValueError:
@@ -55,17 +60,17 @@ if os.path.exists("target/sf10_pairvalidate.txt"):
             mark(d["query"], "pass" if d.get("pass") == 1 else "fail",
                  "spark_validator")
 
-if os.path.exists("target/sf10_ccvalidate.txt"):
-    txt = open("target/sf10_ccvalidate.txt").read()
+if os.path.exists(f"{prefix}_ccvalidate.txt"):
+    txt = open(f"{prefix}_ccvalidate.txt").read()
     if "VALID fixpoint" in txt:
         mark("dedup_clusters", "pass", "cc_validator")
 
 # bucketed-layout rows for the relational tail (graft.BucketBench at
 # sf10): plain vs bucketed best-of-3 seconds + executed-plan exchange
 # counts, attached verbatim so the artifact carries the layout lever
-if os.path.exists("target/sf10_bucketbench.txt"):
+if os.path.exists(f"{prefix}_bucketbench.txt"):
     rows = []
-    for l in open("target/sf10_bucketbench.txt"):
+    for l in open(f"{prefix}_bucketbench.txt"):
         i = l.find("{")
         if i < 0:
             continue
@@ -87,8 +92,8 @@ for q in GOLDEN:
     if q not in status:
         mark(q, "excluded_golden_sf0.01", "design")
 
-rec["sf10_correctness"] = dict(sorted(status.items()))
-rec["sf10_correctness_summary"] = {
+rec[f"{sfname}_correctness"] = dict(sorted(status.items()))
+rec[f"{sfname}_correctness_summary"] = {
     "pass": sum(1 for v in status.values() if v["status"] == "pass"),
     "fail": sum(1 for v in status.values() if v["status"] == "fail"),
     "timeout": sum(1 for v in status.values() if v["status"] == "timeout"),
@@ -97,4 +102,4 @@ rec["sf10_correctness_summary"] = {
 }
 with open(out, "w") as f:
     json.dump(rec, f, indent=1)
-print(json.dumps(rec["sf10_correctness_summary"]))
+print(json.dumps(rec[f"{sfname}_correctness_summary"]))
