@@ -282,6 +282,9 @@ object IngestPipeline {
       checkpoint: String,
       triggerMs: Long = 500,
       maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    // refuse the legacy store BEFORE analyzing the source path — the
+    // migration message must win over a source-side AnalysisException
+    refuseLegacyStore(spark, tier1Path)
     // read as TEXT, not .json(schema): parseJson keeps the ORIGINAL line in
     // full_log_json (a schema'd json read would re-serialize through
     // OTel.schema and drop unknown attributes / extra value arms — the
@@ -310,6 +313,7 @@ object IngestPipeline {
       tier1Path: String,
       checkpoint: String,
       triggerMs: Long = 500): StreamingQuery = {
+    refuseLegacyStore(spark, tier1Path)
     val raw = spark.readStream
       .format("socket")
       .option("host", host)
@@ -323,12 +327,7 @@ object IngestPipeline {
     * socket, a future receiver) gets the same parse → derive →
     * idempotent-append program — transports differ ONLY in how lines
     * arrive. */
-  private def startFrom(
-      raw: DataFrame,
-      tier1Path: String,
-      checkpoint: String,
-      triggerMs: Long): StreamingQuery = {
-    val spark = raw.sparkSession
+  private def refuseLegacyStore(spark: SparkSession, tier1Path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(tier1Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")))
@@ -339,6 +338,13 @@ object IngestPipeline {
           "rows. Re-materialize the store with a batch write (read + " +
           "write to a fresh path), then restart ingest with a fresh " +
           "checkpoint.")
+  }
+
+  private def startFrom(
+      raw: DataFrame,
+      tier1Path: String,
+      checkpoint: String,
+      triggerMs: Long): StreamingQuery = {
     derive(OTel.parseJson(raw))
       .writeStream
       .option("checkpointLocation", checkpoint)
