@@ -180,15 +180,15 @@ object Bench {
       java.nio.file.Paths.get("BENCH_RESULT.json"), fileLine + "\n")
 
     // stdout line: must survive the driver's bounded (2000-char) tail
-    // capture — per-query values at 3 dp; if even that is too long, drop
+    // capture — per-query values at 3 dp, degrading to 2 dp (the 80-query
+    // map + build_s sits right at the boundary), and only then dropping
     // the per-query map (full detail is in BENCH_RESULT.json either way)
-    val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${queriesJson(Some(3))},""" +
+    def compactAt(dp: Int) =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${queriesJson(Some(dp))},""" +
         s""""duck_total":${f"$duckTotal%.3f"},"build_s":$buildJson,"sf":"$sfDir","failed":$failedJson}"""
-    val line =
-      if (compact.length <= 1900) compact
-      else s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":"see BENCH_RESULT.json",""" +
-        s""""duck_total":${f"$duckTotal%.3f"},"sf":"$sfDir","failed":$failedJson}"""
+    val line = Seq(compactAt(3), compactAt(2)).find(_.length <= 1900).getOrElse(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":"see BENCH_RESULT.json",""" +
+        s""""duck_total":${f"$duckTotal%.3f"},"build_s":$buildJson,"sf":"$sfDir","failed":$failedJson}""")
     // stop Spark first (its shutdown logging would otherwise push the line
     // out of the tail capture), THEN print the bare JSON as the very last
     // stdout line

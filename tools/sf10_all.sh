@@ -30,4 +30,14 @@ SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=32 \
   tools/run_main.sh graft.BucketBench 2>&1 | grep '\[bucketbench\]' \
   | tee target/sf10_bucketbench.txt
 python3 tools/merge_sf10_bench.py target/sf10_bench_full.json "$OUT"
+
+# duck-baseline fallback: if Bench's in-process duck_bench child died or
+# hit its wall budget (empty map), rebuild the per-query map one PROCESS
+# per query (wedge-immune) and graft it into the artifact
+if python3 -c "import json,sys; sys.exit(0 if json.load(open('$OUT')).get('duck_total', 0) == 0 else 1)"; then
+  echo "== duck map fallback start $(date -u +%H:%M:%S)"
+  tools/duck_map.sh target/sf10 target/verify_sf10/oracle_sql.json \
+    target/sf10_duck_map.txt
+  python3 tools/attach_duck_map.py target/sf10_duck_map.txt "$OUT"
+fi
 echo "== sf10 all done $(date -u +%H:%M:%S)"

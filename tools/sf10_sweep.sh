@@ -10,9 +10,11 @@ OUT=target/verify_sf10
 # per-SF goldens: SPARK_GRAFT_GOLDEN_SF=sf10 points the dumped golden
 # oracle SQL at the committed golden/sf10 tree, so the golden-backed six
 # are swept like everything else. lsh_pairs/simhash_dedup dumps are
-# pair-enumeration giants the pandas compare cannot hold -- SweepValidate
-# covers them
-GIANT=lsh_pairs,simhash_dedup
+# pair-enumeration giants the pandas compare cannot hold, and
+# dedup_clusters' recursive-CTE oracle OOM-poisons the shared round-1
+# DuckDB process ("can't start new thread" on every later query, seen
+# r14 AND r15) -- SweepValidate/CcValidate cover all three
+GIANT=lsh_pairs,simhash_dedup,dedup_clusters
 
 echo "== verify dump start $(date -u +%H:%M:%S)"
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_NO_COALESCE=1 SPARK_GRAFT_CPUS=32 \

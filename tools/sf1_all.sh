@@ -45,4 +45,11 @@ SPARK_DRIVER_MEM=32g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=2 \
   > target/sf1_bench_line.json
 cp BENCH_RESULT.json target/sf1_bench_full.json
 python3 tools/merge_sf10_bench.py target/sf1_bench_full.json "$OUT" target/sf1
+
+# duck-baseline fallback: empty map → rebuild process-per-query and graft
+if python3 -c "import json,sys; sys.exit(0 if json.load(open('$OUT')).get('duck_total', 0) == 0 else 1)"; then
+  echo "== duck map fallback start $(date -u +%H:%M:%S)"
+  tools/duck_map.sh "$SF" "$DUMP/oracle_sql.json" target/sf1_duck_map.txt
+  python3 tools/attach_duck_map.py target/sf1_duck_map.txt "$OUT"
+fi
 echo "== sf1 all done $(date -u +%H:%M:%S)"
