@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions.col
   *  - the multi-writer claim protocol: a second writer identity is
   *    refused before mutating the store (MultiWriterSpec's scenario,
   *    now with executors on separate JVMs);
+  *  - live TCP socket ingest: the socket SOURCE runs on an executor
+  *    JVM, so the wire, the parse/derive pipeline, and the ledgered
+  *    sink all cross process boundaries;
   *  - PromotionStream checkpoint recovery: stop between micro-batches,
   *    restart, end state equals the batch reference (exactly-once).
   *
@@ -137,6 +140,45 @@ object ClusterSmoke {
       require(refused, "second writer identity was NOT refused")
       require(spark.read.parquet(tier1).count() == 1L,
         "refusal mutated the store")
+    }
+
+    leg("socket_ingest") {
+      // live TCP ingest with the source running on a separate executor
+      // JVM: the wire, the parse/derive pipeline, and the ledgered sink
+      // all cross process boundaries here
+      val work = java.nio.file.Files.createTempDirectory("csmoke-sock").toString
+      val lines = (0 until 300).map(i =>
+        s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc"}}]},""" +
+          s""""scopeLogs":[{"logRecords":[{"timeUnixNano":"${1700000000L + i}000000000","severityText":"INFO",""" +
+          s""""body":{"stringValue":"request $i done"}}]}]}]}""")
+      val server = new java.net.ServerSocket(0, 8,
+        java.net.InetAddress.getByName("127.0.0.1"))
+      val feeder = new Thread(() => {
+        try {
+          val s = server.accept()
+          val w = new java.io.PrintWriter(s.getOutputStream)
+          lines.foreach(w.println)
+          w.flush()
+          Thread.sleep(60000)
+          s.close()
+        } catch { case _: Throwable => () }
+      })
+      feeder.setDaemon(true)
+      feeder.start()
+      val q = streaming.IngestPipeline.startSocket(spark, "127.0.0.1",
+        server.getLocalPort, s"$work/tier1", s"$work/ckpt", triggerMs = 100)
+      try {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        var n = 0L
+        while (n < lines.size && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          n = scala.util.Try(
+            spark.read.parquet(s"$work/tier1").count()).getOrElse(0L)
+          if (n < lines.size) Thread.sleep(200)
+        }
+        require(n == lines.size.toLong,
+          s"socket ingest landed $n of ${lines.size} rows on the cluster")
+      } finally { q.stop(); server.close() }
     }
 
     leg("promotion_recovery") {

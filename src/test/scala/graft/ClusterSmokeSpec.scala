@@ -25,7 +25,7 @@ class ClusterSmokeSpec extends AnyFunSuite {
         out.linesIterator.filter(l => l.startsWith("{") || l.contains("FAILED"))
           .mkString("\n"))
     assert(out.contains("""{"cluster_smoke":"ok"}"""), legs.mkString("\n"))
-    assert(legs.count(_.contains("\"pass\":1")) >= 10,
-      s"expected >=10 passing legs:\n${legs.mkString("\n")}")
+    assert(legs.count(_.contains("\"pass\":1")) >= 11,
+      s"expected >=11 passing legs:\n${legs.mkString("\n")}")
   }
 }
