@@ -179,7 +179,9 @@ object TextOps {
         .as("tc"))
       .select($"doc_id", $"tc.tok".as("tok"), $"tc.tf".cast("long").as("tf"))
     val uni = tc.groupBy($"tok").agg(sum($"tf").as("cnt"))
-    val tot = tc.agg(sum($"tf").cast("double").as("n"))
+    // tot derives from the vocabulary census (Σ_tok Σ tf ≡ Σ tf exactly —
+    // integer sums), saving a third full TermCounts scan of the corpus
+    val tot = uni.agg(sum($"cnt").cast("double").as("n"))
     // per-token surprisal in INTEGER MICRO-NATS, and the 4-dp mean as
     // exact integer arithmetic: floor((2·sum + 100·n)/(200·n)) / 1e4 is
     // HALF_UP of sum/(n·100) on exact rationals. `round(sum(r6)/n, 4)`
@@ -278,7 +280,8 @@ object TextOps {
           $"b.cnt".cast("long").as("c"))
       val uni = tc.groupBy($"tok").agg(sum($"tf").as("c1"))
       val big = bc.groupBy($"w1", $"w2").agg(sum($"c").as("c2"))
-      val tot = tc.agg(sum($"tf").cast("double").as("n"))
+      // exact-integer identity Σ_tok Σ tf ≡ Σ tf — one fewer corpus scan
+      val tot = uni.agg(sum($"c1").cast("double").as("n"))
       // fold the unigram/total joins into a per-DISTINCT-bigram surprisal
       // table first: the full pair relation (one row per adjacent pair in
       // the corpus) then shuffles into exactly ONE join, instead of
