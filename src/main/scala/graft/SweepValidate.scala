@@ -305,10 +305,14 @@ object SweepValidate {
     // for the rounding boundary only).
     val nTrain = trainKeys.count()
     val step = math.max(1L, nTrain / 1000L)
+    // sampling remainder: if step is a multiple of the eval mod, remainder
+    // 0 selects ONLY eval-split ids (vec_id % step == 0 ⇒ % mod == 0) and
+    // the train-side sample would be empty — a correct dump marked FAIL
+    val rem = if (step % mod == 0) 1L else 0L
     def norm(c: String) =
       s"sqrt(aggregate($c, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double)))"
     val sample = emb.filter(col("vec_id") % mod =!= 0)
-      .filter(pmod(col("vec_id"), lit(step)) === 0)
+      .filter(pmod(col("vec_id"), lit(step)) === rem)
       .selectExpr("vec_id", "embedding AS tv", s"${norm("embedding")} AS nt")
     val ev = emb.filter(col("vec_id") % mod === 0)
       .selectExpr("vec_id AS e_id", "embedding AS evv",
@@ -355,7 +359,12 @@ object SweepValidate {
     // count(o_sec < t-W) = count(o_sec <= t-W-1)). kind sorts probes
     // AFTER others at an equal second, making the running sum the
     // inclusive count-at-or-before the probe's boundary.
+    // NULL user_id never matches the engine's equi-join (NULL = NULL is
+    // false), so null-user context rows carry no weight here either —
+    // a null-user error must validate to n_nearby = 0, not to a count of
+    // its null-user neighbors (the window would otherwise group them)
     val oth = e.filter(col("event_type") =!= "error")
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("ts_sec").as("sec"), lit(1L).as("w"),
         lit(null).cast("long").as("probe_id"), lit(0).as("kind"))
     def probes(off: Long, kind: Int) = err.select(col("user_id"),

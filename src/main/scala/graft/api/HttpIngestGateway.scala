@@ -29,6 +29,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 final class HttpIngestGateway(spoolDir: String, port: Int = 0) {
 
   private val seq = new AtomicLong(0L)
+  // spool names must be unique ACROSS gateway restarts: Spark's file
+  // source dedups by path, so a restarted gateway re-counting from 1
+  // would overwrite already-processed spool files and the stream —
+  // which never re-reads a committed path — would silently drop the
+  // batch while the client got a 200
+  private val boot = java.lang.Long.toUnsignedString(
+    java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   Files.createDirectories(Paths.get(spoolDir))
 
@@ -42,7 +49,7 @@ final class HttpIngestGateway(spoolDir: String, port: Int = 0) {
             case Left(err) => respond(ex, 400, s"""{"error":"$err"}""")
             case Right(records) =>
               if (records.nonEmpty) {
-                val name = s"ingest-${seq.incrementAndGet()}.jsonl"
+                val name = s"ingest-$boot-${seq.incrementAndGet()}.jsonl"
                 val tmp = Paths.get(spoolDir, s".$name.tmp")
                 Files.writeString(tmp, records.mkString("\n"))
                 Files.move(tmp, Paths.get(spoolDir, name),
@@ -85,7 +92,10 @@ object HttpIngestGateway {
       Right(trimmed.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
     else {
       val out = Seq.newBuilder[String]
-      var depth = 0; var inStr = false; var esc = false
+      // closer stack (not a bare depth counter): '[{]}' must be rejected,
+      // not accepted — a truncated/corrupt POST is refused, never spooled
+      val closers = new java.lang.StringBuilder
+      var inStr = false; var esc = false
       var start = -1
       var i = 0
       while (i < trimmed.length) {
@@ -97,19 +107,21 @@ object HttpIngestGateway {
         } else c match {
           case '"' => inStr = true
           case '[' | '{' =>
-            depth += 1
-            if (depth == 2 && start < 0) start = i
+            closers.append(if (c == '[') ']' else '}')
+            if (closers.length == 2 && start < 0) start = i
           case ']' | '}' =>
-            depth -= 1
-            if (depth == 1 && start >= 0) { out += trimmed.substring(start, i + 1); start = -1 }
-            if (depth == 0 && i != trimmed.length - 1 &&
+            if (closers.length == 0 || closers.charAt(closers.length - 1) != c)
+              return Left("mismatched JSON delimiters in array body")
+            closers.setLength(closers.length - 1)
+            if (closers.length == 1 && start >= 0) { out += trimmed.substring(start, i + 1); start = -1 }
+            if (closers.length == 0 && i != trimmed.length - 1 &&
               trimmed.substring(i + 1).trim.nonEmpty)
               return Left("trailing content after the top-level array")
           case _ => ()
         }
         i += 1
       }
-      if (depth != 0 || inStr) Left("unbalanced JSON array body")
+      if (closers.length != 0 || inStr) Left("unbalanced JSON array body")
       else Right(out.result())
     }
   }

@@ -410,6 +410,10 @@ object LogOps {
       // rows, so a nullable `value` is coalesced to -Infinity: an all-null
       // group then still yields its min-event_id row (nulls-last), exactly
       // the oracle's row_number() ORDER BY value DESC [NULLS LAST] pick.
+      // Contract edge: a group holding BOTH a genuine -Infinity value and
+      // nulls ties at -Infinity (a double can't encode below-all-values),
+      // so the pick is min-event_id across them where the oracle ranks
+      // the real -Infinity first — metric values are finite here.
       Tables.events(s, dir)
         .select(hash, $"event_id", $"value")
         .groupBy($"rhythm_hash")

@@ -759,11 +759,17 @@ object VectorOps {
       val ev = evalSide.select($"eval_id", $"embedding").collect()
         .map(r => r.getLong(0) -> (r.get(1) match {
           // row arrays surface as collection.Seq (mutable ArraySeq) —
-          // match the root Seq and box-convert float or double elements
+          // match the root Seq and box-convert float or double elements;
+          // anything else is a caller contract violation named here
+          // rather than an opaque MatchError
           case s: scala.collection.Seq[_] => s.iterator.map {
             case f: Float => f.toDouble
             case d: Double => d
+            case other => sys.error(
+              s"bestEvalMatch: embedding elements must be float/double, got $other")
           }.toSeq
+          case other => sys.error(
+            s"bestEvalMatch: eval embedding must be a non-null array, got $other")
         }))
         .sortBy(_._1)
       train.select($"vec_id", graft.GraftFunctions.columnOf(

@@ -322,11 +322,11 @@ object IngestPipeline {
     startFrom(raw, tier1Path, checkpoint, triggerMs)
   }
 
-  /** The transport-independent tail of the ingest stream: any source
-    * yielding a `value: string` column of raw JSONL lines (file spool,
-    * socket, a future receiver) gets the same parse → derive →
-    * idempotent-append program — transports differ ONLY in how lines
-    * arrive. */
+  /** Refuse a pre-r10 FileStreamSink store: its sink log pins exact file
+    * names, so appending outside the log would make log-resolved reads
+    * silently incomplete. Checked by every transport entry point BEFORE
+    * the source is analyzed (the migration message must win over a
+    * source-side AnalysisException). */
   private def refuseLegacyStore(spark: SparkSession, tier1Path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(tier1Path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -340,6 +340,11 @@ object IngestPipeline {
           "checkpoint.")
   }
 
+  /** The transport-independent tail of the ingest stream: any source
+    * yielding a `value: string` column of raw JSONL lines (file spool,
+    * socket, a future receiver) gets the same parse → derive →
+    * idempotent-append program — transports differ ONLY in how lines
+    * arrive. */
   private def startFrom(
       raw: DataFrame,
       tier1Path: String,

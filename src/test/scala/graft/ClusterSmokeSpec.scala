@@ -15,9 +15,20 @@ class ClusterSmokeSpec extends AnyFunSuite {
     val pb = new ProcessBuilder("bash", "tools/cluster_smoke.sh")
     pb.redirectErrorStream(true)
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    // drain stdout on a daemon thread: a blocking readAllBytes() before
+    // waitFor would make the 10-minute timeout unreachable (the pipe
+    // only EOFs when the child — or a worker JVM holding it — exits)
+    val buf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try p.getInputStream.transferTo(buf)
+      catch { case _: Throwable => () }
+    })
+    drain.setDaemon(true)
+    drain.start()
     val finished = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) p.destroyForcibly()
+    drain.join(5000)
+    val out = buf.toString("UTF-8")
     val legs = out.linesIterator.filter(_.startsWith("{\"leg\"")).toSeq
     assert(finished, "cluster smoke timed out after 10 minutes")
     assert(p.exitValue() == 0,
