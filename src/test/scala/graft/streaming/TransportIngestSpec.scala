@@ -128,6 +128,31 @@ class TransportIngestSpec extends SparkSpec {
     assertIngestedAndDetected(s"$work/tier1", work, lines.size, elapsed)
   }
 
+  test("a restarted gateway never reuses a spool name (replay-safe with the file source)") {
+    val work = Files.createTempDirectory("gwrestart").toString
+    def post(gw: HttpIngestGateway, body: String): Unit = {
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:${gw.boundPort}/api/v1/ingest/stream").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+    }
+    val gw1 = new HttpIngestGateway(s"$work/spool").start()
+    post(gw1, """[{"a":1}]""")
+    gw1.stop()
+    // restart: a fresh instance re-counting from 1 must NOT overwrite the
+    // processed spool file (the stream's file source dedups by path and
+    // would silently drop the new batch)
+    val gw2 = new HttpIngestGateway(s"$work/spool").start()
+    post(gw2, """[{"a":2}]""")
+    gw2.stop()
+    val files = new java.io.File(s"$work/spool").listFiles()
+      .map(_.getName).filter(_.endsWith(".jsonl"))
+    assert(files.length == 2, s"expected 2 distinct spool files: ${files.toSeq}")
+  }
+
   test("gateway splits the reference's array wire shape exactly; rejects truncation") {
     val recs = Seq(
       """{"a":1,"s":"x,]}","n":{"b":[1,2]}}""",
@@ -136,6 +161,8 @@ class TransportIngestSpec extends SparkSpec {
     assert(got == Right(recs))
     assert(HttpIngestGateway.splitForTest("""[{"a":1},{"b":2""").isLeft,
       "truncated array must be rejected")
+    assert(HttpIngestGateway.splitForTest("""[{"a":1}}""").isLeft,
+      "mismatched closers must be rejected")
     assert(HttpIngestGateway.splitForTest("{\"a\":1}\n{\"b\":2}")
       .exists(_.size == 2), "JSONL body accepted")
     assert(HttpIngestGateway.splitForTest("").exists(_.isEmpty))
