@@ -20,6 +20,11 @@ object Bench {
   private def duckTimings(sfDir: String, oracle: Map[String, String])
       : (Map[String, Double], Seq[String]) =
     try {
+      // SPARK_GRAFT_NO_DUCK=1 skips the in-process baseline entirely —
+      // for artifact refreshes that attach an existing per-process map
+      // (tools/duck_map.sh + attach_duck_map.py) instead
+      if (sys.env.get("SPARK_GRAFT_NO_DUCK").contains("1"))
+        return (Map.empty, Seq.empty)
       val script = java.nio.file.Paths.get("tools/duck_bench.py")
       if (!java.nio.file.Files.exists(script)) return (Map.empty, Seq.empty)
       val oraclePath = java.nio.file.Files.createTempFile("oracle", ".json")
