@@ -330,8 +330,12 @@ object SweepValidate {
     val sampled = best.count()
     val covered = dump.join(best, "vec_id").cache()
     val uncovered = sampled - covered.count()
-    val mismatch = covered.filter(col("eval_id") =!= col("exp_eval") ||
-      abs(col("sim") - col("exp_sim")) > 1.5e-6).count()
+    // null-SAFE comparisons: a corrupted dump carrying NULL where the
+    // recompute expects a value must COUNT as a mismatch, not evaluate
+    // the predicate to NULL and slip past the filter
+    val mismatch = covered.filter(!(col("eval_id") <=> col("exp_eval")) ||
+      (!(col("sim") <=> col("exp_sim")) &&
+        coalesce(abs(col("sim") - col("exp_sim")) > 1.5e-6, lit(true)))).count()
     val res = Map("rows" -> dump.count(), "missing" -> missing,
       "extra" -> extra, "bad_eval" -> badEval, "dup_rows" -> dups,
       "sample_uncovered" -> uncovered, "mismatch" -> mismatch,
@@ -387,9 +391,10 @@ object SweepValidate {
     val extra = antiCount(dump.select("event_id"),
       expected.select("event_id"), Seq("event_id"))
     val dups = dupRows(dump, Seq("event_id"))
+    // null-safe: NULL-vs-non-null disagreement is a mismatch, not a skip
     val mismatch = dump.join(expected, "event_id")
-      .filter(col("n_nearby") =!= col("exp_n") ||
-        col("user_id") =!= col("exp_uid")).count()
+      .filter(!(col("n_nearby") <=> col("exp_n")) ||
+        !(col("user_id") <=> col("exp_uid"))).count()
     Map("rows" -> dump.count(), "missing" -> missing, "extra" -> extra,
       "dup_rows" -> dups, "mismatch" -> mismatch)
   }

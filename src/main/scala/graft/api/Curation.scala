@@ -203,7 +203,11 @@ object Curation {
     val semClean = chk("semantic_decontaminate",
       (cfg.semanticDecontamTau, evalDocs) match {
       case (Some(tau), Some(ev)) =>
+        // null-embedding eval docs (e.g. null text) can't contaminate
+        // anything — drop them HERE so both shapes see the same reference
+        // set (the kernel collect would NPE on a null array otherwise)
         val evEmbDf = ev.select($"doc_id".as("eval_id"), embedCol.as("embedding"))
+          .filter($"embedding".isNotNull)
         val evCount = evEmbDf.count()
         if (evCount == 0) clean
         else if (evCount * graft.functions.EmbedText.Dim.toLong
@@ -211,10 +215,15 @@ object Curation {
           val evEmb = evEmbDf.collect()
             .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
             .sortBy(_._1).toSeq
-          clean.filter(graft.GraftFunctions.columnOf(
+          // coalesce: a doc whose OWN embedding is null (null text) gets a
+          // NULL sim from the null-propagating kernel — a bare `< tau`
+          // would DROP it while the fallback's `cosine >= tau` never marks
+          // it contaminated and KEEPS it; both shapes must keep it
+          clean.filter(coalesce(graft.GraftFunctions.columnOf(
             graft.functions.BestMatchExpr(
               graft.GraftFunctions.exprOf(embedCol),
-              evEmb.map(_._1), evEmb.map(_._2))).getField("sim") < tau)
+              evEmb.map(_._1), evEmb.map(_._2))).getField("sim"),
+            lit(-2d)) < tau)
         } else {
           // surface the shape switch in the run report (CapSpec asserts)
           onCap("semantic_decontaminate", Map("eval_fallback_rows" -> evCount))

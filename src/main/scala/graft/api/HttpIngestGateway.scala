@@ -25,8 +25,20 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * transport → micro-batch, not an HTTP framework; a production front
   * door would terminate HTTP in any LB/framework and write the same
   * spool files (or feed [[graft.streaming.IngestPipeline.startSocket]]).
+  *
+  * Concurrency + backpressure: handlers run on a small fixed pool (the
+  * JDK server's default executor would serialize every request through
+  * the dispatcher thread), and a request that would push the spool
+  * directory past `maxBacklogFiles` is refused with 429 — unbounded
+  * spooling would hide a stalled/missing consumer behind 200s until the
+  * disk filled. The backlog measure is the spool-dir file count, so a
+  * production pairing must remove consumed files (the file source's
+  * `cleanSource=delete|archive` option, or a retention janitor keyed on
+  * the ingest checkpoint); without one, a full spool reads as permanent
+  * backpressure — by design, loud rather than lossy.
   */
-final class HttpIngestGateway(spoolDir: String, port: Int = 0) {
+final class HttpIngestGateway(spoolDir: String, port: Int = 0,
+    maxBacklogFiles: Int = 10000, handlerThreads: Int = 8) {
 
   private val seq = new AtomicLong(0L)
   // spool names must be unique ACROSS gateway restarts: Spark's file
@@ -37,7 +49,22 @@ final class HttpIngestGateway(spoolDir: String, port: Int = 0) {
   private val boot = java.lang.Long.toUnsignedString(
     java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    handlerThreads,
+    (r: Runnable) => {
+      val t = new Thread(r, "ingest-gateway"); t.setDaemon(true); t
+    })
+  server.setExecutor(pool)
   Files.createDirectories(Paths.get(spoolDir))
+
+  /** Spool-dir file count (committed spools only — dot-prefixed temp
+    * files in flight from concurrent handlers don't count against the
+    * cap; they become visible exactly when their rename commits). */
+  private def backlog(): Long = {
+    val s = Files.list(Paths.get(spoolDir))
+    try s.filter(p => !p.getFileName.toString.startsWith(".")).count()
+    finally s.close()
+  }
 
   server.createContext("/api/v1/ingest/stream", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
@@ -48,15 +75,23 @@ final class HttpIngestGateway(spoolDir: String, port: Int = 0) {
           HttpIngestGateway.splitRecords(body) match {
             case Left(err) => respond(ex, 400, s"""{"error":"$err"}""")
             case Right(records) =>
-              if (records.nonEmpty) {
+              if (records.isEmpty)
+                respond(ex, 200, """{"status":"ok","tier1_ingested":0}""")
+              // check-then-write races can overshoot by at most
+              // handlerThreads-1 files — an advisory high-water mark, not
+              // an exact quota; the point is refusing unbounded growth
+              else if (backlog() >= maxBacklogFiles)
+                respond(ex, 429,
+                  s"""{"error":"spool backlog at capacity ($maxBacklogFiles files); retry later"}""")
+              else {
                 val name = s"ingest-$boot-${seq.incrementAndGet()}.jsonl"
                 val tmp = Paths.get(spoolDir, s".$name.tmp")
                 Files.writeString(tmp, records.mkString("\n"))
                 Files.move(tmp, Paths.get(spoolDir, name),
                   StandardCopyOption.ATOMIC_MOVE)
+                respond(ex, 200,
+                  s"""{"status":"ok","tier1_ingested":${records.length}}""")
               }
-              respond(ex, 200,
-                s"""{"status":"ok","tier1_ingested":${records.length}}""")
           }
         }
       } finally ex.close()
@@ -71,7 +106,7 @@ final class HttpIngestGateway(spoolDir: String, port: Int = 0) {
 
   def start(): HttpIngestGateway = { server.start(); this }
   def boundPort: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 object HttpIngestGateway {
@@ -81,10 +116,14 @@ object HttpIngestGateway {
     splitRecords(body)
 
   /** Split a request body into one JSON record per line: a top-level
-    * JSON array is split on depth-1 commas with a string/escape-aware
-    * scanner (nested objects, arrays, and quoted `,]}` are payload);
-    * anything else is treated as JSONL. Returns Left on an unbalanced
-    * array — a truncated POST must be rejected, not half-spooled. */
+    * JSON array is split into its object/array elements with a
+    * string/escape-aware scanner (nested objects, arrays, and quoted
+    * `,]}` are payload); anything else is treated as JSONL. Returns Left
+    * on an unbalanced array, a scalar element (`[1,2]`, `["s"]` — log
+    * records are objects), a missing/misplaced/trailing comma, or ANY
+    * other non-whitespace content between elements — a truncated or
+    * garbled POST must be rejected whole, never partially spooled behind
+    * a 200. */
   private[api] def splitRecords(body: String): Either[String, Seq[String]] = {
     val trimmed = body.trim
     if (trimmed.isEmpty) Right(Seq.empty)
@@ -97,6 +136,10 @@ object HttpIngestGateway {
       val closers = new java.lang.StringBuilder
       var inStr = false; var esc = false
       var start = -1
+      // depth-1 element-boundary state: an element must be followed by a
+      // comma or the closing bracket, a comma by an element — anything
+      // else between elements means the array is garbled
+      var sawElem = false; var pendingComma = false
       var i = 0
       while (i < trimmed.length) {
         val c = trimmed.charAt(i)
@@ -105,19 +148,35 @@ object HttpIngestGateway {
           if (c == '\\') esc = true
           else if (c == '"') inStr = false
         } else c match {
-          case '"' => inStr = true
+          case '"' =>
+            if (closers.length == 1)
+              return Left("scalar element in the top-level array (records must be objects or arrays)")
+            inStr = true
           case '[' | '{' =>
+            if (closers.length == 1) {
+              if (sawElem) return Left("missing comma between array elements")
+              pendingComma = false
+            }
             closers.append(if (c == '[') ']' else '}')
             if (closers.length == 2 && start < 0) start = i
           case ']' | '}' =>
             if (closers.length == 0 || closers.charAt(closers.length - 1) != c)
               return Left("mismatched JSON delimiters in array body")
             closers.setLength(closers.length - 1)
-            if (closers.length == 1 && start >= 0) { out += trimmed.substring(start, i + 1); start = -1 }
-            if (closers.length == 0 && i != trimmed.length - 1 &&
-              trimmed.substring(i + 1).trim.nonEmpty)
-              return Left("trailing content after the top-level array")
-          case _ => ()
+            if (closers.length == 1 && start >= 0) {
+              out += trimmed.substring(start, i + 1); start = -1; sawElem = true
+            }
+            if (closers.length == 0) {
+              if (pendingComma) return Left("trailing comma in the top-level array")
+              if (i != trimmed.length - 1 && trimmed.substring(i + 1).trim.nonEmpty)
+                return Left("trailing content after the top-level array")
+            }
+          case ',' if closers.length == 1 =>
+            if (!sawElem) return Left("misplaced comma in the top-level array")
+            sawElem = false; pendingComma = true
+          case other =>
+            if (closers.length == 1 && !Character.isWhitespace(other))
+              return Left("non-record content between array elements")
         }
         i += 1
       }

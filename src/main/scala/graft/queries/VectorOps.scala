@@ -748,7 +748,16 @@ object VectorOps {
     * cosine fold ([[graft.functions.CosineSimExpr]] — BestMatchExpr's
     * per-pair arithmetic is that fold by contract) and the same exact-tie
     * rule (lowest eval_id), so the outputs are row-identical
-    * (DecontamSemanticSpec pins it). */
+    * (DecontamSemanticSpec pins it). A train row whose embedding is NULL
+    * reports (eval_id = NULL, sim = NULL) on BOTH paths.
+    *
+    * The fallback's broadcast exchange still materializes the eval
+    * relation on the DRIVER (Spark builds broadcast relations there,
+    * 8 GB hard cap) — it protects against the kernel path's per-task
+    * reference copies, not against an eval side of unbounded size. Past
+    * [[MaxBroadcastCells]] the hint is dropped and the join runs as a
+    * plain (shuffled) cartesian so a corpus-sized eval split degrades to
+    * slow, not to a driver OOM. */
   def bestEvalMatch(train: org.apache.spark.sql.DataFrame,
       evalSide: org.apache.spark.sql.DataFrame, dims: Int,
       maxCells: Long = MaxEvalRefCells): org.apache.spark.sql.DataFrame = {
@@ -778,15 +787,30 @@ object VectorOps {
             ev.map(_._1).toSeq, ev.map(_._2).toSeq)).as("m"))
         .select($"vec_id", $"m.match_id".as("eval_id"), $"m.sim".as("sim"))
     } else {
-      train.crossJoin(broadcast(
-          evalSide.select($"eval_id", $"embedding".as("evec"))))
+      val evSide = evalSide.select($"eval_id", $"embedding".as("evec"))
+      val paired =
+        if (evCount * dims.toLong <= MaxBroadcastCells)
+          train.crossJoin(broadcast(evSide))
+        else train.crossJoin(evSide)
+      paired
         .withColumn("cs", cosine($"embedding", $"evec"))
         .groupBy($"vec_id")
         .agg(graft.GraftFunctions.maxByPrim(struct($"eval_id", $"cs"),
           struct(coalesce($"cs", lit(-2d)), -$"eval_id")).as("m"))
-        .select($"vec_id", $"m.eval_id".as("eval_id"), $"m.cs".as("sim"))
+        // NULL-embedding parity with the kernel path: BestMatchExpr is
+        // null-propagating (NULL in → NULL struct out), while maxByPrim's
+        // coalesced ordering would otherwise name an arbitrary (lowest)
+        // eval_id next to a NULL sim — blank the id when the sim is NULL
+        .select($"vec_id",
+          when($"m.cs".isNotNull, $"m.eval_id").as("eval_id"),
+          $"m.cs".as("sim"))
     }
   }
+
+  /** Cells bound past which [[bestEvalMatch]]'s fallback stops HINTING
+    * broadcast: ~512M cells ≈ 4 GB of packed doubles, comfortably under
+    * Spark's 8 GB broadcast-relation cap once row overhead is added. */
+  val MaxBroadcastCells: Long = 512L << 20
 
   /** Semantic decontamination: for every TRAINING vector, its nearest
     * EVAL-split vector and that cosine — the embedding-space counterpart

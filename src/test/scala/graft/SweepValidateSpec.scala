@@ -91,6 +91,17 @@ class SweepValidateSpec extends SparkSpec {
     d.orderBy("vec_id").offset(1)
       .write.mode("overwrite").parquet(s"$out/decontaminate_semantic")
     assert(SweepValidate.decontamSemantic(spark, SfDir, out)("missing") > 0)
+    // NULL every sim/eval_id — null-unsafe =!= would evaluate to NULL and
+    // let the corruption ESCAPE the mismatch count (ADVICE r15)
+    d.withColumn("sim", lit(null).cast("double"))
+      .write.mode("overwrite").parquet(s"$out/decontaminate_semantic")
+    assert(SweepValidate.decontamSemantic(spark, SfDir, out)("mismatch") > 0,
+      "a nulled sim column must count as a mismatch")
+    d.withColumn("eval_id", lit(null).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/decontaminate_semantic")
+    val nulledEval = SweepValidate.decontamSemantic(spark, SfDir, out)
+    assert(nulledEval("mismatch") > 0 || nulledEval("bad_eval") > 0,
+      s"a nulled eval_id column must be flagged: $nulledEval")
     d.unpersist()
   }
 
@@ -111,6 +122,16 @@ class SweepValidateSpec extends SparkSpec {
         col("user_id"), col("n_nearby")))
       .write.mode("overwrite").parquet(s"$out/range_join")
     assert(SweepValidate.rangeJoin(spark, SfDir, out)("extra") > 0)
+    // nulled user_id / n_nearby must COUNT as mismatches, not slip past a
+    // null-unsafe =!= (ADVICE r15)
+    d.withColumn("user_id", lit(null).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/range_join")
+    assert(SweepValidate.rangeJoin(spark, SfDir, out)("mismatch") > 0,
+      "a nulled user_id column must count as a mismatch")
+    d.withColumn("n_nearby", lit(null).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/range_join")
+    assert(SweepValidate.rangeJoin(spark, SfDir, out)("mismatch") > 0,
+      "a nulled n_nearby column must count as a mismatch")
     d.unpersist()
   }
 }

@@ -128,6 +128,57 @@ class CurationPipelineSpec extends SparkSpec {
       s"fallback telemetry missing: ${semRow.capExcluded}")
   }
 
+  test("null-text docs survive the semantic stage identically on both shapes") {
+    import spark.implicits._
+    // a null text has a null embedding: the kernel's `sim < tau` predicate
+    // would evaluate NULL and silently DROP the doc while the fallback's
+    // `cosine >= tau` never marks it contaminated and KEEPS it — the kept
+    // set of the stage must not depend on which shape ran (ADVICE r15)
+    val docs = ((1L, null.asInstanceOf[String], "en") +:
+      (2 to 25).map(i => (i.toLong,
+        s"daily operations report number $i covering routine maintenance " +
+          s"schedules inventory levels and staffing rotations for site $i", "en")))
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq((1000L, "completely unrelated quantum stabilizer text " +
+      "about logical qubits and decoherence protection codes")).toDF("doc_id", "text")
+    val cfg = Curation.Config(sampleRates = None, dedupNear = false,
+      semanticDecontamTau = Some(0.8))
+    def semStage(c: Curation.Config) = {
+      val (_, report) = Curation.curateWithReport(docs, Some(eval), c)
+      report.find(_.stage == "semantic_decontaminate")
+        .getOrElse(fail("no semantic_decontaminate stage in the report"))
+    }
+    val kernel = semStage(cfg)
+    val fallback = semStage(cfg.copy(maxEvalRefCells = 1L))
+    assert(kernel.rowsIn == fallback.rowsIn)
+    assert(kernel.rowsOut == fallback.rowsOut,
+      s"shape-dependent kept set: kernel out=${kernel.rowsOut}, fallback out=${fallback.rowsOut}")
+    assert(kernel.rowsOut == kernel.rowsIn,
+      "nothing here is contaminated — the null-text doc must be KEPT")
+  }
+
+  test("null-text eval docs can't poison either semantic shape") {
+    import spark.implicits._
+    // a null-text EVAL doc has a null embedding: the kernel collect would
+    // NPE on it and the fallback would silently never match it — both
+    // shapes must drop it from the reference set up front
+    val docs = (2 to 10).map(i => (i.toLong,
+      s"daily operations report number $i covering routine maintenance " +
+        s"schedules inventory levels and staffing rotations for site $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq((1000L, null.asInstanceOf[String]),
+      (1001L, "some benign eval question")).toDF("doc_id", "text")
+    val cfg = Curation.Config(sampleRates = None, dedupNear = false,
+      semanticDecontamTau = Some(0.8))
+    val kept = Curation.curate(docs, Some(eval), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptFb = Curation.curate(docs, Some(eval),
+      cfg.copy(maxEvalRefCells = 1L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptFb, s"shape-dependent kept set: $kept vs $keptFb")
+    assert(kept == (2 to 10).map(_.toLong).toSet)
+  }
+
   test("config toggles: no near-dedup, no sampling, no scrub") {
     import spark.implicits._
     val docs = Tables.documents(spark, SfDir).select($"doc_id", $"text", $"lang")

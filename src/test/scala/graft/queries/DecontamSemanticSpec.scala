@@ -83,4 +83,30 @@ class DecontamSemanticSpec extends SparkSpec {
       assert(k == f, s"kernel $k != fallback $f")
     }
   }
+
+  test("a NULL-embedding train row reports (null, null) on BOTH paths") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val train = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))),
+      (2L, None: Option[Seq[Float]])).toDF("vec_id", "embedding")
+    val evalSide = Seq((10L, Seq(1.0f, 0.0f)), (20L, Seq(0.0f, 1.0f)))
+      .toDF("eval_id", "embedding")
+    def run(maxCells: Long) =
+      VectorOps.bestEvalMatch(train, evalSide, dims = 2, maxCells = maxCells)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSeq
+    val kernel = run(Long.MaxValue)
+    val fallback = run(1L)
+    assert(kernel == fallback, s"null-row parity: $kernel != $fallback")
+    val nullRow = kernel.find(_._1 == 2L).get
+    assert(nullRow._2.isEmpty && nullRow._3.isEmpty,
+      s"null embedding must report (null, null), got $nullRow")
+    val liveRow = kernel.find(_._1 == 1L).get
+    assert(liveRow._2.contains(10L) && liveRow._3.exists(s => math.abs(s - 1.0) < 1e-12))
+  }
 }

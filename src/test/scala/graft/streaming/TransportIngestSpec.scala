@@ -167,4 +167,84 @@ class TransportIngestSpec extends SparkSpec {
       .exists(_.size == 2), "JSONL body accepted")
     assert(HttpIngestGateway.splitForTest("").exists(_.isEmpty))
   }
+
+  test("gateway rejects garbled arrays whole instead of part-spooling behind a 200") {
+    def bad(body: String, why: String): Unit =
+      assert(HttpIngestGateway.splitForTest(body).isLeft, why)
+    bad("[1,2,3]", "scalar number elements are not records")
+    bad("""["s"]""", "scalar string elements are not records")
+    bad("""[{"a":1} junk {"b":2}]""",
+      "garbage between records must be refused, not skipped")
+    bad("""[{"a":1} {"b":2}]""", "missing comma between records")
+    bad("""[{"a":1},,{"b":2}]""", "double comma")
+    bad("""[,{"a":1}]""", "leading comma")
+    bad("""[{"a":1},]""", "trailing comma")
+    bad("""[{"a":1}] extra""", "trailing content after the array")
+    // still-valid shapes: whitespace everywhere, nested payload untouched
+    assert(HttpIngestGateway.splitForTest(
+      "[ {\"a\":[1,2],\"s\":\"x y\"} ,\n {\"b\":{}} ]") ==
+      Right(Seq("""{"a":[1,2],"s":"x y"}""", """{"b":{}}""")))
+    assert(HttpIngestGateway.splitForTest("[]").exists(_.isEmpty))
+  }
+
+  test("concurrent POSTers: every acked record is spooled exactly once") {
+    val work = Files.createTempDirectory("gwconc").toString
+    val gw = new HttpIngestGateway(s"$work/spool").start()
+    val nThreads = 8; val postsPerThread = 25
+    val acked = new java.util.concurrent.atomic.AtomicLong(0L)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until postsPerThread).foreach { p =>
+            val recs = (0 until 3).map(r => s"""{"t":$t,"p":$p,"r":$r}""")
+            val conn = java.net.URI.create(
+              s"http://127.0.0.1:${gw.boundPort}/api/v1/ingest/stream").toURL
+              .openConnection().asInstanceOf[java.net.HttpURLConnection]
+            conn.setRequestMethod("POST"); conn.setDoOutput(true)
+            conn.getOutputStream.write(
+              recs.mkString("[", ",", "]").getBytes("UTF-8"))
+            if (conn.getResponseCode == 200) acked.addAndGet(recs.size.toLong)
+            else failures.add(s"code ${conn.getResponseCode}")
+            conn.disconnect()
+          }
+        } catch { case e: Throwable => failures.add(e.toString) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    gw.stop()
+    assert(failures.isEmpty, s"posts failed: $failures")
+    val spooled = new java.io.File(s"$work/spool").listFiles()
+      .filter(_.getName.endsWith(".jsonl"))
+    import scala.jdk.CollectionConverters._
+    val lines = spooled.iterator.flatMap(f =>
+      java.nio.file.Files.readAllLines(f.toPath).asScala).toSeq
+    assert(acked.get() == (nThreads * postsPerThread * 3).toLong)
+    assert(lines.size.toLong == acked.get(),
+      s"spooled ${lines.size} != acked ${acked.get()}")
+    assert(lines.distinct.size == lines.size, "no record spooled twice")
+    assert(spooled.length == nThreads * postsPerThread,
+      "one spool file per POST")
+  }
+
+  test("spool backlog past the cap draws 429, not silent unbounded growth") {
+    val work = Files.createTempDirectory("gwbackp").toString
+    val gw = new HttpIngestGateway(s"$work/spool", maxBacklogFiles = 3).start()
+    def post(): Int = {
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:${gw.boundPort}/api/v1/ingest/stream").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("""[{"a":1}]""".getBytes("UTF-8"))
+      val code = conn.getResponseCode
+      conn.disconnect(); code
+    }
+    assert((1 to 3).map(_ => post()).forall(_ == 200))
+    assert(post() == 429, "4th spool file exceeds the cap")
+    // draining the spool (the consumer's job) reopens the gate
+    new java.io.File(s"$work/spool").listFiles()
+      .filter(_.getName.endsWith(".jsonl")).take(2).foreach(_.delete())
+    assert(post() == 200, "gateway recovers once the backlog drains")
+    gw.stop()
+  }
 }
