@@ -33,18 +33,28 @@ object BucketBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(f: => DataFrame): (Double, Int) = {
-      var exchanges = 0
+    // exchange accounting splits SHUFFLE exchanges (the scale-relevant
+    // cost: both sides rewrite to disk + network) from broadcast
+    // exchanges (one bounded build + task-local probe). ReusedExchange
+    // references don't re-shuffle and are excluded.
+    def time(f: => DataFrame): (Double, Int, Int) = {
+      var exShuffle = 0; var exBroadcast = 0
       val secs = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val df = f
         df.write.format("noop").mode("overwrite").save()
-        exchanges = df.queryExecution.executedPlan.toString
-          .linesIterator.count(_.contains("Exchange"))
+        // AQE plan strings append the pre-adaptive "Initial Plan" — count
+        // only the FINAL section (the r15 artifact's string count included
+        // both, roughly doubling every row's exchange figure)
+        val lines = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0).linesIterator.toSeq
+        exShuffle = lines.count(l => l.contains("Exchange")
+          && !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+        exBroadcast = lines.count(_.contains("BroadcastExchange"))
         (System.nanoTime() - t0) / 1e9
       }.min
-      (secs, exchanges)
+      (secs, exShuffle, exBroadcast)
     }
 
     // the bucketed warehouse: each fact table bucketed on the key its
@@ -112,11 +122,11 @@ object BucketBench {
       val a = plain().collect().map(_.toString)
       val b = bucketed().collect().map(_.toString)
       require(a.sameElements(b), s"$name: bucketed result diverged")
-      val (tp, ep) = time(plain())
-      val (tb, eb) = time(bucketed())
+      val (tp, ep, bp) = time(plain())
+      val (tb, eb, bb) = time(bucketed())
       println(f"""[bucketbench] {"query":"$name","plain_sec":$tp%.2f,""" +
         f""""bucketed_sec":$tb%.2f,"plain_exchanges":$ep,""" +
-        f""""bucketed_exchanges":$eb}""")
+        f""""bucketed_exchanges":$eb,"plain_bcast":$bp,"bucketed_bcast":$bb}""")
     }
     }
 
@@ -124,7 +134,7 @@ object BucketBench {
     // SCALE.md decomposition of the rows bucketing cannot help) ----
     import org.apache.spark.sql.functions.{col, count, lit, max}
     def floor(name: String, f: () => DataFrame): Unit = {
-      val (t, _) = time(f())
+      val (t, _, _) = time(f())
       println(f"""[bucketbench] {"floor":"$name","sec":$t%.2f}""")
     }
     // one empty job: scheduler + task launch + noop write commit

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Session tuning shared by the parquet-reading measurement mains
-  * (Bench, BenchOne, Verify, KernelAbBench) — one definition so the
-  * rationale and the value cannot drift apart across entry points. */
+  * (Bench, BenchSuite, Verify) — one definition so the rationale and the
+  * value cannot drift apart across entry points. */
 object SessionTuning {
 
   /** File-open cost floor sized for local NVMe: Spark sizes scan splits

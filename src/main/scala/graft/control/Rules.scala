@@ -64,6 +64,50 @@ final class Rules(spark: SparkSession, path: String) {
     load().filter(col("is_active") &&
       (col("expires_at").isNull || col("expires_at") > nowSec))
 
+  // loaded-rules memo for [[activeHashes]]: (table listing fingerprint,
+  // (hash, expires_at, is_active) rows)
+  private val loadedMemo = new java.util.concurrent.atomic.AtomicReference[
+    (String, Seq[(String, Option[Long], Boolean)])]()
+
+  /** Driver-side [[active]]-hash set for the serving fast path: ranking
+    * an O(k) candidate set in-JVM must not pay a Spark job to re-read a
+    * tiny control table per call. The loaded rows are memoized against
+    * the table directory's listing fingerprint (name+size+mtime of every
+    * file — every upsert rewrites the directory, so any rule change
+    * invalidates); the expiry filter applies per call with the caller's
+    * clock, exactly [[active]]'s semantics (RulesSpec pins the
+    * equivalence). */
+  def activeHashes(nowSec: Long): Set[String] = {
+    val p = Paths.get(path)
+    val fp =
+      if (!Files.exists(p)) "absent"
+      else {
+        val st = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map { f =>
+            val file = f.toFile
+            s"${file.getName}:${file.length}:${file.lastModified}"
+          }.toSeq.sorted.mkString("|")
+        } finally st.close()
+      }
+    val cur = loadedMemo.get()
+    val rows =
+      if (cur != null && cur._1 == fp) cur._2
+      else {
+        val loaded = load().select("rhythm_hash", "expires_at", "is_active")
+          .collect()
+          .map(r => (r.getString(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getBoolean(2))).toSeq
+        loadedMemo.set((fp, loaded))
+        loaded
+      }
+    rows.iterator
+      .filter(t => t._3 && t._2.forall(_ > nowSec))
+      .map(_._1).toSet
+  }
+
   /** J3 — drop rows whose rhythm hash has an active rule. */
   def enforce(df: DataFrame, nowSec: Long): DataFrame =
     df.join(broadcast(active(nowSec).select("rhythm_hash").distinct()),

@@ -43,6 +43,42 @@ object Relational {
       n: org.apache.spark.sql.Column) =
     round(sumMicros.cast("double") / n / lit(1000000.0), 4)
 
+  /** Default size bound for [[broadcastIfSmall]]: 256 MB of ESTIMATED
+    * bytes — the projected TPC-H dim chain stays far under it through
+    * sf100+ while any fact-sized relation blows through it immediately.
+    * Kept well inside executor memory so the gated hint is never the
+    * thing that OOMs a 100 TB run. Overridable per session via
+    * `spark.graft.dimBroadcastBytes` (0 disables the hint entirely —
+    * the pure-AQE regime). */
+  private[graft] val DimBroadcastBytes: Long = 256L << 20
+
+  /** Broadcast-hint a dimension ONLY when Catalyst's own size estimate
+    * for the (projected, pre-join) relation fits [[DimBroadcastBytes]].
+    *
+    * The unconditional-hint debate both ways: a forced `broadcast()` on
+    * an SF-proportional side is a promise broken at some scale (the r10
+    * rationale for hintlessness), but hintless AQE only converts a
+    * shuffle join AFTER planning both exchanges, and its 10 MB default
+    * threshold leaves the q5/q7 dim chain (customer/supplier joined
+    * through nation/region — 1-2% of fact bytes at TPC-H ratios) paying
+    * 7-8 exchanges at the decade scale. The stats gate takes both
+    * halves: under the bound the dim rides a BroadcastExchange and the
+    * fact side never reshuffles (the ≤3-exchange plan a warehouse wants);
+    * past the bound the hint silently vanishes and AQE decides exactly
+    * as before. `gate` must be the dim's BASE projection (scan +
+    * column-prune only): Catalyst's default join estimate is the PRODUCT
+    * of child sizes, so gating on a post-join relation would never fire.
+    * Evaluating `stats` plans the projection but runs no job. */
+  private[graft] def broadcastIfSmall(
+      gate: org.apache.spark.sql.DataFrame,
+      hinted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bound = gate.sparkSession.conf
+      .get("spark.graft.dimBroadcastBytes", DimBroadcastBytes.toString).toLong
+    if (bound > 0 && gate.queryExecution.optimizedPlan.stats.sizeInBytes
+        <= BigInt(bound)) broadcast(hinted)
+    else hinted
+  }
+
   private val q1Agg = QueryDef(
     "q1_agg",
     (s, dir) => {
@@ -91,15 +127,19 @@ object Relational {
   private[graft] def q3Plan(lineitem: org.apache.spark.sql.DataFrame,
       orders: org.apache.spark.sql.DataFrame,
       customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+    // stats-gated broadcast (see broadcastIfSmall): the 2-column customer
+    // projection is ~1% of fact bytes at TPC-H ratios, so through the
+    // bench scales the hint collapses this join into the fact scan; past
+    // the bound the hint vanishes and AQE decides at runtime — never an
+    // OOM promise at 100×.
+    val custProj = customer.select(col("c_custkey"), col("c_mktsegment"))
+    val cust = broadcastIfSmall(custProj,
+      customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")))
     val ord = orders
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
     val li = lineitem
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
-    // no explicit broadcast on customer: it grows with SF, so a forced
-    // hint becomes an OOM risk at 100×. AQE broadcasts it at runtime
-    // whenever the filtered side is under the threshold — the safe form
-    // of the same plan.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
@@ -141,20 +181,24 @@ object Relational {
     val dims = nation
       .join(region.filter(col("r_name").isin("ASIA", "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-    val cust = customer
-      .join(dims, col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
-    val supp = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    // customer AND supplier are SF-proportional, so the broadcast is
+    // STATS-GATED (broadcastIfSmall), never unconditional: the gate reads
+    // each dim's own 2-column projection estimate (the post-join relation
+    // would estimate as a product and never fire). Under the bound the
+    // whole dim chain rides BroadcastExchanges and the fact side keeps
+    // its scan partitioning — with orderkey-bucketed fact tables the
+    // plan's only exchanges are the final aggregate + sort; past the
+    // bound the hint vanishes and AQE decides at runtime as before.
+    val custProj = customer.select(col("c_custkey"), col("c_nationkey"))
+    val cust = broadcastIfSmall(custProj,
+      customer
+        .join(dims, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name")))
+    val suppProj = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    val supp = broadcastIfSmall(suppProj, suppProj)
     val ord = orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
-    // customer AND supplier are SF-proportional: no forced broadcast on
-    // either (a hint is a promise the side fits in executor memory at ANY
-    // scale — supplier is 10× smaller than customer at TPC-H ratios but
-    // still grows linearly, so at warehouse scale the hint is an OOM
-    // risk). AQE broadcasts whichever side is under the threshold at
-    // runtime; only the fixed-size nation/region dims (folded into
-    // `cust` via `dims`) are hint-eligible.
     lineitem
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
@@ -208,14 +252,22 @@ object Relational {
       customer: org.apache.spark.sql.DataFrame,
       supplier: org.apache.spark.sql.DataFrame,
       nation: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val supp = supplier
-      .join(nation.filter(col("n_name").isin(Q7Nations: _*)),
-        col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val cust = customer
-      .join(nation.filter(col("n_name").isin(Q7Nations: _*)),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    // stats-gated dim-chain broadcast, same rationale as q5Plan: the
+    // nation-filtered supplier/customer projections are tiny relative to
+    // the fact tables at TPC-H ratios; gated on each dim's base
+    // projection so the hint disappears past DimBroadcastBytes
+    val supp = broadcastIfSmall(
+      supplier.select(col("s_suppkey"), col("s_nationkey")),
+      supplier
+        .join(nation.filter(col("n_name").isin(Q7Nations: _*)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcastIfSmall(
+      customer.select(col("c_custkey"), col("c_nationkey")),
+      customer
+        .join(nation.filter(col("n_name").isin(Q7Nations: _*)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
     lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))

@@ -29,6 +29,19 @@ object ClusterSearch {
   val GroupLimit = 100
   val TriageLimit = 50
 
+  /** Per-stage serving latency trace (SPARK_GRAFT_SERVE_TRACE=1): names
+    * where an indexed probe's milliseconds go — the attribution tool for
+    * serving-floor work, not a hot-path feature. */
+  private val traceOn = sys.env.get("SPARK_GRAFT_SERVE_TRACE").contains("1")
+  private def traced[T](tag: String)(f: => T): T =
+    if (!traceOn) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[serve-trace] $tag: ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+      r
+    }
+
   /** A5/A6/V1/V6/P7/P8/J3/J4 — grouped cluster search over Tier-2. */
   def clusters(
       tier2: DataFrame,
@@ -187,9 +200,16 @@ object ClusterSearch {
     * rowKey over the corpus + broadcast semi-join. */
   private def candidateRows(tier2: DataFrame, graphPath: String,
       qv: Seq[Double], k: Int): DataFrame = {
+    val hits = traced("graph_walk")(GraphIndex.servingHits(
+      tier2.sparkSession, graphPath, qv, k, serveEf(k)))
+    candidateRowsFromHits(tier2, hits)
+  }
+
+  /** [[candidateRows]] over an already-collected hit set. */
+  private def candidateRowsFromHits(tier2: DataFrame,
+      hits: Seq[GraphIndex.ServingHit]): DataFrame = {
     val spark = tier2.sparkSession
     import spark.implicits._
-    val hits = GraphIndex.servingHits(spark, graphPath, qv, k, serveEf(k))
     if (hits.nonEmpty && hits.forall(_.payload != null))
       spark.createDataset(hits).toDF()
         .select(from_json(col("payload"), TierIndex.payloadSchema).as("p"),
@@ -202,6 +222,195 @@ object ClusterSearch {
         .join(broadcast(cands), "__vec_id").drop("__vec_id")
     }
   }
+
+  // -------------------------------------------------------------------
+  // Driver-side candidate ranking — the serving fast path (VERDICT r15
+  // item 6). A graph probe's candidates are already O(k) rows ON THE
+  // DRIVER (ServingHit payload + embedding — Qdrant's hit-with-payload
+  // model); pushing them back through a Catalyst pipeline cost 2 jobs +
+  // planning per call (~160 ms of the ~275 ms p50 at 150k rows) just to
+  // process ~400 rows. The ranker applies the IDENTICAL stages in-JVM:
+  // every predicate/score calls the same static kernel the Catalyst
+  // expression compiles to (ContainsAllTokens.compute; the CosineSimExpr
+  // fold over the same float-cast values; java BigDecimal HALF_UP like
+  // Catalyst Round), null handling mirrors the column semantics case by
+  // case (noted inline), and the orderings replicate TopKPerGroup /
+  // TakeOrdered key order — parity is pinned by TierServeSpec (indexed
+  // == exact on every fixture, including rules and range filters).
+  // `spark.graft.serveDriverRank=false` routes back through the Catalyst
+  // candidate pipeline. Shortfall semantics unchanged: fewer than
+  // `limit` survivors falls back to the exact whole-store scan. At any
+  // corpus size the ranked set stays O(k), so driver ranking is
+  // scale-independent by construction.
+  // -------------------------------------------------------------------
+
+  private[search] final case class Cand(hash: String, aType: String,
+      aCtx: String, startTs: java.lang.Long, endTs: java.lang.Long,
+      count: java.lang.Long, service: String, severity: String,
+      body: String, dt: String, dense: Array[Float])
+
+  @transient private lazy val payloadMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** ServingHit → ranked-candidate row. The payload is the to_json of
+    * TierIndex.PayloadFields (flat strings + longs), so a Jackson walk
+    * decodes exactly what from_json(payloadSchema) decodes; the hit
+    * embedding is already the store's float dtype (ServingHit contract —
+    * same values the Spark path's array<float> cast produces). */
+  private def parseCand(h: GraphIndex.ServingHit): Cand = {
+    val node = payloadMapper.readTree(h.payload)
+    def s(f: String): String = {
+      val n = node.get(f); if (n == null || n.isNull) null else n.asText()
+    }
+    def l(f: String): java.lang.Long = {
+      val n = node.get(f)
+      if (n == null || n.isNull) null else java.lang.Long.valueOf(n.asLong())
+    }
+    Cand(s("rhythm_hash"), s("anomaly_type"), s("anomaly_context"),
+      l("start_ts"), l("end_ts"), l("count"), s("service"), s("severity"),
+      s("body"), s("dt"), h.embedding)
+  }
+
+  /** The CosineSimExpr fold (ascending index, double accumulate) over a
+    * float vector and a float query — op-for-op the kernel's loop, so
+    * scores are bit-identical to the plan's cosine(array<float>,
+    * embed_text(...)). */
+  private def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val sna = math.sqrt(na); val snb = math.sqrt(nb)
+    if (sna == 0.0 || snb == 0.0) 0.0 else d / (sna * snb)
+  }
+
+  /** [[cosineFF]] against a double query vector (triage's typedLit). */
+  private def cosineFD(a: Array[Float], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val sna = math.sqrt(na); val snb = math.sqrt(nb)
+    if (sna == 0.0 || snb == 0.0) 0.0 else d / (sna * snb)
+  }
+
+  /** Catalyst Round(x, 6) for doubles: BigDecimal.valueOf + HALF_UP. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** score desc, start_ts desc (nulls last, Spark's desc default), dt
+    * asc (nulls first) — TopKPerGroup's within-group key order. */
+  private def cmpGroupKey(a: (Cand, Double), b: (Cand, Double)): Int = {
+    val s = java.lang.Double.compare(b._2, a._2)
+    if (s != 0) return s
+    val t = (a._1.startTs, b._1.startTs) match {
+      case (null, null) => 0
+      case (null, _) => 1
+      case (_, null) => -1
+      case (x, y) => java.lang.Long.compare(y, x)
+    }
+    if (t != 0) return t
+    (a._1.dt, b._1.dt) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x, y) => x.compareTo(y)
+    }
+  }
+
+  private def rankClustersDriver(cands: Seq[Cand], activeRules: Set[String],
+      startTs: Option[Long], endTs: Option[Long], textFilter: String,
+      limit: Int): Seq[org.apache.spark.sql.Row] = {
+    val qTokens = textFilter.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val qEmb = traced("rank_embed")(
+      graft.functions.EmbedText.embedString(textFilter))
+    val scored = cands.iterator
+      // range filters: a NULL start_ts fails a bounded comparison (drops)
+      // and passes the unbounded lit(true), like the column predicates
+      .filter(c => startTs.forall(s => c.startTs != null && c.startTs >= s))
+      .filter(c => endTs.forall(e => c.startTs != null && c.startTs <= e))
+      // matchText: zero query tokens match everything incl. NULL body;
+      // otherwise the kernel null-propagates and the filter drops
+      .filter(c => qTokens.isEmpty ||
+        (c.body != null && graft.functions.ContainsAllTokens.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(c.body),
+          qTokens)))
+      // rules left_anti: a NULL hash never matches a rule (kept)
+      .filter(c => c.hash == null || !activeRules.contains(c.hash))
+      .map(c => (c, round6(cosineFF(c.dense, qEmb))))
+      .toVector
+    // top-1 per rhythm_hash (ties keep the first in candidate order,
+    // like the bounded buffer fed by the single-partition local scan)
+    val best = scored.groupBy(_._1.hash).valuesIterator
+      .map(g => g.minBy(identity)(Ordering.fromLessThan[(Cand, Double)](
+        (a, b) => cmpGroupKey(a, b) < 0)))
+      .toVector
+    // final order: score desc, start_ts desc, rhythm_hash asc
+    best.sortWith { (a, b) =>
+      val s = java.lang.Double.compare(b._2, a._2)
+      if (s != 0) s < 0
+      else {
+        val t = (a._1.startTs, b._1.startTs) match {
+          case (null, null) => 0
+          case (null, _) => 1
+          case (_, null) => -1
+          case (x, y) => java.lang.Long.compare(y, x)
+        }
+        if (t != 0) t < 0
+        else (a._1.hash, b._1.hash) match {
+          case (null, null) => false
+          case (null, _) => true
+          case (_, null) => false
+          case (x, y) => x.compareTo(y) < 0
+        }
+      }
+    }.take(limit).map { case (c, sc) =>
+      org.apache.spark.sql.Row(c.hash, c.aType, c.aCtx, c.service,
+        c.severity, c.body, c.count, c.startTs, c.endTs, sc)
+    }
+  }
+
+  private def rankTriageDriver(cands: Seq[Cand], exclude: Set[String],
+      qv: Seq[Double], limit: Int): Seq[org.apache.spark.sql.Row] =
+    cands.iterator
+      // !isin(...) over a NULL hash evaluates NULL → dropped
+      .filter(c => c.hash != null && !exclude.contains(c.hash))
+      .map(c => (c, round6(cosineFD(c.dense, qv))))
+      .toVector
+      .sortWith { (a, b) =>
+        val s = java.lang.Double.compare(b._2, a._2)
+        if (s != 0) s < 0
+        else a._1.hash.compareTo(b._1.hash) < 0
+      }
+      .take(limit).map { case (c, sc) =>
+        org.apache.spark.sql.Row(c.hash, c.aType, c.service, c.severity,
+          c.body, c.count, c.startTs, sc)
+      }
+
+  import org.apache.spark.sql.types._
+  private val ClustersOutSchema = StructType(Seq(
+    StructField("rhythm_hash", StringType), StructField("anomaly_type", StringType),
+    StructField("anomaly_context", StringType), StructField("service", StringType),
+    StructField("severity", StringType), StructField("body", StringType),
+    StructField("count", LongType), StructField("start_ts", LongType),
+    StructField("end_ts", LongType), StructField("score", DoubleType)))
+  private val TriageOutSchema = StructType(Seq(
+    StructField("rhythm_hash", StringType), StructField("anomaly_type", StringType),
+    StructField("service", StringType), StructField("severity", StringType),
+    StructField("body", StringType), StructField("count", LongType),
+    StructField("start_ts", LongType), StructField("score", DoubleType)))
+
+  private def driverRankOn(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.serveDriverRank", "true").toBoolean
 
   /** Graph-accelerated [[clusters]] (text-filtered form only — without a
     * text filter there is no query vector and nothing to probe). */
@@ -234,16 +443,34 @@ object ClusterSearch {
     val qv = graft.functions.EmbedText.embedString(textFilter)
       .map(_.toDouble).toSeq
     val k = candidateKFor(limit)
-    val candRows = candidateRows(tier2, graphPath, qv, k)
-    val out = clustersPipeline(candRows, rules, nowSec, startTs, endTs,
-      Some(textFilter), limit)
-    val rows = out.collect()
-    if (rows.length < limit)
-      (clustersPipeline(tier2, rules, nowSec, startTs, endTs,
-        Some(textFilter), limit), false)
-    else
-      (spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
-        true)
+    val hits = traced("graph_walk")(
+      GraphIndex.servingHits(spark, graphPath, qv, k, serveEf(k)))
+    if (driverRankOn(spark) && hits.nonEmpty && hits.forall(_.payload != null)) {
+      // serving fast path: rank the k driver-resident candidates in-JVM
+      val active = traced("rules_load")(
+        rules.fold(Set.empty[String])(_.activeHashes(nowSec)))
+      val cands = traced("parse_cands")(hits.map(parseCand))
+      val rows = traced("driver_rank")(rankClustersDriver(
+        cands, active, startTs, endTs, textFilter, limit))
+      if (rows.length < limit)
+        (clustersPipeline(tier2, rules, nowSec, startTs, endTs,
+          Some(textFilter), limit), false)
+      else
+        (spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), ClustersOutSchema), true)
+    } else {
+      val candRows = traced("candidate_rows")(
+        candidateRowsFromHits(tier2, hits))
+      val out = traced("pipeline_plan")(clustersPipeline(candRows, rules,
+        nowSec, startTs, endTs, Some(textFilter), limit))
+      val rows = traced("pipeline_exec")(out.collect())
+      if (rows.length < limit)
+        (clustersPipeline(tier2, rules, nowSec, startTs, endTs,
+          Some(textFilter), limit), false)
+      else
+        (spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+          true)
+    }
   }
 
   /** Graph-accelerated [[triage]]. */
@@ -307,15 +534,21 @@ object ClusterSearch {
     else Some((0 until dim).map(i => 2.0 * ps(i) / pc - ns(i) / nc))
   }
 
-  /** Returns (result, servedViaGraph). */
+  /** Returns (result, servedViaGraph). `precomputedQv` lets a caller
+    * holding a frozen serving snapshot (Via's pin) memoize the example
+    * vector across calls — the two store scans it costs are
+    * re-derivable from the pinned snapshot only, so the memo's validity
+    * IS the pin's validity (Via clears it on pin/unpin/refresh). */
   private[graft] def triageIndexedImpl(
       tier2: DataFrame,
       graphPath: String,
       positiveHashes: Seq[String],
       negativeHashes: Seq[String],
-      limit: Int): (DataFrame, Boolean) = {
+      limit: Int,
+      precomputedQv: Option[Option[Seq[Double]]] = None): (DataFrame, Boolean) = {
     val spark = tier2.sparkSession
-    val qvOpt = exampleVectorFast(tier2, positiveHashes, negativeHashes)
+    val qvOpt = precomputedQv.getOrElse(traced("example_vector")(
+      exampleVectorFast(tier2, positiveHashes, negativeHashes)))
     if (qvOpt.isEmpty)
       // degenerate examples (absent hashes): keep the exact verb's
       // semantics for the edge verbatim
@@ -323,14 +556,27 @@ object ClusterSearch {
     val qv = qvOpt.get
     import spark.implicits._
     val k = candidateKFor(limit) + positiveHashes.size + negativeHashes.size
-    val candRows = candidateRows(tier2, graphPath, qv, k)
-    val out = triageRank(candRows, typedLit(qv),
-      positiveHashes ++ negativeHashes, limit)
-    val rows = out.collect()
-    if (rows.length < limit)
-      (triage(tier2, positiveHashes, negativeHashes, limit), false)
-    else
-      (spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
-        true)
+    val hits = traced("graph_walk")(GraphIndex.servingHits(
+      spark, graphPath, qv, k, serveEf(k)))
+    if (driverRankOn(spark) && hits.nonEmpty && hits.forall(_.payload != null)) {
+      val rows = traced("driver_rank")(rankTriageDriver(hits.map(parseCand),
+        (positiveHashes ++ negativeHashes).toSet, qv, limit))
+      if (rows.length < limit)
+        (triage(tier2, positiveHashes, negativeHashes, limit), false)
+      else
+        (spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), TriageOutSchema), true)
+    } else {
+      val candRows = traced("candidate_rows")(
+        candidateRowsFromHits(tier2, hits))
+      val out = triageRank(candRows, typedLit(qv),
+        positiveHashes ++ negativeHashes, limit)
+      val rows = traced("pipeline_exec")(out.collect())
+      if (rows.length < limit)
+        (triage(tier2, positiveHashes, negativeHashes, limit), false)
+      else
+        (spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+          true)
+    }
   }
 }

@@ -1010,7 +1010,19 @@ object GraphIndex {
     * row WITHOUT rejoining the corpus (the Qdrant hit-with-payload
     * contract; the r11 weak-mark fix). */
   final case class ServingHit(vec_id: Long, score: Double,
-      payload: String, embedding: Seq[Double])
+      payload: String, embedding: Array[Float])
+
+  /** Node embedding → the STORE's float dtype for the hit (exact: the
+    * graph's doubles were cast up from the store's floats). Floats also
+    * halve the per-call collect bytes, and a primitive array avoids the
+    * encoder materializing each vector as a boxed List — indexed access
+    * over those measured O(n²) in the driver ranker (r16). */
+  private def toStoreFloats(v: Array[Double]): Array[Float] = {
+    val f = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) { f(i) = v(i).toFloat; i += 1 }
+    f
+  }
 
   // ---------------------------------------------------------------------
   // Driver-resident buffer segment (VERDICT r12 item 5): the buffer was
@@ -1128,7 +1140,7 @@ object GraphIndex {
           qA, qn, ef, entryPoints(sg.ids.length))
         top.iterator.map(i => ServingHit(sg.ids(i),
           1.0 - cosDist(sg.vecs(i), sg.norms(i), qA, qn),
-          sg.payloads(i), sg.vecs(i).toSeq))
+          sg.payloads(i), toStoreFloats(sg.vecs(i))))
       }
     }.collect()
     val rb = residentBufferFor(spark, path)
@@ -1146,7 +1158,7 @@ object GraphIndex {
             val s =
               if (qn == 0.0 || rb.norms(i) == 0.0) 0.0
               else dot(rb.vecs(i), qA) / (rb.norms(i) * qn)
-            ServingHit(rb.ids(i), s, rb.payloads(i), rb.vecs(i).toSeq)
+            ServingHit(rb.ids(i), s, rb.payloads(i), toStoreFloats(rb.vecs(i)))
           }
           .toArray.sortBy(h => (-h.score, h.vec_id)).take(k)
       } else bufferDf(spark, path) match {
@@ -1158,14 +1170,14 @@ object GraphIndex {
           b.select(col("vec_id"),
               cosineToConst(col("embedding").cast("array<double>"), q).as("s"),
               col("payload"),
-              col("embedding").cast("array<double>").as("embedding"))
+              col("embedding").cast("array<float>").as("embedding"))
             // dimension-mismatched rows score NULL; drop them like the
             // resident path does (they could otherwise enter the top-k
             // of an under-filled buffer and crash the Double decode)
             .filter(col("s").isNotNull)
             .orderBy(col("s").desc, col("vec_id"))
             .limit(k)
-            .as[(Long, Double, String, Seq[Double])].collect()
+            .as[(Long, Double, String, Array[Float])].collect()
             .map { case (id, s, p, e) => ServingHit(id, s, p, e) }
       }
     val seen = mutable.Set.empty[Long]

@@ -61,20 +61,44 @@ class PlanShapeSpec extends SparkSpec {
       "quantized scoring stays a single-pass top-k")
   }
 
-  test("no forced broadcast on ANY SF-proportional side (q3/q5)") {
-    // customer and supplier both grow with SF: a forced hint is an OOM
-    // promise at 100× — AQE must decide at runtime for every
-    // SF-proportional side. Only fixed-size dims may ever carry hints.
+  test("dim-chain broadcast is STATS-GATED, never unconditional (q3/q5/q7)") {
+    // customer and supplier grow with SF, so their broadcast hints must
+    // come from broadcastIfSmall's size gate: present when the projected
+    // dim's estimate fits DimBroadcastBytes (every bench SF — this is
+    // what collapses q5/q7 to the ≤3-exchange plan on bucketed facts),
+    // ABSENT when the estimate exceeds it (no OOM promise at 100×).
+    import org.apache.spark.sql.functions.col
     def analyzed(name: String): String = {
       val q = Registry.all.find(_.name == name).get
       q.fn(spark, dir).queryExecution.analyzed.toString
     }
-    assert(!analyzed("q3_topk").contains("ResolvedHint"),
-      "q3 must carry no broadcast hint (AQE decides for customer)")
-    assert(!analyzed("q5_join").contains("ResolvedHint"),
-      "q5 must carry no broadcast hint (AQE decides for customer/supplier)")
-    assert(!analyzed("q7_flow").contains("ResolvedHint"),
-      "q7 must carry no broadcast hint (AQE decides for customer/supplier)")
+    Seq("q3_topk", "q5_join", "q7_flow").foreach { n =>
+      assert(analyzed(n).contains("ResolvedHint"),
+        s"$n: small-dim hint must fire at the test SF")
+    }
+    // the gate half: a relation whose OWN estimate exceeds the bound gets
+    // NO hint (spark.range stats are static — no job runs here)
+    val big = spark.range(300L * 1000 * 1000)
+      .select(col("id").as("c_custkey"), (col("id") % 25).as("c_nationkey"))
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes
+      > BigInt(graft.queries.Relational.DimBroadcastBytes),
+      "fixture broken: the synthetic dim must exceed the gate bound")
+    val gated = graft.queries.Relational.broadcastIfSmall(big, big)
+    assert(!gated.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "an over-bound dim must NOT carry a broadcast hint")
+    val small = spark.range(10)
+      .select(col("id").as("c_custkey"), (col("id") % 25).as("c_nationkey"))
+    assert(graft.queries.Relational.broadcastIfSmall(small, small)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "an under-bound dim must carry the hint")
+  }
+
+  test("q5/q7 executed plans keep the dim chain broadcast at the test SF") {
+    Seq("q5_join", "q7_flow").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n: expected broadcast dim joins:\n${p.take(1200)}")
+    }
   }
 
   test("q7_flow pushes nation filters below the fact joins") {

@@ -45,4 +45,23 @@ class RulesSpec extends SparkSpec {
     val kept = r.enforce(df, nowSec = 0).as[String].collect().sorted
     assert(kept.toSeq == Seq("keep_a", "keep_b"))
   }
+
+  test("activeHashes == active() at every clock, and the memo sees upserts") {
+    val r = fresh()
+    def activeSet(now: Long): Set[String] =
+      r.active(now).select("rhythm_hash").collect().map(_.getString(0)).toSet
+    r.patch("p1")
+    r.suppress("s1", ttlSec = 100, nowSec = 1000)
+    Seq(0L, 1000L, 1099L, 1100L, 1101L, Long.MaxValue - 1).foreach { now =>
+      assert(r.activeHashes(now) == activeSet(now),
+        s"driver set diverged from active() at now=$now")
+    }
+    // the memo must not serve stale rules after an upsert rewrites the
+    // table (listing fingerprint invalidation)
+    r.activeHashes(1000) // prime the memo
+    r.patch("p2")
+    assert(r.activeHashes(1000) == activeSet(1000), "memo missed the upsert")
+    r.deactivate("p1", Rules.AllowList)
+    assert(r.activeHashes(1000) == activeSet(1000), "memo missed the deactivate")
+  }
 }

@@ -127,9 +127,9 @@ class GraphIndexSpec extends SparkSpec {
     Seq(pathRes, pathJob).foreach { p =>
       GraphIndex.build(base, p); GraphIndex.append(fresh, p)
     }
-    def hits(p: String): Seq[(Long, Double, Seq[Double])] = GraphIndex
+    def hits(p: String): Seq[(Long, Double, Seq[Float])] = GraphIndex
       .servingHits(spark, p, Q, 20, ef = GraphIndex.GateEf)
-      .map(h => (h.vec_id, h.score, h.embedding))
+      .map(h => (h.vec_id, h.score, h.embedding.toSeq))
     val resident = hits(pathRes)
     val prev = spark.conf.getOption("spark.graft.serve.residentBufferMaxRows")
     try {

@@ -48,6 +48,37 @@ class TierServeSpec extends SparkSpec {
     t2.unpersist()
   }
 
+  test("driver ranker and Catalyst candidate pipeline produce IDENTICAL rows") {
+    // the serving fast path (spark.graft.serveDriverRank, default on)
+    // ranks the k collected candidates in-JVM; flipping the conf routes
+    // the SAME hits through the Catalyst pipeline — both must match the
+    // exact verb row for row, including scores (shared kernel arithmetic)
+    val t2 = tier2Fixture(600).cache(); t2.count()
+    val gpath = java.nio.file.Files.createTempDirectory("drvrank").toString + "/g"
+    TierIndex.build(t2, gpath)
+    val now = 1700000000L + 700 * 60
+    val pos = Seq("h3", "h17"); val neg = Seq("h40")
+    def runBoth[T](f: => T): (T, T) = {
+      spark.conf.set("spark.graft.serveDriverRank", "true")
+      val fast = f
+      spark.conf.set("spark.graft.serveDriverRank", "false")
+      val slow = try f finally spark.conf.unset("spark.graft.serveDriverRank")
+      (fast, slow)
+    }
+    val (cFast, cSlow) = runBoth(rowStrs(ClusterSearch.clustersIndexedImpl(
+      t2, gpath, None, now, None, None, "failed user", limit = 10)._1))
+    val cExact = rowStrs(ClusterSearch.clusters(t2, None, now,
+      textFilter = Some("failed user"), limit = 10))
+    assert(cFast == cSlow, s"clusters fast != pipeline:\n$cFast\n$cSlow")
+    assert(cFast == cExact, "clusters fast != exact")
+    val (tFast, tSlow) = runBoth(rowStrs(ClusterSearch.triageIndexedImpl(
+      t2, gpath, pos, neg, limit = 10)._1))
+    val tExact = rowStrs(ClusterSearch.triage(t2, pos, neg, limit = 10))
+    assert(tFast == tSlow, s"triage fast != pipeline:\n$tFast\n$tSlow")
+    assert(tFast == tExact, "triage fast != exact")
+    t2.unpersist()
+  }
+
   test("clustersIndexed == clusters on the gate fixture (graph-served)") {
     val t2 = tier2Fixture(600).cache(); t2.count()
     val gpath = java.nio.file.Files.createTempDirectory("cserve").toString + "/g"

@@ -45,13 +45,60 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("q5/q7 over orderkey-bucketed facts: fact side never reshuffles (<=3 shuffle exchanges)") {
+    val s = spark
+    import s.implicits._
+    try {
+      Layout.writeBucketed(Tables.lineitem(s, SfDir), "q_lineitem", "l_orderkey", 4)
+      Layout.writeBucketed(Tables.orders(s, SfDir), "q_orders", "o_orderkey", 4)
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.write.format("noop").mode("overwrite").save()
+        // AQE plan strings append the pre-adaptive "Initial Plan" — count
+        // only the final section or every exchange double-counts
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0).linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("BroadcastExchange")
+            && !l.contains("ReusedExchange"))
+      }
+      val q5b = graft.queries.Relational.q5Plan(
+        s.table("q_lineitem"), s.table("q_orders"),
+        Tables.customer(s, SfDir), Tables.supplier(s, SfDir),
+        Tables.nation(s, SfDir), Tables.region(s, SfDir))
+      val q7b = graft.queries.Relational.q7Plan(
+        s.table("q_lineitem"), s.table("q_orders"),
+        Tables.customer(s, SfDir), Tables.supplier(s, SfDir),
+        Tables.nation(s, SfDir))
+      // row parity with the flat layout first
+      val q5f = graft.queries.Relational.q5Plan(
+        Tables.lineitem(s, SfDir), Tables.orders(s, SfDir),
+        Tables.customer(s, SfDir), Tables.supplier(s, SfDir),
+        Tables.nation(s, SfDir), Tables.region(s, SfDir))
+      assert(q5b.collect().map(_.toString).toSeq ==
+        q5f.collect().map(_.toString).toSeq, "q5 bucketed result diverged")
+      // the VERDICT r15 done-bar: co-bucketed facts + stats-gated dim
+      // broadcasts leave only the final aggregate (+ sort) exchanges
+      val s5 = shuffles(q5b)
+      val s7 = shuffles(q7b)
+      assert(s5 <= 3, s"q5 bucketed plan has $s5 shuffle exchanges:\n" +
+        q5b.queryExecution.executedPlan.toString.take(8000))
+      assert(s7 <= 3, s"q7 bucketed plan has $s7 shuffle exchanges:\n" +
+        q7b.queryExecution.executedPlan.toString.take(8000))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS q_lineitem")
+      s.sql("DROP TABLE IF EXISTS q_orders")
+    }
+  }
+
   test("selective joins stay bloom-filter eligible when dims outgrow broadcast") {
     val s = spark
     val conf = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // 0 disables the stats-gated dim hint — this test exercises the
+      // regime where dims have outgrown broadcast range entirely
+      "spark.graft.dimBroadcastBytes" -> "0",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
-    val prev = conf.keys.map(k => k -> s.conf.get(k)).toMap
+    val prev = conf.keys.map(k => k -> s.conf.getOption(k)).toMap
     try {
       conf.foreach { case (k, v) => s.conf.set(k, v) }
       // q3 (selective dim filter on customer) and q7 (selective nation
@@ -65,7 +112,10 @@ class BucketedJoinSpec extends SparkSpec {
           s"$name: expected an injected runtime bloom filter:\n${p.take(1200)}")
       }
     } finally {
-      prev.foreach { case (k, v) => s.conf.set(k, v) }
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   }
 }

@@ -12,7 +12,7 @@ OUT=${1:-BENCH_SF10_r15.json}
 # stale inputs from a previous round must not leak into the merge
 rm -f target/sf10_oracle.txt target/sf10_oracle_r2.txt \
   target/sf10_pairvalidate.txt target/sf10_ccvalidate.txt \
-  target/sf10_bucketbench.txt
+  target/sf10_bucketbench.txt target/sf10_shuffle.txt
 
 tools/sf10_sweep.sh
 echo "== oracle round2 start $(date -u +%H:%M:%S)"
@@ -20,7 +20,7 @@ tools/sf10_oracle_round2.sh
 tail -5 target/sf10_oracle_r2.txt
 
 echo "== sf10 bench start $(date -u +%H:%M:%S)"
-SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=2 \
+SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=3 \
   SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_GOLDEN_SF=sf10 \
   tools/run_main.sh graft.Bench 2>&1 | grep '^{' | tail -1 \
   > target/sf10_bench_line.json
@@ -29,6 +29,12 @@ echo "== bucketbench start $(date -u +%H:%M:%S)"
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=32 \
   tools/run_main.sh graft.BucketBench 2>&1 | grep '\[bucketbench\]' \
   | tee target/sf10_bucketbench.txt
+echo "== shuffle accounting start $(date -u +%H:%M:%S)"
+SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_GOLDEN_SF=sf10 \
+  tools/run_main.sh graft.BenchSuite --leg shuffle \
+    simhash_dedup lsh_pairs jaccard_pairs dedup_clusters 2>&1 \
+  | grep '\[shuffle\]' | tee target/sf10_shuffle.txt
 python3 tools/merge_sf10_bench.py target/sf10_bench_full.json "$OUT"
 
 # duck-baseline fallback: if Bench's in-process duck_bench child died or
