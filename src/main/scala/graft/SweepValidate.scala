@@ -69,7 +69,8 @@ object SweepValidate {
       "jaccard_pairs" -> (() => jaccardTop50(spark, sfDir, outDir, capped = false)),
       "jaccard_capped" -> (() => jaccardTop50(spark, sfDir, outDir, capped = true)),
       "decontaminate_semantic" -> (() => decontamSemantic(spark, sfDir, outDir)),
-      "range_join" -> (() => rangeJoin(spark, sfDir, outDir)))
+      "range_join" -> (() => rangeJoin(spark, sfDir, outDir)),
+      "simhash_dedup_stats" -> (() => simhashStats(spark, outDir)))
     checks.filter(c => only.forall(_.contains(c._1))).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -343,6 +344,34 @@ object SweepValidate {
       "empty_sample" -> (if (sampled > 0) 0L else 1L))
     best.unpersist(); covered.unpersist()
     res
+  }
+
+  // ------------------------------------------------------------------
+  // simhash_dedup_stats: the census must equal an aggregate of the pair
+  // LISTING dump — which [[simhashDedup]] has already proven sound,
+  // complete, and distinct against raw-text-recomputed signatures — so
+  // agreeing with it is agreeing with the independently validated pair
+  // set. Null-safe compares; every doc row checked.
+  // ------------------------------------------------------------------
+  private[graft] def simhashStats(spark: SparkSession,
+      outDir: String): Map[String, Long] = {
+    val pairs = spark.read.parquet(s"$outDir/simhash_dedup")
+    val dump = spark.read.parquet(s"$outDir/simhash_dedup_stats")
+    val expected = pairs
+      .select(explode(array(
+        struct(col("a_id").as("doc_id"), col("hamming")),
+        struct(col("b_id").as("doc_id"), col("hamming")))).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("exp_n"), min(col("e.hamming")).as("exp_min"))
+    val missing = antiCount(expected.select("doc_id"), dump, Seq("doc_id"))
+    val extra = antiCount(dump.select("doc_id"),
+      expected.select("doc_id"), Seq("doc_id"))
+    val dups = dupRows(dump, Seq("doc_id"))
+    val mismatch = dump.join(expected, "doc_id")
+      .filter(!(col("n_dups") <=> col("exp_n")) ||
+        !(col("min_hamming") <=> col("exp_min"))).count()
+    Map("rows" -> dump.count(), "missing" -> missing, "extra" -> extra,
+      "dup_rows" -> dups, "mismatch" -> mismatch)
   }
 
   // ------------------------------------------------------------------

@@ -24,10 +24,21 @@ object Layout {
   /** Write `df` as a bucketed catalog table (overwriting), bucketed AND
     * sorted by `key` into `buckets` files per partition — sorted buckets
     * let the merge join skip its sort when bucket files are read in
-    * order. */
+    * order.
+    *
+    * The pre-`repartition(buckets, key)` is load-bearing: it uses the
+    * SAME murmur3 HashPartitioning modulo the same count as the bucket
+    * spec, so each write task holds exactly one bucket and each bucket
+    * lands in ONE file. Without it every write task emits a file per
+    * bucket it touches, and Spark only trusts a bucket's sort order when
+    * the bucket is a single file — multi-file buckets re-SORT both fact
+    * sides under every merge join (no Exchange in the plan, but ~1.5 s
+    * of hidden sort per 60M-row side at sf10 — the residue the r16
+    * bucketed q5 measurement traced). */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -105,6 +105,30 @@ class SweepValidateSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("simhash_dedup_stats validator: green faithful; flags drift, drops, nulls") {
+    val out = java.nio.file.Files.createTempDirectory("swv6").toString
+    dump("simhash_dedup", out)
+    dump("simhash_dedup_stats", out)
+    val ok = SweepValidate.simhashStats(spark, out)
+    assert(ok.filterNot(_._1 == "rows").values.forall(_ == 0L), s"faithful: $ok")
+    assert(ok("rows") > 0)
+    val d = spark.read.parquet(s"$out/simhash_dedup_stats").cache()
+    d.count()
+    // off-by-one census -> mismatch fires on every row
+    d.withColumn("n_dups", col("n_dups") + 1L)
+      .write.mode("overwrite").parquet(s"$out/simhash_dedup_stats")
+    assert(SweepValidate.simhashStats(spark, out)("mismatch") > 0)
+    // dropped doc -> coverage fires
+    d.orderBy("doc_id").offset(1)
+      .write.mode("overwrite").parquet(s"$out/simhash_dedup_stats")
+    assert(SweepValidate.simhashStats(spark, out)("missing") > 0)
+    // nulled min_hamming must COUNT as a mismatch (null-safe compare)
+    d.withColumn("min_hamming", lit(null).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/simhash_dedup_stats")
+    assert(SweepValidate.simhashStats(spark, out)("mismatch") > 0)
+    d.unpersist()
+  }
+
   test("range_join validator: green faithful; flags count drift and extras") {
     val out = java.nio.file.Files.createTempDirectory("swv5").toString
     dump("range_join", out)

@@ -33,7 +33,7 @@ echo "== shuffle accounting start $(date -u +%H:%M:%S)"
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_GOLDEN_SF=sf10 \
   tools/run_main.sh graft.BenchSuite --leg shuffle \
-    simhash_dedup lsh_pairs jaccard_pairs dedup_clusters 2>&1 \
+    simhash_dedup simhash_dedup_stats lsh_pairs jaccard_pairs dedup_clusters 2>&1 \
   | grep '\[shuffle\]' | tee target/sf10_shuffle.txt
 python3 tools/merge_sf10_bench.py target/sf10_bench_full.json "$OUT"
 

@@ -12,7 +12,7 @@ SF=target/sf10
 OUT=target/verify_sf10
 LOG=target/sf10_oracle_r2.txt
 : > "$LOG"
-SKIP="lsh_pairs simhash_dedup dedup_clusters"
+SKIP="lsh_pairs simhash_dedup simhash_dedup_stats dedup_clusters"
 PASSED=$(grep -E "^PASS" target/sf10_oracle.txt | awk '{print $2}')
 for q in $(ls "$OUT" | grep -v oracle_sql.json | sort); do
   if echo "$SKIP $PASSED" | tr ' ' '\n' | grep -qx "$q"; then

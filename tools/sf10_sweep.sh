@@ -14,7 +14,7 @@ OUT=target/verify_sf10
 # dedup_clusters' recursive-CTE oracle OOM-poisons the shared round-1
 # DuckDB process ("can't start new thread" on every later query, seen
 # r14 AND r15) -- SweepValidate/CcValidate cover all three
-GIANT=lsh_pairs,simhash_dedup,dedup_clusters
+GIANT=lsh_pairs,simhash_dedup,simhash_dedup_stats,dedup_clusters
 
 echo "== verify dump start $(date -u +%H:%M:%S)"
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_NO_COALESCE=1 SPARK_GRAFT_CPUS=32 \
@@ -26,7 +26,10 @@ echo "== verify dump done $(date -u +%H:%M:%S)"
 df -h / | tail -1
 
 echo "== duckdb compare start $(date -u +%H:%M:%S)"
-python3 tools/check_oracle.py "$SF" "$OUT" --timeout 300 \
+# hard wall: the shared round-1 process has twice wedged AFTER its OOM
+# poisoning (r16: 28 min silent at 60 GB resident) — round 2 re-runs
+# everything round 1 didn't PASS, so killing round 1 loses nothing
+timeout 2700 python3 tools/check_oracle.py "$SF" "$OUT" --timeout 300 \
   --skip "$GIANT" 2>&1 | tee target/sf10_oracle.txt | tail -30
 echo "== duckdb compare done $(date -u +%H:%M:%S)"
 

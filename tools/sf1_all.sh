@@ -25,7 +25,7 @@ echo "== sf1 verify dump done $(date -u +%H:%M:%S)"
 
 echo "== sf1 duckdb compare start $(date -u +%H:%M:%S)"
 python3 tools/check_oracle.py "$SF" "$DUMP" --timeout 300 \
-  --skip dedup_clusters,lsh_pairs,simhash_dedup 2>&1 \
+  --skip dedup_clusters,lsh_pairs,simhash_dedup,simhash_dedup_stats 2>&1 \
   | tee target/sf1_oracle.txt | tail -10
 echo "== sf1 duckdb compare done $(date -u +%H:%M:%S)"
 
