@@ -139,6 +139,22 @@ object BucketBench {
     }
     // one empty job: scheduler + task launch + noop write commit
     floor("job", () => spark.range(1).toDF("id"))
+    // the bare bucketed sorted-merge join (no dim probes, no grouped
+    // agg): q5's exchange-free plan can never beat this — the residual
+    // between it and the q5 row is the dim-probe + aggregate cost, and
+    // the residual between it and scan2col_agg is the merge itself
+    if (!floorsOnly)
+      floor("bucketed_smj_agg", () =>
+        spark.table("lineitem_bok")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .join(spark.table("orders_bok")
+            .filter(col("o_orderdate") >=
+              org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") <
+                org.apache.spark.sql.functions.lit("1998-01-01").cast("timestamp_ntz"))
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy().agg(count(lit(1)), max(col("l_extendedprice"))))
     // one pass over lineitem reading TWO columns, trivial aggregate:
     // the per-fact-scan cost every percentile/grouping plan pays
     floor("scan2col_agg", () =>
