@@ -132,6 +132,7 @@ final class Via(spark: SparkSession, warehouse: String,
       pinnedTier2 = Some(df)
       pinnedFiles = rawFiles
       pinnedLayoutHash = clusterByHash
+      pinGen.incrementAndGet() // after the snapshot swap: see pinGen doc
       old
     }
     exampleVecMemo.clear() // new snapshot, new example vectors
@@ -157,6 +158,7 @@ final class Via(spark: SparkSession, warehouse: String,
     val displaced = pinLock.synchronized {
       val old = pinnedTier2
       pinnedTier2 = None
+      pinGen.incrementAndGet()
       old
     }
     exampleVecMemo.clear()
@@ -170,9 +172,27 @@ final class Via(spark: SparkSession, warehouse: String,
     * clears it). Unpinned serving recomputes per call — the live store
     * may move between calls. Saves the two small store-scan jobs
     * (~55 ms at 150k rows) on every repeat-triage call, the common UI
-    * shape (a triage session iterates on the same example set). */
+    * shape (a triage session iterates on the same example set).
+    *
+    * Keys carry [[pinGen]]: clear() alone cannot close the race where a
+    * triage call observes the old pin, the pin transitions (swap +
+    * clear), and ONLY THEN the call's computeIfAbsent inserts a vector
+    * computed against the displaced snapshot — that entry would serve
+    * for the whole life of the new pin (ADVICE r16). With the
+    * generation in the key, an entry inserted by a straggler is keyed
+    * to the superseded generation and no later lookup can hit it; the
+    * clear() remains for memory hygiene only. */
   private val exampleVecMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Seq[String], Seq[String]), Option[Seq[Double]]]()
+    (Long, Seq[String], Seq[String]), Option[Seq[Double]]]()
+
+  /** Pin-generation counter, bumped under [[pinLock]] AFTER each
+    * snapshot swap (pin/refresh/unpin). A reader that observes
+    * generation g and then reads [[pinnedTier2]] sees the snapshot of
+    * generation ≥ g, so a memo entry's vector can never be OLDER than
+    * the generation it is keyed under — the stale direction is
+    * impossible, and the newer direction only wastes one recompute
+    * (the entry is keyed to a gen nobody reads anymore). */
+  private val pinGen = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Tier-2 read GUARANTEED to see the live store regardless of what
     * the session has cached. Spark's CacheManager substitutes a cached
@@ -633,10 +653,13 @@ final class Via(spark: SparkSession, warehouse: String,
     if (graphServes(triageGate)) {
       // pinned serving memoizes the example vector (pure function of the
       // frozen snapshot; memo cleared on every pin transition)
+      // generation read FIRST: the snapshot the compute reads is then
+      // always ≥ the keyed generation (see pinGen doc — ADVICE r16)
+      val gen = pinGen.get()
       val qv =
         if (pinnedTier2.isDefined)
           Some(exampleVecMemo.computeIfAbsent(
-            (positive.sorted, negative.sorted),
+            (gen, positive.sorted, negative.sorted),
             _ => ClusterSearch.exampleVectorFast(tier2, positive, negative)))
         else None
       ClusterSearch.triageIndexedImpl(tier2, graphIndexPath, positive,

@@ -154,12 +154,21 @@ object SimhashOps {
       // band emits exactly once) and non-negative, so ordering by pk IS
       // ordering by (a_id, b_id): same rows, same order, ~⅖ the shuffled
       // bytes (measured 1.94× at sf0.1). Width probe costs one columnar
-      // max() over docs. SPARK_GRAFT_SIMHASH_NOPACK=1 forces the
-      // unpacked sort — the measurement A/B, not a production switch.
-      val maxId = Tables.documents(s, dir).agg(max($"doc_id")).first().getLong(0)
-      val idBits = math.max(64 - java.lang.Long.numberOfLeadingZeros(maxId), 1)
+      // min/max() over docs: BOTH bounds, because a single max()≥0 gate
+      // would let a negative id coexisting with a non-negative max pack
+      // into a wrong sort key, and on an EMPTY table max() is NULL
+      // (getLong threw; ADVICE r16) — coalesce to -1 falls through to
+      // the unpacked sort, which returns the empty result unchanged.
+      // SPARK_GRAFT_SIMHASH_NOPACK=1 forces the unpacked sort — the
+      // measurement A/B, not a production switch.
+      val bounds = Tables.documents(s, dir)
+        .agg(coalesce(min($"doc_id"), lit(-1L)).as("lo"),
+          coalesce(max($"doc_id"), lit(-1L)).as("hi")).first()
+      val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+      val idBits = math.max(64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(maxId, 1L)), 1)
       val noPack = sys.env.get("SPARK_GRAFT_SIMHASH_NOPACK").contains("1")
-      if (!noPack && maxId >= 0 && idBits <= 31) {
+      if (!noPack && minId >= 0 && idBits <= 31) {
         pairs
           .select((shiftleft($"a_id", 32).bitwiseOR($"b_id")).as("pk"),
             $"hamming".cast("tinyint").as("h"))

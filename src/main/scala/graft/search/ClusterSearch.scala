@@ -346,6 +346,12 @@ object ClusterSearch {
           qTokens)))
       // rules left_anti: a NULL hash never matches a rule (kept)
       .filter(c => c.hash == null || !activeRules.contains(c.hash))
+      // dimension mismatch: CosineSimExpr null-propagates, so on the
+      // Catalyst path such a row scores NULL and can never outrank a
+      // scored row; the buffer serving path drops it outright. Mirror
+      // the drop here — folding over min(len) would instead invent a
+      // truncated score and rank the row differently (ADVICE r16).
+      .filter(c => c.dense != null && c.dense.length == qEmb.length)
       .map(c => (c, round6(cosineFF(c.dense, qEmb))))
       .toVector
     // top-1 per rhythm_hash (ties keep the first in candidate order,
@@ -384,6 +390,9 @@ object ClusterSearch {
     cands.iterator
       // !isin(...) over a NULL hash evaluates NULL → dropped
       .filter(c => c.hash != null && !exclude.contains(c.hash))
+      // dimension mismatch → drop, mirroring CosineSimExpr's
+      // null-on-mismatch (see rankClustersDriver; ADVICE r16)
+      .filter(c => c.dense != null && c.dense.length == qv.length)
       .map(c => (c, round6(cosineFD(c.dense, qv))))
       .toVector
       .sortWith { (a, b) =>
