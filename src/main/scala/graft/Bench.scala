@@ -113,7 +113,11 @@ object Bench {
       ("ann", "ann_rerank_indexed",
         () => { graft.search.AnnIndex.indexFor(spark, sfDir); () }),
       ("text", "text_match_indexed",
-        () => { graft.search.TextIndex.indexFor(spark, sfDir); () })
+        () => { graft.search.TextIndex.indexFor(spark, sfDir); () }),
+      // write-time corpus stat, not an index: the INT8 quantization bound
+      // (VERDICT r16 item 3) — one linear pass, reported like any build
+      ("int8stats", "int8_corpus_topk_stats",
+        () => { graft.search.Int8Stats.statsFor(spark, sfDir); () })
     ).flatMap { case (idx, q, go) =>
       if (!selected.contains(q)) None
       else {

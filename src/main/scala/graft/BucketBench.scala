@@ -24,7 +24,7 @@ object BucketBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.warehouse.dir", "target/bucketbench/warehouse")
@@ -36,25 +36,39 @@ object BucketBench {
     // exchange accounting splits SHUFFLE exchanges (the scale-relevant
     // cost: both sides rewrite to disk + network) from broadcast
     // exchanges (one bounded build + task-local probe). ReusedExchange
-    // references don't re-shuffle and are excluded.
-    def time(f: => DataFrame): (Double, Int, Int) = {
-      var exShuffle = 0; var exBroadcast = 0
+    // references don't re-shuffle and are excluded. Codegen spans =
+    // distinct whole-stage-codegen ids (`*(n)` operator prefixes) in the
+    // final plan — the fusion evidence VERDICT r16 item 1 asks for: the
+    // join→probe→partial-agg chain should live in ONE span.
+    def time(f: => DataFrame): (Double, Int, Int, Int) = {
+      var exShuffle = 0; var exBroadcast = 0; var cgSpans = 0
       val secs = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val df = f
-        df.write.format("noop").mode("overwrite").save()
+        // collect(), not a noop write: every leg here returns ≤50 rows
+        // (top-k / per-nation aggregates) so materialization cost is
+        // identical, and ONLY collect executes THIS df's QueryExecution —
+        // a `df.write` runs a fresh internal one, leaving
+        // `df.queryExecution.executedPlan` an UNEXECUTED AQE plan
+        // (isFinalPlan=false: no codegen span markers, and exchange
+        // counts read the pre-adaptive guess, not the runtime plan —
+        // the r16 "final-plan-only" counts were actually that guess).
+        df.collect()
         // AQE plan strings append the pre-adaptive "Initial Plan" — count
         // only the FINAL section (the r15 artifact's string count included
         // both, roughly doubling every row's exchange figure)
-        val lines = df.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==")(0).linesIterator.toSeq
+        val finalPlan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val lines = finalPlan.linesIterator.toSeq
         exShuffle = lines.count(l => l.contains("Exchange")
           && !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
         exBroadcast = lines.count(_.contains("BroadcastExchange"))
+        cgSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(finalPlan)
+          .map(_.group(1)).toSet.size
         (System.nanoTime() - t0) / 1e9
       }.min
-      (secs, exShuffle, exBroadcast)
+      (secs, exShuffle, exBroadcast, cgSpans)
     }
 
     // the bucketed warehouse: each fact table bucketed on the key its
@@ -128,29 +142,56 @@ object BucketBench {
       val a = plain().collect().map(_.toString)
       val b = bucketed().collect().map(_.toString)
       require(a.sameElements(b), s"$name: bucketed result diverged")
-      val (tp, ep, bp) = time(plain())
-      val (tb, eb, bb) = time(bucketed())
+      val (tp, ep, bp, _) = time(plain())
+      val (tb, eb, bb, cg) = time(bucketed())
       println(f"""[bucketbench] {"query":"$name","plain_sec":$tp%.2f,""" +
         f""""bucketed_sec":$tb%.2f,"plain_exchanges":$ep,""" +
-        f""""bucketed_exchanges":$eb,"plain_bcast":$bp,"bucketed_bcast":$bb}""")
+        f""""bucketed_exchanges":$eb,"plain_bcast":$bp,"bucketed_bcast":$bb,""" +
+        f""""bucketed_codegen_spans":$cg}""")
+    }
+
+    // EXPERIMENT row (not the headline): q5 with the customer dim
+    // delivered by an executor-parallel shuffled join over the
+    // o_custkey-bucketed orders table instead of a driver broadcast —
+    // the best-known q5 point on this layout (Relational.q5PlanCustRoute
+    // Scaladoc has the trade). Parity-checked against the gate program.
+    {
+      def custRoute() = graft.queries.Relational.q5PlanCustRoute(
+        spark.table("lineitem_bok"), spark.table("orders_bck"),
+        Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+        Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+      val gate = graft.queries.Relational.q5Plan(
+        spark.table("lineitem_bok"), spark.table("orders_bok"),
+        Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+        Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+        .collect().map(_.toString)
+      require(custRoute().collect().map(_.toString).sameElements(gate),
+        "q5_join_custroute: result diverged from the gate program")
+      val (t, ex, bc, cg) = time(custRoute())
+      println(f"""[bucketbench] {"query":"q5_join_custroute","plain_sec":-1,""" +
+        f""""bucketed_sec":$t%.2f,"plain_exchanges":-1,"bucketed_exchanges":$ex,""" +
+        f""""plain_bcast":-1,"bucketed_bcast":$bc,"bucketed_codegen_spans":$cg,""" +
+        f""""experiment":"customer via shuffled join on orders_bck; headline keeps q5Plan"}""")
     }
     }
 
     // ---- engine floor constants (the named denominators for the
     // SCALE.md decomposition of the rows bucketing cannot help) ----
-    import org.apache.spark.sql.functions.{col, count, lit, max}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max}
     def floor(name: String, f: () => DataFrame): Unit = {
-      val (t, _, _) = time(f())
+      val (t, _, _, _) = time(f())
       println(f"""[bucketbench] {"floor":"$name","sec":$t%.2f}""")
     }
     // one empty job: scheduler + task launch + noop write commit
     floor("job", () => spark.range(1).toDF("id"))
-    // the bare bucketed sorted-merge join (no dim probes, no grouped
-    // agg): q5's exchange-free plan can never beat this — the residual
-    // between it and the q5 row is the dim-probe + aggregate cost, and
-    // the residual between it and scan2col_agg is the merge itself
-    if (!floorsOnly)
-      floor("bucketed_smj_agg", () =>
+    if (!floorsOnly) {
+      // the bare co-bucketed join (no dim probes, no grouped agg) —
+      // shuffled-hash under the session's preferSortMergeJoin=false, so
+      // no hidden fact-side sorts (the r16 "bucketed_smj_agg" floor
+      // carried one per side: Spark only trusts bucket sort order under
+      // a legacy conf). q5's exchange-free plan can never beat this —
+      // it is a strict sub-computation of the row.
+      floor("bucketed_join_agg", () =>
         spark.table("lineitem_bok")
           .select(col("l_orderkey"), col("l_extendedprice"))
           .join(spark.table("orders_bok")
@@ -161,6 +202,32 @@ object BucketBench {
             .select(col("o_orderkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy().agg(count(lit(1)), max(col("l_extendedprice"))))
+      // dim-DELIVERY floors (VERDICT r16 item 1: extend the decomposition
+      // to the dim probes): each times a 10-row probe into the broadcast
+      // relation q5Plan builds, so ~all of it is the driver-side collect
+      // + HashedRelation build + torrent serialize — the unavoidable tail
+      // any broadcast-dim q5 pays on top of bucketed_join_agg.
+      val natKeys = () => broadcast(Tables.nation(spark, sfDir)
+        .join(Tables.region(spark, sfDir)
+          .filter(col("r_name").isin("ASIA", "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      floor("bcast_supplier_nat", () =>
+        spark.range(10).selectExpr("id * 100 as sk")
+          .join(broadcast(Tables.supplier(spark, sfDir)
+            .select(col("s_suppkey"), col("s_nationkey"))
+            .join(natKeys(), col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))),
+            col("sk") === col("s_suppkey")))
+      floor("bcast_customer_map", () =>
+        spark.range(10).selectExpr("id * 1000 as ck")
+          .join(broadcast(Tables.customer(spark, sfDir)
+            .select(col("c_custkey"), col("c_nationkey"))
+            .join(natKeys().select(col("n_nationkey")),
+              col("c_nationkey") === col("n_nationkey"))
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("ck") === col("c_custkey")))
+    }
     // one pass over lineitem reading TWO columns, trivial aggregate:
     // the per-fact-scan cost every percentile/grouping plan pays
     floor("scan2col_agg", () =>

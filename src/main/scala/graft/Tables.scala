@@ -15,8 +15,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, dir, table) relation memo. `spark.read.parquet` pays a
+    * directory listing + a footer schema read PER CALL — measured 80 to
+    * 250 ms of every query's fixed floor at sf10 (SCALE.md r17), for
+    * tables that are immutable driver fixtures. The memoized DataFrame is
+    * just an analyzed logical plan (immutable; file listing is re-resolved
+    * lazily per action only when Spark needs splits), so reuse across
+    * queries changes no plan. Kill-switch: `spark.graft.tableMemo=false`
+    * restores the per-call read for callers that overwrite fixture paths
+    * in-session (no current caller does — ScaleGen generates in its own
+    * JVM). Keyed by session so a test session's frames never leak into
+    * another; entries live as long as the session (driver fixtures, ~10
+    * plans — bounded). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (!spark.conf.get("spark.graft.tableMemo", "true").toBoolean)
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    else memo.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

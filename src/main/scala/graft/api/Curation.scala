@@ -50,6 +50,15 @@ object Curation {
         * quadratically. Its recall cost is surfaced per run by
         * [[curateWithReport]] (`over_cap_entries`/`over_cap_buckets`). */
       lshBucketCap: Option[Int] = Some(DefaultLshBucketCap),
+      /** Path of a persisted incremental simhash census
+        * ([[graft.search.SimhashCensusIndex]]) maintained by the ingest
+        * side. When set, [[curateWithReport]] reads the FOLDED census and
+        * surfaces the corpus's standing near-dup pressure (involved docs,
+        * pair endpoints, hamming-0 docs) as a telemetry row — the batch
+        * `simhash_dedup_stats` signal without re-running the corpus×corpus
+        * band join inside the pipeline (VERDICT r16 item 8). Telemetry
+        * only: the drop decision stays with the near-dup cluster stage. */
+      simhashCensusPath: Option[String] = None,
       dropDupSpans: Boolean = false,
       /** Embedding-cosine decontamination threshold vs `evalDocs` —
         * `Some(τ)` drops training docs whose [[graft.functions.EmbedText]]
@@ -134,6 +143,23 @@ object Curation {
       }
     val out = build(docs, evalDocs, cfg, chk,
       (stage, m) => caps(stage) = m)
+    // standing near-dup pressure from the ingest side's incremental
+    // simhash census (build-once/append-per-shard; see Config doc).
+    // Report-mode only by construction: curate() never pays this read.
+    cfg.simhashCensusPath.foreach { p =>
+      import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+      val spark = docs.sparkSession
+      val row = graft.search.SimhashCensusIndex.census(spark, p)
+        .agg(count(lit(1)).as("docs"),
+          coalesce(sum(org.apache.spark.sql.functions.col("n_dups")), lit(0L)),
+          count(when(org.apache.spark.sql.functions.col("min_hamming") === 0, 1)))
+        .first()
+      val censusDocs = row.getLong(0)
+      report += StageReport("simhash_census", censusDocs, censusDocs,
+        Map("near_dup_docs" -> censusDocs,
+          "pair_endpoints" -> row.getLong(1),
+          "hamming0_docs" -> row.getLong(2)))
+    }
     (out, report.toSeq)
   }
 

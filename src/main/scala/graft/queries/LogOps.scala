@@ -253,10 +253,20 @@ object LogOps {
       )).toDF("rhythm_hash", "expires_at")
         .filter($"expires_at".isNull || $"expires_at" > now)
         .select($"rhythm_hash")
+      // anti-join ABOVE the aggregate, not below: the suppression
+      // predicate is on the GROUP KEY, so dropping suppressed groups
+      // after the count is row-for-row identical to dropping their
+      // events before it — but the probe then touches #groups rows
+      // (~5 here; bounded by distinct rhythm hashes at any corpus size)
+      // instead of every event. Measured at sf10: the per-event BHJ
+      // anti probe added ~0.7 s (~10 s CPU) on top of the 0.21 s
+      // scan+agg floor — the single largest cost of the row (SCALE.md
+      // r17 floor decomposition). Catalyst does not reorder joins
+      // through aggregates on its own.
       Tables.events(s, dir)
-        .join(broadcast(rules), $"event_type" === $"rhythm_hash", "left_anti")
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"))
+        .join(broadcast(rules), $"event_type" === $"rhythm_hash", "left_anti")
         .orderBy($"event_type")
     },
     Some("""

