@@ -42,20 +42,22 @@ class AdviceGuardSpec extends SparkSpec {
 
   test("promo_rollup raises on an id outside the sample-packing bounds") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("guard-promo").toString
-    def write(eventId: Long): Unit =
+    // one directory per case: Tables memoizes (session, path) relations, so
+    // rewriting the same fixture path mid-session would serve a stale listing
+    def write(eventId: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("guard-promo").toString
       Seq((eventId, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
           1L, "click", 1.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
     // in-range id: fine
-    write(42L)
-    assert(SparkEntry.queries("promo_rollup")(spark, dir).count() == 1L)
+    assert(SparkEntry.queries("promo_rollup")(spark, write(42L)).count() == 1L)
     // id >= 2^32 would corrupt the (ts << 32) | id packing — the guard
     // must RAISE, never silently mis-sample (ADVICE r10)
-    write(1L << 33)
     val e = intercept[Exception] {
-      SparkEntry.queries("promo_rollup")(spark, dir).collect()
+      SparkEntry.queries("promo_rollup")(spark, write(1L << 33)).collect()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
