@@ -136,12 +136,20 @@ object Relational {
     val cust = broadcastIfSmall(custProj,
       customer.filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey")))
+    // the segment probe runs on ORDERS, before the fact-fact join: the
+    // broadcast preserves orders' partitioning (bucketed layout stays
+    // exchange-free) while the 1-in-5 segment selectivity shrinks the
+    // orderkey join's build/stream side 5× — inner joins commute, so the
+    // r16 shape (probe after the merge) computed the identical rows and
+    // just carried 5× more of them through the join (sf10: 1.12 s → the
+    // r17 row; same 2-exchange flat / 0-exchange bucketed plan).
     val ord = orders
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
     val li = lineitem
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
       .agg(cents(microsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("revenue"))
