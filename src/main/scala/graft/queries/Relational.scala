@@ -201,9 +201,10 @@ object Relational {
     // supplier relation pays the string payload and the region semi-join,
     // while customer reduces to a payload-free (c_custkey -> c_nationkey)
     // long->int map, nation-semi-filtered executor-side BEFORE the
-    // collect (2/5 of entries at TPC-H ratios). Probe order follows
-    // selectivity: supplier first (drops 3/5 of join rows), customer
-    // second, the cross-dim equality as a scan-side filter.
+    // collect (2/5 of entries at TPC-H ratios). The customer map probes
+    // ORDERS before the fact-fact join (selectivity applied earliest),
+    // supplier probes the merge output, and the cross-dim equality runs
+    // as a scan-side filter.
     // Both dim broadcasts stay STATS-GATED (broadcastIfSmall) on their
     // own 2-column projections: past DimBroadcastBytes the hints vanish
     // and AQE plans the no-broadcast regime exactly as before.
@@ -216,13 +217,20 @@ object Relational {
       custProj.join(natKeys.select(col("n_nationkey")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_nationkey")))
+    // the customer probe runs on ORDERS, before the fact-fact join (the
+    // q3 lesson, same round): the nation semi-join keeps 2-in-5 orders,
+    // so the orderkey join's build side shrinks 2.5× and the merge
+    // output drops to the surviving rows BEFORE the supplier probe —
+    // inner joins commute, identical rows, same 2-exchange bucketed /
+    // broadcast-preserved partitioning as the post-merge probe shape.
     val ord = orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     lineitem
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(cents(microsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
@@ -342,12 +350,19 @@ object Relational {
         .join(q7nat.select(col("n_nationkey")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_nationkey")))
+    // the customer probe runs on ORDERS, before the fact-fact join (the
+    // q3 lesson, same round): the 3-of-25-nation semi-join keeps ~12% of
+    // orders, so the orderkey join's build side shrinks ~8× and the
+    // merge streams only surviving rows into the supplier probe — inner
+    // joins commute, identical rows, exchange counts unchanged.
+    val ordC = orders
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(ordC, col("l_orderkey") === col("o_orderkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(q7nat.select(col("n_nationkey"),
           col("n_name").as("cust_nation")),
         col("c_nationkey") === col("n_nationkey"))
