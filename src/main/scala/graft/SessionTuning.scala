@@ -14,8 +14,16 @@ object SessionTuning {
     * `bytesPerCore` win so compute-heavy kernel scans use the full core
     * count; a cluster keeps the default (real file opens cost more than
     * local NVMe's). */
-  def tuned(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.files.openCostInBytes", String.valueOf(1024 * 1024))
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = {
+    // measurement-only escape hatch: `SPARK_GRAFT_EXTRA_CONF="k=v;k=v"`
+    // applies LAST so an A/B can flip any tuned default from the shell
+    // without a recompile (used for the r17 shuffled-hash regression
+    // bisect); production entry points don't read it.
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    extra.foldLeft(
+      b.config("spark.sql.files.openCostInBytes", String.valueOf(1024 * 1024))
       // Prefer shuffled-hash over sort-merge where Spark's own stats gate
       // allows it (build side under autoBroadcastJoinThreshold ×
       // shufflePartitions per partition; SMJ otherwise — no OOM promise
@@ -27,4 +35,6 @@ object SessionTuning {
       // 60M-row Sort on each fact side (measured: SHJ 0.80 s vs SMJ
       // 0.86 s on the bare bucketed join, and no Sort nodes remain).
       .config("spark.sql.join.preferSortMergeJoin", "false")
+    ) { case (bb, (k, v)) => bb.config(k, v) }
+  }
 }
