@@ -261,12 +261,20 @@ object LogOps {
       // instead of every event. Measured at sf10: the per-event BHJ
       // anti probe added ~0.7 s (~10 s CPU) on top of the 0.21 s
       // scan+agg floor — the single largest cost of the row (SCALE.md
-      // r17 floor decomposition). Catalyst does not reorder joins
-      // through aggregates on its own.
+      // r17 floor decomposition). The `n >= 0` conjunct is load-bearing:
+      // PushDownLeftSemiAntiJoin pushes a semi/anti join back below an
+      // aggregate whenever its condition touches only grouping columns
+      // (plans/r17/rules_antijoin — the bare group-key join was silently
+      // rewritten to the per-event probe), and an anti-join condition
+      // cannot be split, so one conjunct on the aggregated column pins
+      // the whole join above the agg. `n = count(1) >= 1 > 0` for every
+      // group, so the conjunct is identically true and the kept rows are
+      // exactly those of the bare key-equality anti-join.
       Tables.events(s, dir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"))
-        .join(broadcast(rules), $"event_type" === $"rhythm_hash", "left_anti")
+        .join(broadcast(rules),
+          $"event_type" === $"rhythm_hash" && $"n" >= 0, "left_anti")
         .orderBy($"event_type")
     },
     Some("""

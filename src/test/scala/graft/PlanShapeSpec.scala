@@ -419,6 +419,24 @@ class PlanShapeSpec extends SparkSpec {
       "the located-bucket relation must broadcast")
   }
 
+  test("rules_antijoin probes the aggregate output, not every event") {
+    // the suppression predicate is on the GROUP key, so the anti-join
+    // belongs ABOVE the aggregate (probe ~#groups rows, not the corpus).
+    // PushDownLeftSemiAntiJoin rewrites a grouping-key-only condition
+    // back below the agg — the always-true `n >= 0` conjunct on the
+    // aggregated column blocks that (anti-join conditions cannot be
+    // split), and this pin fails if a Spark upgrade or an edit lets the
+    // per-event probe sneak back in.
+    val q = Registry.all.find(_.name == "rules_antijoin").get
+    val p = q.fn(spark, dir).queryExecution.executedPlan.toString
+    val agg = p.indexOf("HashAggregate")
+    val anti = p.indexOf("LeftAnti")
+    assert(anti >= 0 && agg >= 0, p.take(800))
+    // plan strings print top-down: the join above the agg appears FIRST
+    assert(anti < agg,
+      s"anti-join must sit above the aggregate (probe group rows):\n${p.take(1200)}")
+  }
+
   test("bigram_surprisal joins stay keyed, no product") {
     val q = Registry.all.find(_.name == "bigram_surprisal").get
     val df = q.fn(spark, dir)
